@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design (SURVEY.md §5): the query set is broadcast; cosine
+  * scores are computed partition-local with `zip_with`/`aggregate`
+  * (sequential fold → deterministic, codegen'd, no UDF); top-k uses
+  * a two-phase partial-then-final aggregation so only k×queries rows
+  * per partition ever shuffle. The LSH variant buckets vectors by
+  * random-hyperplane sign bits to shrink the candidate set ~2^p-fold
+  * before exact scoring.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (sequential fold — bit-stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity; computed in double regardless of input float. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    *
+    * `queries` (small) is broadcast; phase 1 keeps only the local
+    * top-k per (query, input-partition); phase 2 merges the partials.
+    * Shuffle volume: k × queries × partitions rows, independent of
+    * corpus size.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.EngineNeutral.r4(cosine(col("qvec"), col("cvec"))).as("sim"))
+    topKPerKey(scored, "query_id", k)
+  }
+
+  /** Two-phase distributed top-k by (sim DESC, neighbor_id ASC). */
+  private[functions] def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val entry = struct((-col("sim")).as("neg"), col("neighbor_id"), col("sim"))
+    val partial = scored
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col(keyCol), col("pid"))
+      .agg(slice(array_sort(collect_list(entry)), 1, k).as("top"))
+    partial
+      .groupBy(col(keyCol))
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .select(col(keyCol), posexplode(col("top")))
+      .select(col(keyCol), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
+  }
+
+  /** p-bit random-hyperplane signature. Hyperplane p's component j is
+    * a deterministic pseudo-random value in [-0.5, 0.5) derived from
+    * xxhash64(p, j) — reproducible with zero stored state.
+    */
+  def lshSignature(vecCol: Column, planes: Int = 16): Column = {
+    // plane loop unrolls at plan-build time (shift amounts must be literal)
+    val bitCols = (0 until planes).map { p =>
+      val dotWithPlane = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (x, j) => x.cast("double") *
+            ((pmod(xxhash64(lit(p), j), lit(100000L)).cast("double") / 100000.0) - 0.5)),
+        lit(0.0), (a, v) => a + v)
+      when(dotWithPlane > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN via hyperplane LSH: candidates share ≥1 of the two 8-bit
+    * signature halves with the query (pigeonhole for small angular
+    * distance), then exact cosine rerank keeps the top-k.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val half = planes / 2
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          lshSignature(col(vecCol), planes).as("sig"))
+        .select(col(id), col(vec),
+          posexplode(array(
+            col("sig").bitwiseAND(lit((1L << half) - 1)),
+            shiftright(col("sig"), half))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val c = banded(corpus, "neighbor_id", "cvec")
+    val q = broadcast(banded(queries, "query_id", "qvec"))
+    val cands = c.join(q, Seq("band", "bkey"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      graft.functions.EngineNeutral.r4(cosine(col("qvec"), col("cvec"))).as("sim"))
+    topKPerKey(scored, "query_id", k)
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucketed self-join, exact
+    * cosine ≥ minSim verify. Same banding trick as [[lshTopK]].
+    */
+  def embeddingNearDups(corpus: DataFrame, minSim: Double, planes: Int = 16,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val half = planes / 2
+    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val banded = sig.select(col("id"), col("vec"),
+        posexplode(array(
+          col("sig").bitwiseAND(lit((1L << half) - 1)),
+          shiftright(col("sig"), half))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.EngineNeutral.r4(cosine(col("vec_a"), col("vec_b"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for corpus curation: language ID, quality
+  * stats, token counts, fingerprints. All pure column expressions —
+  * partition-local, zero shuffle, whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (split keeps empties; both engines agree). */
+  def tokenCountWhitespace(textCol: Column): Column = size(split(textCol, " "))
+
+  /** BPE-ish token count: runs of [a-z0-9]+ (word pieces). */
+  def tokenCountRegex(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[a-z0-9]+"), lit(0)))
+
+  /** Stopword-based language ID heuristic. Checks the most frequent
+    * function word per language as an n-gram of the padded text.
+    * (Reference-free heuristic; a real pipeline would score full
+    * stopword sets the same way — this keeps the oracle portable.)
+    */
+  def langIdHeuristic(textCol: Column): Column = {
+    val padded = concat(lit(" "), textCol, lit(" "))
+    when(padded.contains(" the "), "en")
+      .when(padded.contains(" le ") || padded.contains(" la "), "fr")
+      .when(padded.contains(" der ") || padded.contains(" und "), "de")
+      .when(padded.contains(" el ") || padded.contains(" los "), "es")
+      .otherwise("unk")
+  }
+
+  /** Quality stats: length, word count, average word length, and a
+    * density score (non-space ratio). Deterministic arithmetic only.
+    */
+  def nWords(textCol: Column): Column =
+    size(filter(split(textCol, " "), t => length(t) > 0))
+
+  def avgWordLen(textCol: Column): Column =
+    EngineNeutral.r2(length(regexp_replace(textCol, " ", "")).cast("double") / nWords(textCol))
+
+  def densityScore(textCol: Column): Column =
+    EngineNeutral.r4(length(regexp_replace(textCol, " ", "")).cast("double") / length(textCol))
+
+  /** Polynomial rolling-hash fingerprint over the character stream:
+    * acc = (acc * 31 + code(char)) mod 1e9+7. Order-sensitive, so
+    * near-identical docs with swapped words fingerprint differently
+    * (unlike bag-of-words hashes).
+    */
+  def fingerprint(textCol: Column): Column =
+    aggregate(split(textCol, ""), lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L)))
+}

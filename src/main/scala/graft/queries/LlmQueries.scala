@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data operators (SURVEY.md §2 rows 28-39) over the
+  * `documents` and `embeddings` tables. Hash/LSH-based operators have
+  * no portable SQL form → rows-only driver check + ScalaTest property
+  * specs; everything else carries a DuckDB oracle.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // 28. Exact dedup: group on md5(text) — shuffle carries 32-byte
+    //     hashes, not document bytes.
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")),
+
+    // 29. MinHash+LSH near-dup candidates (rows-only).
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // 30. SimHash near-dups within hamming distance 3 (rows-only).
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // 31. Exact n-gram Jaccard verify on LSH candidates (rows-only).
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      Dedup.ngramJaccard(docs, cands, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 32. Embedding-cosine near-dup pairs via hyperplane LSH (rows-only).
+    //     The synthetic embeddings have no true near-dups (max pairwise
+    //     cosine ≈ 0.5), so the threshold demonstrates the operator on
+    //     the most-similar tail; production callers pass ~0.9.
+    "q_dedup_embedding" -> ((s, d) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, d), minSim = 0.3, planes = 8)
+        .orderBy("id_a", "id_b")),
+
+    // 33. Brute-force cosine top-k ANN: query set broadcast,
+    //     partition-local partial top-k, tiny final merge.
+    "q_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // 34. LSH-bucketed ANN (rows-only: bucket membership is
+    //     hash-defined).
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, planes = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // 35. Language ID heuristic.
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    // 36. Quality scoring.
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("len"),
+          TextAnalysis.nWords(col("text")).as("n_words"),
+          TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+          TextAnalysis.densityScore(col("text")).as("density"))
+        .orderBy("doc_id")),
+
+    // 37. Token counting: whitespace + BPE-ish regex pieces.
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("ws_tokens"),
+          TextAnalysis.tokenCountRegex(col("text")).as("re_tokens"))
+        .orderBy("doc_id")),
+
+    // 38. Rolling-hash fingerprint (rows-only: per-char fold has no
+    //     portable SQL form in DuckDB 1.0).
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // 39. Multimodal: binary payload + typed metadata through the
+    //     batched decode-stub pipeline (real mapPartitions plumbing;
+    //     oracle mirrors the stub's deterministic arithmetic).
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(s, Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("media_type"), col("payload_bytes"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_ann_bruteforce" ->
+      """SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) * 10000 + 0.5) / 10000.0 AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      floor(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) * 10000 + 0.5) / 10000.0 DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+        |       WHEN contains(' ' || text || ' ', ' le ')
+        |         OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+        |       WHEN contains(' ' || text || ' ', ' der ')
+        |         OR contains(' ' || text || ' ', ' und ') THEN 'de'
+        |       WHEN contains(' ' || text || ' ', ' el ')
+        |         OR contains(' ' || text || ' ', ' los ') THEN 'es'
+        |       ELSE 'unk' END AS lang_guess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS len,
+        |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+        |  floor(length(replace(text, ' ', ''))::DOUBLE /
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) * 100 + 0.5) / 100.0 AS avg_word_len,
+        |  floor(length(replace(text, ' ', ''))::DOUBLE / length(text) * 10000 + 0.5) / 10000.0 AS density
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS payload_bytes,
+        |  (64 + octet_length(encode(text)) % 577)::INT AS width,
+        |  (64 + octet_length(encode(text)) % 433)::INT AS height,
+        |  (1 + octet_length(encode(text)) % 30)::INT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -5,13 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora.
   *
-  * Scale design (SURVEY.md §5): signatures are computed
-  * partition-local with codegen'd expressions (`xxhash64`,
-  * `transform`, `aggregate` — no UDFs); only small fixed-width keys
-  * (md5 hex / band hashes / 64-bit simhashes) ever shuffle, so
-  * shuffle bytes grow with row count, not corpus bytes. Self-joins
-  * are halved with `id_a < id_b` and guarded against degenerate
-  * buckets by a bucket-size cap.
+  * Scale design (SURVEY.md §5):
+  *  - Signatures are computed by exploding shingles/tokens and
+  *    aggregating with plain `min`/`sum` — whole-stage-codegen'd with
+  *    map-side partial aggregation, unlike Spark's interpreted
+  *    higher-order functions. Shuffle rows collapse to one per doc
+  *    before leaving the mapper.
+  *  - Only fixed-width keys (md5 hex, band hashes, 64-bit simhashes)
+  *    ever shuffle — bytes grow with row count, not corpus bytes.
+  *  - Candidate pairs are generated inside capped LSH buckets
+  *    (collect_list + in-bucket cross), avoiding a second self-join
+  *    shuffle entirely; `maxBucket` guards degenerate buckets and
+  *    singleton buckets are dropped before any pair work.
   */
 object Dedup {
 
@@ -39,18 +44,50 @@ object Dedup {
         .otherwise(array(concat_ws(" ", ts))))
   }
 
-  /** MinHash signature: element h is min over shingles of
-    * xxhash64(shingle, h) — h acts as the hash-family index.
+  /** One row per k-token shingle, carrying only the shingle's 64-bit
+    * hash: tokens are exploded and hashed together with their k-1
+    * successors via window `lead` — no shingle string is ever built,
+    * everything stays in whole-stage codegen. Documents shorter than
+    * k tokens contribute one whole-text hash. Duplicate shingles are
+    * kept (min/collect_set downstream are multiset-safe).
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shinglesCol, s => xxhash64(s, h))))
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = tokens(col(textCol))
+    val long = df
+      .filter(size(ts) >= shingleK)
+      .select(col(idCol).as("id"), posexplode(ts))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("col") +: (1 until shingleK).map(j => lead(col("col"), j).over(w))
+    val longH = long
+      .select(col("id"), xxhash64(parts: _*).as("h"), parts.last.isNotNull.as("full"))
+      .filter(col("full")).drop("full")
+    val shortH = df
+      .filter(size(ts) < shingleK)
+      .select(col(idCol).as("id"), xxhash64(concat_ws(" ", ts)).as("h"))
+    longH.unionAll(shortH)
+  }
+
+  /** MinHash signatures, one row per doc: `numHashes` codegen'd `min`
+    * aggregates over cheap long re-hashes of the shingle hash — the
+    * classic "one strong hash + H derived permutations" construction.
+    * The groupBy reuses the window's (id) partitioning: one shuffle.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
+    val base = shingleHashes(df, idCol, textCol, shingleK)
+    val mins = (0 until numHashes).map(h => min(xxhash64(col("h"), lit(h))).as(s"m$h"))
+    base.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
-    * numHashes), hash each band, shuffle only (band, bandHash, id),
-    * and self-join buckets. `maxBucket` drops degenerate buckets
-    * (boilerplate shingles) that would otherwise explode
-    * quadratically — the standard skew guard at corpus scale.
+    * numHashes), hash each band, shuffle only (band, bandHash, id,
+    * sig), and generate pairs inside each bucket. Buckets of size 1
+    * are skipped; buckets larger than `maxBucket` (boilerplate
+    * shingles) are dropped — the standard skew guard.
     *
     * Returns (id_a, id_b, est_jaccard) with est_jaccard = fraction of
     * matching signature components.
@@ -60,36 +97,50 @@ object Dedup {
                         bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"), minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
     // unrolled at plan-build time: band b hashes signature rows [b*R, (b+1)*R)
     val bandHashes = (0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
     }
-    val banded = sigs.select(
-        col("id"), col("sig"), posexplode(array(bandHashes: _*)))
+    val banded = sigs
+      .select(col("id"), col("sig"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val a = capped.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+    pairsFromBuckets(banded, maxBucket, "sig")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+        (size(filter(zip_with(col("p_a"), col("p_b"), (x, y) => x === y), p => p))
           .cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** Groups (band,bkey) rows into buckets, drops singletons, caps
+    * degenerate buckets, emits each unordered pair once with its
+    * payload columns (`p_a`, `p_b`). One shuffle total.
+    */
+  private[functions] def pairsFromBuckets(banded: DataFrame, maxBucket: Int,
+                                          payloadCol: String): DataFrame = {
+    val buckets = banded
+      .groupBy("band", "bkey")
+      .agg(collect_list(struct(col("id"), col(payloadCol).as("p"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b("id") > a("id")),
+          b => struct(a("id").as("id_a"), b("id").as("id_b"),
+            a("p").as("p_a"), b("p").as("p_b")))))).as("pair"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
+        col("pair.p_a").as("p_a"), col("pair.p_b").as("p_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Exact n-gram Jaccard on candidate pairs: re-attach shingle sets
-    * (broadcast-sized candidate list joins back to the corpus) and
-    * compute |∩| / |∪| exactly — the verify step after LSH.
+  /** Exact n-gram Jaccard on candidate pairs: re-attach shingle-hash
+    * sets and compute |∩| / |∪| — the verify step after LSH. Operates
+    * on 64-bit shingle hashes (Jaccard identical to the string-set
+    * value modulo 2⁻⁶⁴ collisions), so set ops compare longs, not
+    * strings.
     */
   def ngramJaccard(df: DataFrame, candidates: DataFrame, idCol: String,
                    textCol: String, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val sh = shingleHashes(df, idCol, textCol, shingleK)
+      .groupBy("id").agg(collect_set(col("h")).as("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -98,20 +149,22 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** 64-bit SimHash: bit i is the sign of Σ_tokens (±1 by bit i of
-    * xxhash64(token)). Pure expression — 64 nested folds fuse into
-    * one codegen stage.
+  /** 64-bit SimHash per doc: explode tokens, hash each once, then 64
+    * codegen'd ±1 sums (bit i of the token hash decides the sign) and
+    * a final sign→bit assembly. Map-side combine collapses to one row
+    * per doc before the shuffle.
     */
-  def simhash(textCol: Column): Column = {
-    // hash each token once; 64 per-bit folds unroll at plan-build time
-    val hs = transform(tokens(textCol), t => xxhash64(t))
-    val bitCols = (0 until 64).map { i =>
-      when(
-        aggregate(hs, lit(0),
-          (a, h) => a + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)) > 0,
-        lit(1L << i)).otherwise(lit(0L))
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val sums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i")
     }
-    bitCols.reduce(_ + _)
+    val bits = (0 until 64).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    base.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), bits.reduce(_ + _).as("sh"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (< 16):
@@ -119,17 +172,14 @@ object Dedup {
     * must agree on ≥1 band — then exact popcount verify on the pair.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sh = simhashes(df, idCol, textCol)
     val bandCols = (0 until 4).map(b => shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = sh.select(col("id"), col("sh"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+    pairsFromBuckets(banded, maxBucket, "sh")
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("p_a").bitwiseXOR(col("p_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -26,6 +26,18 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
+  /** Replaces `vecCol` with its unit-normalized double form, so
+    * downstream pairwise cosine is a single dot product — norms are
+    * computed once per vector instead of twice per candidate pair.
+    */
+  private def normalized(df: DataFrame, vecCol: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    df.withColumn("_norm", sqrt(aggregate(zip_with(vd, vd, (x, y) => x * y),
+        lit(0.0), (a, v) => a + v)))
+      .withColumn(vecCol, transform(vd, x => x / col("_norm")))
+      .drop("_norm")
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector.
     *
     * `queries` (small) is broadcast; phase 1 keeps only the local
@@ -35,12 +47,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val scored = corpus
+    val q = broadcast(normalized(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = normalized(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.EngineNeutral.r4(cosine(col("qvec"), col("cvec"))).as("sim"))
+        graft.functions.EngineNeutral.r4(dot(col("qvec"), col("cvec"))).as("sim"))
     topKPerKey(scored, "query_id", k)
   }
 
@@ -83,7 +96,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val half = planes / 2
-    def banded(df: DataFrame, id: String, vec: String) =
+    def banded(raw: DataFrame, id: String, vec: String) = {
+      val df = normalized(raw, vecCol)
       df.select(col(idCol).as(id), col(vecCol).as(vec),
           lshSignature(col(vecCol), planes).as("sig"))
         .select(col(id), col(vec),
@@ -91,6 +105,7 @@ object Similarity {
             col("sig").bitwiseAND(lit((1L << half) - 1)),
             shiftright(col("sig"), half))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    }
     val c = banded(corpus, "neighbor_id", "cvec")
     val q = broadcast(banded(queries, "query_id", "qvec"))
     val cands = c.join(q, Seq("band", "bkey"))
@@ -98,7 +113,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.select(col("query_id"), col("neighbor_id"),
-      graft.functions.EngineNeutral.r4(cosine(col("qvec"), col("cvec"))).as("sim"))
+      graft.functions.EngineNeutral.r4(dot(col("qvec"), col("cvec"))).as("sim"))
     topKPerKey(scored, "query_id", k)
   }
 
@@ -106,21 +121,21 @@ object Similarity {
     * cosine ≥ minSim verify. Same banding trick as [[lshTopK]].
     */
   def embeddingNearDups(corpus: DataFrame, minSim: Double, planes: Int = 16,
+                        maxBucket: Int = 10000,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val half = planes / 2
-    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), planes).as("sig"))
+    val sig = normalized(corpus, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lshSignature(col(vecCol), planes).as("sig"))
     val banded = sig.select(col("id"), col("vec"),
         posexplode(array(
           col("sig").bitwiseAND(lit((1L << half) - 1)),
           shiftright(col("sig"), half))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // one shuffle: pairs are generated inside capped buckets
+    Dedup.pairsFromBuckets(banded, maxBucket, "vec")
       .select(col("id_a"), col("id_b"),
-        graft.functions.EngineNeutral.r4(cosine(col("vec_a"), col("vec_b"))).as("sim"))
+        graft.functions.EngineNeutral.r4(dot(col("p_a"), col("p_b"))).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{classic, Column}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridging for custom Catalyst expressions.
+  *
+  * Spark 4 made these converters `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils), so library code
+  * reaches them through this in-package shim — the usual pattern for
+  * Spark-native extensions (cf. public extension libraries that
+  * place a factory under org.apache.spark.sql for the same reason).
+  */
+object Bridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

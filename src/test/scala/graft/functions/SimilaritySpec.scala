@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(1.0f, 0.02f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val res = Similarity
+      .bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    // cos(0,4)=0.9998 > cos(0,1)=0.9939 > cos(0,2)=0
+    assert(res.map(_._3).toSeq == Seq(4L, 1L, 2L))
+    assert(res.head._4 > 0.999 && res(1)._4 > 0.99)
+  }
+
+  test("topK caps the result size per query") {
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 2), k = 2)
+    assert(res.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 2))
+  }
+
+  test("lshSignature is deterministic") {
+    val a = vecs.select(Similarity.lshSignature($"embedding", 16).as("s"))
+      .as[Long].collect()
+    val b = vecs.select(Similarity.lshSignature($"embedding", 16).as("s"))
+      .as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("embeddingNearDups finds identical vectors with sim 1.0") {
+    val dups = Seq(
+      (10L, Array(0.5f, 0.5f, 0.0f, 0.1f)),
+      (11L, Array(0.5f, 0.5f, 0.0f, 0.1f)), // identical
+      (12L, Array(-0.5f, 0.3f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.embeddingNearDups(dups, minSim = 0.99, planes = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(res.map(r => (r._1, r._2)).toSet == Set((10L, 11L)))
+    assert(res.head._3 == 1.0)
+  }
+
+  test("lshTopK returns only true-cosine-ranked candidates (precision)") {
+    val res = Similarity
+      .lshTopK(vecs, vecs.filter($"vec_id" === 0L), k = 3, planes = 8)
+      .as[(Long, Int, Long, Double)].collect()
+    // every returned sim must equal the exact cosine (rerank is exact)
+    res.foreach { case (_, _, n, sim) =>
+      val exact = Map(1L -> 0.9939, 2L -> 0.0, 3L -> 0.0, 4L -> 0.9998)
+      assert(math.abs(sim - exact(n)) < 1e-3)
+    }
+    // ranks strictly ordered
+    assert(res.sortBy(_._2).map(_._4).toSeq.reverse.sorted.reverse ==
+      res.sortBy(_._2).map(_._4).toSeq)
+  }
+}

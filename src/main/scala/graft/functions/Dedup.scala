@@ -111,6 +111,24 @@ object Dedup {
           .cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Id-only variant of [[pairsFromBuckets]]: buckets carry just ids,
+    * so in-bucket pair generation builds tiny structs; callers join
+    * payloads back by id (codegen'd join vs interpreted array copies
+    * — much cheaper when payloads are wide, e.g. embeddings).
+    */
+  private[functions] def pairsFromBucketsIds(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val buckets = banded
+      .groupBy("band", "bkey")
+      .agg(collect_list(col("id")).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b > a),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Groups (band,bkey) rows into buckets, drops singletons, caps
     * degenerate buckets, emits each unordered pair once with its
     * payload columns (`p_a`, `p_b`). One shuffle total.

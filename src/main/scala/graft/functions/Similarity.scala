@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (sequential fold — bit-stable). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two double arrays — codegen'd sequential loop
+    * ([[graft.plans.ArrayDot]]); bit-identical to the left-to-right
+    * fold DuckDB's list_dot_product performs.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.ArrayDot.array_dot(a, b)
 
   /** Cosine similarity; computed in double regardless of input float. */
   def cosine(a: Column, b: Column): Column = {
@@ -32,10 +34,10 @@ object Similarity {
     */
   private def normalized(df: DataFrame, vecCol: String): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
-    df.withColumn("_norm", sqrt(aggregate(zip_with(vd, vd, (x, y) => x * y),
-        lit(0.0), (a, v) => a + v)))
-      .withColumn(vecCol, transform(vd, x => x / col("_norm")))
-      .drop("_norm")
+    df.withColumn("_vd", vd)
+      .withColumn("_norm", sqrt(dot(col("_vd"), col("_vd"))))
+      .withColumn(vecCol, transform(col("_vd"), x => x / col("_norm")))
+      .drop("_vd", "_norm")
   }
 
   /** Brute-force top-k cosine neighbors for each query vector.
@@ -124,18 +126,22 @@ object Similarity {
                         maxBucket: Int = 10000,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val half = planes / 2
-    val sig = normalized(corpus, vecCol)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lshSignature(col(vecCol), planes).as("sig"))
-    val banded = sig.select(col("id"), col("vec"),
+    val vecs = normalized(corpus, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = vecs
+      .select(col("id"), lshSignature(col("vec"), planes).as("sig"))
+      .select(col("id"),
         posexplode(array(
           col("sig").bitwiseAND(lit((1L << half) - 1)),
           shiftright(col("sig"), half))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    // one shuffle: pairs are generated inside capped buckets
-    Dedup.pairsFromBuckets(banded, maxBucket, "vec")
+    // id-only pairs inside capped buckets, then codegen'd joins pull
+    // the (wide) vectors back in for the exact-cosine verify
+    Dedup.pairsFromBucketsIds(banded, maxBucket)
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        graft.functions.EngineNeutral.r4(dot(col("p_a"), col("p_b"))).as("sim"))
+        graft.functions.EngineNeutral.r4(dot(col("vec_a"), col("vec_b"))).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

@@ -30,6 +30,19 @@ class SimilaritySpec extends AnyFunSuite {
       .forall(_._2 == 2))
   }
 
+  test("array_dot matches manual dot product (codegen + interpreted paths)") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, -5.0, 6.0))).toDF("a", "b")
+    val got = df.select(graft.plans.ArrayDot.array_dot(col("a"), col("b"))).as[Double].head()
+    assert(got == 1.0 * 4.0 + 2.0 * -5.0 + 3.0 * 6.0)
+    // float input path via cast
+    val dff = Seq((Array(0.5f, 0.25f), Array(2.0f, 4.0f))).toDF("a", "b")
+    val gotF = dff.select(graft.plans.ArrayDot.array_dot(
+      transform(col("a"), x => x.cast("double")),
+      transform(col("b"), x => x.cast("double")))).as[Double].head()
+    assert(gotF == 2.0)
+  }
+
   test("lshSignature is deterministic") {
     val a = vecs.select(Similarity.lshSignature($"embedding", 16).as("s"))
       .as[Long].collect()

@@ -1,0 +1,110 @@
+package graft.functions
+
+import graft.plans.ArrayDot.array_dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse
+  * quantizer partitions the corpus into cells; queries probe only the
+  * `nprobe` nearest cells and rerank candidates exactly.
+  *
+  * Scale design: centroids are trained with Lloyd iterations on a
+  * deterministic driver-side sample (centroid table is tiny — k ×
+  * dim doubles — and broadcast everywhere it is used); cell
+  * assignment is one codegen'd argmax over k dot products per row;
+  * the probe join is an equi-join on cell id, so candidate volume is
+  * ~nprobe/k of the corpus. All vectors are unit-normalized up front
+  * → cosine ≡ dot.
+  */
+object Ivf {
+
+  /** Unit-normalize (double) a vector column. */
+  private def normalizeCol(vecCol: Column): Column = {
+    val vd = transform(vecCol, x => x.cast("double"))
+    transform(vd, x => x / sqrt(array_dot(vd, vd)))
+  }
+
+  /** Deterministic k-means on a driver-side sample: seeds are k
+    * stride-spaced sample vectors (spread across the id range — first-k
+    * seeding can land all seeds in one cluster), then `iters` Lloyd
+    * steps. Returns unit-normalized centroids.
+    */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 5, sampleN: Int = 4096): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = df
+      .orderBy(col(idCol))
+      .limit(sampleN)
+      .select(normalizeCol(col(vecCol)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"need ≥ $k sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(k)(c => sample(c * sample.length / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * centroids(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) centroids(c) else m.map(_ / n)
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Per-centroid dot products as an unrolled column array (k is a
+    * plan-time constant; each element is one codegen'd array_dot).
+    */
+  private def centroidDots(vecN: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => array_dot(vecN, typedLit(c.toSeq))): _*)
+
+  /** Nearest-cell assignment (argmax of centroid dots). */
+  def assignCells(df: DataFrame, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val dots = centroidDots(normalizeCol(col(vecCol)), centroids)
+    df.withColumn("ivf_cell",
+      (array_position(dots, array_max(dots)) - 1).cast("int"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, rerank
+    * candidates with exact dot products, keep top k.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroids: Array[Array[Double]], nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(corpus, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), normalizeCol(col(vecCol)).as("cvec"),
+        col("ivf_cell"))
+    // per query: rank cells by centroid dot, explode the top nprobe
+    val qdots = centroidDots(normalizeCol(col(vecCol)), centroids)
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), normalizeCol(col(vecCol)).as("qvec"),
+        qdots.as("cd"))
+      .select(col("query_id"), col("qvec"),
+        explode(slice(reverse(array_sort(zip_with(
+          col("cd"), sequence(lit(0), lit(centroids.length - 1)),
+          (d, i) => struct(d.as("d"), i.as("cell"))))), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qvec"), col("probe.cell").as("ivf_cell")))
+    val scored = cells.join(probes, "ivf_cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        EngineNeutral.r4(array_dot(col("qvec"), col("cvec"))).as("sim"))
+    Similarity.topKPerKey(scored, "query_id", k)
+  }
+}

@@ -65,6 +65,16 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // 34b. IVF ANN: coarse k-means cells + nprobe probing (rows-only:
+    //      cell assignment is quantizer-defined).
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = graft.functions.Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16)
+      graft.functions.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          centroids, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // 35. Language ID heuristic.
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)

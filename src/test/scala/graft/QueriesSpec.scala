@@ -16,7 +16,7 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("SURVEY §2 inventory is fully wired (38 queries)") {
-    assert(SparkEntry.queries.size == 38)
+    assert(SparkEntry.queries.size == 39)
     assert(SparkEntry.oracleSql.size == 31)
   }
 

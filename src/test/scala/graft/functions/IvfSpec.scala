@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // two well-separated clusters around e1 and e2
+  private def vecs = (0L until 20L).map { i =>
+    val base = if (i < 10) Array(1.0f, 0.05f * i, 0f, 0f) else Array(0f, 0.05f * (i - 10), 1.0f, 0f)
+    (i, base)
+  }.toDF("vec_id", "embedding")
+
+  test("centroids are deterministic and unit-norm") {
+    val c1 = Ivf.trainCentroids(vecs, "vec_id", "embedding", k = 2)
+    val c2 = Ivf.trainCentroids(vecs, "vec_id", "embedding", k = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    c1.foreach { c => assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9) }
+  }
+
+  test("assignCells separates the two clusters") {
+    val cents = Ivf.trainCentroids(vecs, "vec_id", "embedding", k = 2)
+    val cells = Ivf.assignCells(vecs, "embedding", cents)
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val cluster1 = (0L until 10L).map(cells)
+    val cluster2 = (10L until 20L).map(cells)
+    assert(cluster1.toSet.size == 1)
+    assert(cluster2.toSet.size == 1)
+    assert(cluster1.head != cluster2.head)
+  }
+
+  test("ivfTopK finds same-cluster neighbors first") {
+    val cents = Ivf.trainCentroids(vecs, "vec_id", "embedding", k = 2)
+    val res = Ivf.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), k = 5, cents, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.nonEmpty)
+    // with nprobe=1 every neighbor comes from query 0's own cluster
+    assert(res.forall(_._3 < 10L))
+    // ranks ordered by sim desc
+    val sims = res.sortBy(_._2).map(_._4)
+    assert(sims.sorted.reverse.toSeq == sims.toSeq)
+  }
+}

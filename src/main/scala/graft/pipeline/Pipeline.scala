@@ -169,10 +169,21 @@ object PipelineCtx {
   * every stage's channel; a graft pipeline compiles to as few
   * distributed passes as the aggregation requires.
   */
-final class Pipeline[T] private[pipeline] (val ctx: PipelineCtx, val initStage: Stage[T]) {
+final class Pipeline[T] private[pipeline] (val ctx: PipelineCtx, val initStage: Stage[T])
+    extends AutoCloseable {
   def status: Status = ctx.status
   def start(): Boolean = ctx.start()
   def interrupt(): Unit = ctx.interrupt()
+
+  /** Reference Pipeline.Close (pipeline/pipeline.go:79): release
+    * resources — cancels outstanding work and closes the logger. The
+    * SparkSession is shared and NOT stopped.
+    */
+  override def close(): Unit = {
+    if (status == Status.Running || status == Status.Pending) interrupt()
+    ctx.config.logger.close()
+  }
+
   def toDF(colNames: String*): DataFrame =
     if (colNames.isEmpty) initStage.ds.toDF() else initStage.ds.toDF(colNames: _*)
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks over generated corpora (raw ScalaCheck Gens
+  * with fixed seeds — deterministic, no scalatestplus bridge needed).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val word = Gen.oneOf("spark", "data", "join", "scan", "row", "merge",
+    "hash", "sort", "group", "filter", "window", "stream")
+  private val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("minhash est_jaccard stays in [0,1]; exact dup pairs hit 1.0") {
+    (1 to 5).foreach { trial =>
+      val texts = sample(Gen.listOfN(6, doc), 42L + trial)
+      val docs = (texts :+ texts.head).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect()
+      assert(cands.forall(c => c._3 >= 0.0 && c._3 <= 1.0), s"trial $trial")
+      val dup = cands.find(c => c._1 == 0L && c._2 == texts.length.toLong)
+      assert(dup.exists(_._3 == 1.0), s"trial $trial: dup pair missing from $cands")
+    }
+  }
+
+  test("exact dedup keep counts sum to corpus size") {
+    (1 to 5).foreach { trial =>
+      val texts = sample(Gen.listOfN(10, doc), 100L + trial)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val total = Dedup.exact(docs, "text", "doc_id")
+        .agg(org.apache.spark.sql.functions.sum("n_copies")).as[Long].head()
+      assert(total == texts.length.toLong)
+    }
+  }
+
+  test("rolling_hash equals driver-side reference on arbitrary strings") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+    val strs = (1 to 20).map(i => sample(Gen.asciiPrintableStr, 7L * i)) :+ "" :+ "héllo ⛰ utf8"
+    val got = strs.map(s => Tuple1(s)).toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).as[Long].collect().toSeq
+    assert(got == strs.map(ref))
+  }
+
+  test("salted join equals plain join on random skewed data") {
+    (1 to 3).foreach { trial =>
+      val keys = sample(Gen.listOfN(40, Gen.chooseNum(1L, 5L)), 9L + trial)
+      val left = keys.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+      val dim = (1L to 5L).map(k => (k, s"d$k")).toDF("k", "d")
+      val plain = left.join(dim, Seq("k")).as[(Long, Int, String)].collect().sorted.toSeq
+      val salted = graft.operators.SkewJoin.saltedEquiJoin(left, dim, "k", salts = 4)
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      assert(salted == plain, s"trial $trial")
+    }
+  }
+}

@@ -124,6 +124,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(s.ds.rdd.getNumPartitions <= 2)
   }
 
+  test("fromParquet reads a columnar source as Pipeline[Row]") {
+    val p = Pipeline.fromParquet(spark, "/root/testdata/sf0.001/nation.parquet")
+    assert(Aggregate.count(p.initStage) == Success(25L))
+  }
+
+  test("close() interrupts a pending pipeline and is AutoCloseable") {
+    val p = Pipeline.fromSeq(spark, Seq(1, 2, 3), PipelineConfig(manualStart = true))
+    p.close()
+    assert(p.status == Status.Interrupted)
+  }
+
   test("status transitions to Done after a sync aggregation") {
     val p = Pipeline.fromSeq(spark, Seq(1, 2))
     assert(Aggregate.count(p.initStage).isSuccess)

@@ -13,6 +13,16 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin repartition to full parallelism. The driver test
+    * files are single-row-group parquet, so a scan (and everything
+    * fused into its stage) otherwise runs as ONE task; expression-
+    * heavy per-row pipelines pay a cheap shuffle here to use every
+    * core. On a real multi-file/multi-row-group table this is a no-op
+    * decision — don't call it when the scan already splits.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

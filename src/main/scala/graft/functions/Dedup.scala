@@ -55,7 +55,11 @@ object Dedup {
                     shingleK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ts = tokens(col(textCol))
-    val long = df
+    // pre-partition by doc id: parallelizes the tokenize/explode even
+    // when the source is a single parquet row group, and the window +
+    // downstream groupBy(id) reuse this partitioning (no re-shuffle)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val long = spread
       .filter(size(ts) >= shingleK)
       .select(col(idCol).as("id"), posexplode(ts))
     val w = Window.partitionBy("id").orderBy("pos")
@@ -63,7 +67,7 @@ object Dedup {
     val longH = long
       .select(col("id"), xxhash64(parts: _*).as("h"), parts.last.isNotNull.as("full"))
       .filter(col("full")).drop("full")
-    val shortH = df
+    val shortH = spread
       .filter(size(ts) < shingleK)
       .select(col(idCol).as("id"), xxhash64(concat_ws(" ", ts)).as("h"))
     longH.unionAll(shortH)
@@ -173,7 +177,10 @@ object Dedup {
     * per doc before the shuffle.
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df
+    // pre-partition by id: token hashing + 64 partial sums parallelize
+    // even from a single-row-group source; groupBy(id) reuses the layout
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val base = spread
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val sums = (0 until 64).map { i =>

@@ -74,13 +74,17 @@ object Ivf {
   private def centroidDots(vecN: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.map(c => array_dot(vecN, typedLit(c.toSeq))): _*)
 
-  /** Nearest-cell assignment (argmax of centroid dots). */
+  /** Nearest-cell assignment (argmax of centroid dots). The dots
+    * array is materialized in its own column first so argmax doesn't
+    * evaluate the k dot products twice (array_position + array_max
+    * would each re-evaluate a shared subtree).
+    */
   def assignCells(df: DataFrame, vecCol: String,
-                  centroids: Array[Array[Double]]): DataFrame = {
-    val dots = centroidDots(normalizeCol(col(vecCol)), centroids)
-    df.withColumn("ivf_cell",
-      (array_position(dots, array_max(dots)) - 1).cast("int"))
-  }
+                  centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("_dots", centroidDots(normalizeCol(col(vecCol)), centroids))
+      .withColumn("ivf_cell",
+        (array_position(col("_dots"), array_max(col("_dots"))) - 1).cast("int"))
+      .drop("_dots")
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, rerank
     * candidates with exact dot products, keep top k.
@@ -88,7 +92,8 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroids: Array[Array[Double]], nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = assignCells(corpus, vecCol, centroids)
+    val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val cells = assignCells(spread, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), normalizeCol(col(vecCol)).as("cvec"),
         col("ivf_cell"))
     // per query: rank cells by centroid dot, explode the top nprobe

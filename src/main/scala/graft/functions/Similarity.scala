@@ -28,6 +28,13 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
+  /** Round-robin repartition to full parallelism: per-vector work
+    * (normalization, signatures) must not be serialized by a
+    * single-row-group source file.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Replaces `vecCol` with its unit-normalized double form, so
     * downstream pairwise cosine is a single dot product — norms are
     * computed once per vector instead of twice per candidate pair.
@@ -51,7 +58,7 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(normalized(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val scored = normalized(corpus, vecCol)
+    val scored = normalized(spread(corpus), vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -108,7 +115,7 @@ object Similarity {
             shiftright(col("sig"), half))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     }
-    val c = banded(corpus, "neighbor_id", "cvec")
+    val c = banded(spread(corpus), "neighbor_id", "cvec")
     val q = broadcast(banded(queries, "query_id", "qvec"))
     val cands = c.join(q, Seq("band", "bkey"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -126,7 +133,7 @@ object Similarity {
                         maxBucket: Int = 10000,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val half = planes / 2
-    val vecs = normalized(corpus, vecCol)
+    val vecs = normalized(spread(corpus), vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = vecs
       .select(col("id"), lshSignature(col("vec"), planes).as("sig"))

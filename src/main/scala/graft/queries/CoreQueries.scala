@@ -24,7 +24,7 @@ object CoreQueries {
   val queries: Map[String, Q] = Map(
     // 1. Map: 1→1 projection with arithmetic (transform.Map).
     "q_map" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -33,7 +33,7 @@ object CoreQueries {
     // 2. MapWithError: try-parse, errored elements dropped
     //    (transform.MapWithError drops inputs whose mapFunc errs).
     "q_map_with_error" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           when(col("l_linenumber") % 2 === 0, col("l_quantity").cast("string"))
@@ -46,7 +46,7 @@ object CoreQueries {
 
     // 3. MapWithErrorMapper: try-parse, errors mapped to a fallback value.
     "q_map_error_mapper" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           when(col("l_linenumber") % 2 === 0, col("l_quantity").cast("string"))
@@ -58,7 +58,7 @@ object CoreQueries {
 
     // 4. FlatMap: one input → many outputs (explode).
     "q_flatmap" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)

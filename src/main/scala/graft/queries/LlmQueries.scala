@@ -77,13 +77,13 @@ object LlmQueries {
 
     // 35. Language ID heuristic.
     "q_lang_id" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
     // 36. Quality scoring.
     "q_text_quality" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           length(col("text")).as("len"),
           TextAnalysis.nWords(col("text")).as("n_words"),
@@ -93,7 +93,7 @@ object LlmQueries {
 
     // 37. Token counting: whitespace + BPE-ish regex pieces.
     "q_token_count" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           TextAnalysis.tokenCountWhitespace(col("text")).as("ws_tokens"),
           TextAnalysis.tokenCountRegex(col("text")).as("re_tokens"))
@@ -102,7 +102,7 @@ object LlmQueries {
     // 38. Rolling-hash fingerprint (rows-only: per-char fold has no
     //     portable SQL form in DuckDB 1.0).
     "q_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
@@ -110,7 +110,7 @@ object LlmQueries {
     //     batched decode-stub pipeline (real mapPartitions plumbing;
     //     oracle mirrors the stub's deterministic arithmetic).
     "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(s, Tables.documents(s, d), "doc_id", "text")
+      Multimodal.decodeMeta(s, Tables.spread(Tables.documents(s, d)), "doc_id", "text")
         .select(col("doc_id"), col("media_type"), col("payload_bytes"),
           col("width"), col("height"), col("n_frames"))
         .orderBy("doc_id"))

@@ -106,6 +106,13 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // 27b. Gap-based sessionization via native session_window; the
+    //      custom-state streaming form is Streams.sessionizeStream.
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.batch(
+          Tables.events(s, d), "user_id", "ts", "value", gap = "30 minutes")
+        .orderBy("user_id", "session_start")),
+
     // 27. Tumbling-window aggregation — the batch-equivalent of the
     //     Structured Streaming query in graft.streaming (same window()
     //     operator; StreamingSpec proves stream/batch equivalence).
@@ -182,6 +189,22 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM x
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_window" ->
       """SELECT strftime(make_timestamp((floor(epoch(ts)/21600)*21600*1000000)::BIGINT),
         |    '%Y-%m-%d %H:%M') AS win_start,

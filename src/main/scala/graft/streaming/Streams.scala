@@ -48,6 +48,75 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col(keyCol), col("n"), col("total_value"))
 
+  /** A typed event for stateful sessionization. */
+  final case class SEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** An emitted session. */
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Internal open-session accumulator (public: Spark's state encoder
+    * codegen must be able to construct it).
+    */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Streaming sessionization with CUSTOM state —
+    * `flatMapGroupsWithState` + event-time timeout: each user carries
+    * one open-session state; when the watermark passes last-event +
+    * gap, the session is emitted and the state cleared. State size is
+    * O(active users), partitioned by user key — the horizontally
+    * scalable shape for 100 TB streams. (Batch/SQL-expressible
+    * sessionization should use `session_window` —
+    * [[graft.operators.Sessionize]]; this path exists for semantics a
+    * built-in window can't express: per-session custom accumulators,
+    * early emission, side outputs.)
+    */
+  def sessionizeStream(events: Dataset[SEvent], gapSeconds: Long,
+                       watermark: String = "10 minutes"): Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def fn(userId: Long, evts: Iterator[SEvent],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n, s.total))
+      } else {
+        val sorted = evts.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        val out = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+            case Some(s) =>
+              out += Session(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.n, s.total)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Runs a streaming DataFrame into an in-memory table and blocks
     * until all currently-available input is processed — the
     * synchronous-aggregation face of a streaming pipeline.

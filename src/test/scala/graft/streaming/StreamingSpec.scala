@@ -41,6 +41,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state sessionization emits sessions after watermark passes the gap") {
+    import Streams.{SEvent, Session}
+    val ch = Streams.Channel[SEvent](spark)
+    val sessions = Streams.sessionizeStream(ch.toDS, gapSeconds = 1800, watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h silence
+      ch.send(
+        SEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        SEvent(1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's session + gap
+      ch.send(SEvent(99L, Timestamp.valueOf("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+      ch.send(SEvent(99L, Timestamp.valueOf("2024-01-01 05:01:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[Session].collect().filter(_.user_id == 1L)
+      assert(got.length == 1)
+      assert(got.head.n_events == 2L)
+      assert(got.head.total_value == 3.0)
+      assert(got.head.session_start == Timestamp.valueOf("2024-01-01 00:00:00"))
+      assert(got.head.session_end == Timestamp.valueOf("2024-01-01 00:10:00"))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization agrees with batch session_window") {
+    import Streams.SEvent
+    val evts = Seq(
+      SEvent(7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      SEvent(7L, Timestamp.valueOf("2024-01-01 00:20:00"), 2.0),
+      SEvent(7L, Timestamp.valueOf("2024-01-01 03:00:00"), 4.0), // new session
+      SEvent(8L, Timestamp.valueOf("2024-01-01 01:00:00"), 8.0))
+    val batch = graft.operators.Sessionize
+      .batch(evts.toDF(), "user_id", "ts", "value", "30 minutes")
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    assert(batch == Set(
+      (7L, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 2L, 3.0),
+      (7L, "2024-01-01 03:00:00", "2024-01-01 03:00:00", 1L, 4.0),
+      (8L, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1L, 8.0)))
+
+    val ch = Streams.Channel[SEvent](spark)
+    val q = Streams.sessionizeStream(ch.toDS, 1800, "10 minutes")
+      .writeStream.format("memory").queryName("sess_cmp").outputMode("append").start()
+    try {
+      ch.send(evts: _*)
+      q.processAllAvailable()
+      ch.send(SEvent(99L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      ch.send(SEvent(99L, Timestamp.valueOf("2024-01-02 00:01:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_cmp").as[Streams.Session].collect()
+        .filter(s => s.user_id == 7L || s.user_id == 8L)
+        .map(s => (s.user_id,
+          s.session_start.toString.stripSuffix(".0"),
+          s.session_end.toString.stripSuffix(".0"),
+          s.n_events, s.total_value)).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("incremental sends are visible after reprocessing") {
     val ch = Streams.Channel[Evt](spark)
     ch.send(evts.head)

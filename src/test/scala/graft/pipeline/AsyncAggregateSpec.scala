@@ -61,6 +61,24 @@ class AsyncAggregateSpec extends AnyFunSuite {
     assert(p.status == Status.TimedOut)
   }
 
+  test("stage-level timeout applies to a single aggregation") {
+    val p = Pipeline.fromSeq(spark, 1 to 100)
+    val slow = p.initStage.map { i => Thread.sleep(100); i }
+    val res = Aggregate.sum(slow, StageConfig(timeout = 200.millis))
+    assert(res.isFailure)
+  }
+
+  test("ChannelLogger receives pipeline lifecycle messages") {
+    val logger = new ChannelLogger(LogLevel.Info)
+    val p = Pipeline.fromSeq(spark, Seq(1, 2, 3),
+      PipelineConfig(manualStart = true, logger = logger))
+    p.start()
+    p.interrupt()
+    val msgs = Iterator.continually(logger.queue.poll()).takeWhile(_ != null).toSeq
+    assert(msgs.exists(_.contains("started")))
+    assert(msgs.exists(_.contains("interrupted")))
+  }
+
   test("interrupt before start fails pending async aggregations") {
     val p = Pipeline.fromSeq(spark, Seq(1), PipelineConfig(manualStart = true))
     val fut = AsyncAggregate.count(p.initStage)

@@ -101,17 +101,26 @@ object Dedup {
                         bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // the signature table is read three times (banding + both sides of
+    // the pair join); persist it — rows × ~520 B, the standard
+    // materialization step of an LSH pipeline
     val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unrolled at plan-build time: band b hashes signature rows [b*R, (b+1)*R)
     val bandHashes = (0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
     }
     val banded = sigs
-      .select(col("id"), col("sig"), posexplode(array(bandHashes: _*)))
+      .select(col("id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    pairsFromBuckets(banded, maxBucket, "sig")
+    // id-only pairs in buckets (a pair found in several bands would
+    // otherwise materialize its two 64-long signatures once per band);
+    // signatures join back once per distinct pair
+    pairsFromBucketsIds(banded, maxBucket)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("p_a"), col("p_b"), (x, y) => x === y), p => p))
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / numHashes).as("est_jaccard"))
   }
 

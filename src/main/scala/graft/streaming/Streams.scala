@@ -117,6 +117,21 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Durable sink: append the stream to a parquet directory with a
+    * checkpoint (exactly-once file sink). The production counterpart
+    * of [[runToMemory]] — same query, swap the sink.
+    */
+  def runToParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Runs a streaming DataFrame into an in-memory table and blocks
     * until all currently-available input is processed — the
     * synchronous-aggregation face of a streaming pipeline.

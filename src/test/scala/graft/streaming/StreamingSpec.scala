@@ -102,6 +102,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet sink: exactly-once append with checkpoint, resumable") {
+    import Streams.SEvent
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ch = Streams.Channel[SEvent](spark)
+    ch.send(SEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+    val q = Streams.runToParquet(ch.toDS.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      assert(spark.read.parquet(s"$dir/data").count() == 1)
+      ch.send(SEvent(2L, Timestamp.valueOf("2024-01-01 00:01:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/data").count() == 2)
+    } finally q.stop()
+  }
+
   test("incremental sends are visible after reprocessing") {
     val ch = Streams.Channel[Evt](spark)
     ch.send(evts.head)

@@ -70,4 +70,71 @@ object Multimodal {
     */
   def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String, contentCol: String): DataFrame =
     decode(attachPayload(df, idCol, contentCol)).toDF()
+
+  /** Extracted media features: a fixed-dim embedding per payload. */
+  final case class MediaFeatures(doc_id: Long, media_type: String, embedding: Array[Float])
+
+  /** One sampled frame of a (video) payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  // ==================== FEATURE-EXTRACT STUB ====================
+  // Deterministic pseudo-embedding: bytes folded into `dim` float
+  // buckets, L2-normalized. A real extractor (CLIP/wav2vec) replaces
+  // the fold; the batched mapPartitions shape, the Array[Float]
+  // schema, and the downstream Similarity compatibility stay.
+  def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // real impl: load the model once per partition here
+      it.map { r =>
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          acc(i % dim) += (r.payload(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        val n = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat
+        val unit = if (n == 0f) acc else acc.map(_ / n)
+        MediaFeatures(r.doc_id, r.media_type, unit)
+      }
+    }
+  }
+
+  // ======================= RESIZE STUB ==========================
+  // Deterministic "resize": payload truncated/cycled to w*h bytes.
+  // A real implementation decodes, scales, re-encodes; schema and
+  // batch shape identical.
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val target = w * h
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val out = new Array[Byte](target)
+        if (r.payload.nonEmpty) {
+          var i = 0
+          while (i < target) { out(i) = r.payload(i % r.payload.length); i += 1 }
+        }
+        r.copy(payload = out)
+      }
+    }
+  }
+
+  // ==================== FRAME-SAMPLE STUB =======================
+  // Deterministic frame sampling: n evenly spaced fixed-width slices
+  // of the payload (a real implementation seeks keyframes). One input
+  // row explodes to n frame rows — the schema a video pipeline needs.
+  def sampleFrames(ds: Dataset[MediaRecord], n: Int, frameBytes: Int = 64): Dataset[Frame] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      (0 until n).iterator.map { k =>
+        val start = if (r.payload.length <= frameBytes) 0
+          else (k.toLong * (r.payload.length - frameBytes) / math.max(1, n - 1)).toInt
+        val end = math.min(start + frameBytes, r.payload.length)
+        Frame(r.doc_id, k, java.util.Arrays.copyOfRange(r.payload, start, end))
+      }
+    }
+  }
 }

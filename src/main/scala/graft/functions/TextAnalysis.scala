@@ -30,6 +30,34 @@ object TextAnalysis {
       .otherwise("unk")
   }
 
+  /** Per-language stopword sets for the scored language ID (kept
+    * small and oracle-portable; a production list would be larger but
+    * the plan shape is identical — one array_intersect per language).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  /** Scored language ID: count distinct-token hits against each
+    * language's stopword set, pick the max (ties break in declared
+    * language order; zero hits → "unk"). Fully columnar — one
+    * array_intersect per language over the distinct token set.
+    */
+  def langIdScored(textCol: Column): Column = {
+    val toks = array_distinct(filter(split(textCol, " "), t => length(t) > 0))
+    val scores = stopwords.map { case (lang, ws) =>
+      lang -> size(array_intersect(toks, typedLit(ws)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // first language (in declared order) whose score equals the max wins
+    val ordered = scores.reverse.foldLeft(lit("unk")) { case (acc, (lang, s)) =>
+      when(s === best, lang).otherwise(acc)
+    }
+    when(best === 0, "unk").otherwise(ordered)
+  }
+
   /** Quality stats: length, word count, average word length, and a
     * density score (non-space ratio). Deterministic arithmetic only.
     */

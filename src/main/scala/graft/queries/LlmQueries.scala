@@ -75,10 +75,11 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // 35. Language ID heuristic.
+    // 35. Language ID: stopword-set scoring with argmax (declared-order
+    //     tie-break), fully columnar.
     "q_lang_id" -> ((s, d) =>
       Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))
+        .select(col("doc_id"), TextAnalysis.langIdScored(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
     // 36. Quality scoring.
@@ -135,16 +136,25 @@ object LlmQueries {
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_lang_id" ->
-      """SELECT doc_id,
-        |  CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
-        |       WHEN contains(' ' || text || ' ', ' le ')
-        |         OR contains(' ' || text || ' ', ' la ') THEN 'fr'
-        |       WHEN contains(' ' || text || ' ', ' der ')
-        |         OR contains(' ' || text || ' ', ' und ') THEN 'de'
-        |       WHEN contains(' ' || text || ' ', ' el ')
-        |         OR contains(' ' || text || ' ', ' los ') THEN 'es'
-        |       ELSE 'unk' END AS lang_guess
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(toks, ['the','and','of','to','is','in'])) AS s_en,
+        |    len(list_intersect(toks, ['le','la','les','et','est','une'])) AS s_fr,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','ein'])) AS s_de,
+        |    len(list_intersect(toks, ['el','los','las','y','es','una'])) AS s_es
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'unk'
+        |       WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |       WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |       WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |       ELSE 'es' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS len,
         |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,

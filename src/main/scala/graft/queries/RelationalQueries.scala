@@ -106,6 +106,40 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // 20b. As-of join (union+window composition, one shuffle): each
+    //      purchase gets the user's latest prior-or-equal click value.
+    "q_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.operators.AsofJoin.asof(purchases, clicks, "user_id", "ts", Seq("click_value"))
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          col("value"), col("click_value"))
+        .orderBy("user_id", "purchase_ts", "value")
+    }),
+
+    // 21b. Hierarchical aggregation: ROLLUP over two dimensions.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    // 21c. Pivot: line status values become columns.
+    "q_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
     // 27b. Gap-based sessionization via native session_window; the
     //      custom-state streaming form is Streams.sessionizeStream.
     "q_sessionize" -> ((s, d) =>
@@ -189,6 +223,29 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+    "q_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts, max(value) AS click_value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts
+        |)
+        |SELECT p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  p.value, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, purchase_ts, p.value""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,

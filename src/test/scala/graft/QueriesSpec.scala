@@ -16,8 +16,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("SURVEY §2 inventory is fully wired (38 queries)") {
-    assert(SparkEntry.queries.size == 40)
-    assert(SparkEntry.oracleSql.size == 32)
+    assert(SparkEntry.queries.size == 43)
+    assert(SparkEntry.oracleSql.size == 35)
   }
 
   test("entry() returns rows") {

@@ -39,8 +39,15 @@ object Bench {
       var elapsed = 0.0
       (1 to iters).foreach { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
-        elapsed = (System.nanoTime() - t0) / 1e9
+        try {
+          run(name)
+          elapsed = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // a failed query must not masquerade as a fast one
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            elapsed = -1.0
+        }
       }
       name -> elapsed
     }

@@ -34,6 +34,12 @@ object Tables {
     * reader rejects; read nanos as long and convert to a microsecond
     * timestamp (integer division — no double round-trip, which would
     * lose precision above 2^53).
+    *
+    * Note: nanosAsLong is a session conf (not a per-read option), so
+    * it stays set afterwards. It only affects TIMESTAMP(NANOS)
+    * columns — events is the sole such table here — and turning it
+    * off mid-session could break this table's lazy re-scans, so it is
+    * deliberately left on.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -103,7 +103,10 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // the signature table is read three times (banding + both sides of
     // the pair join); persist it — rows × ~520 B, the standard
-    // materialization step of an LSH pipeline
+    // materialization step of an LSH pipeline. The cache lives until
+    // session-level LRU eviction (the returned DataFrame is lazy, so
+    // eager unpersist here would defeat the reuse); long-lived sessions
+    // calling this repeatedly rely on MEMORY_AND_DISK eviction.
     val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unrolled at plan-build time: band b hashes signature rows [b*R, (b+1)*R)
@@ -201,14 +204,28 @@ object Dedup {
       .select(col("id"), bits.reduce(_ + _).as("sh"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (< 16):
-    * pigeonhole over four 16-bit bands — any pair within distance 3
-    * must agree on ≥1 band — then exact popcount verify on the pair.
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming:
+    * pigeonhole over maxHamming+1 bands — a pair within distance d
+    * can differ in at most d bands, so with d+1 bands at least one
+    * band matches exactly — then exact popcount verify on the pair.
+    * Band widths adapt to the band count (64 bits split as evenly as
+    * possible); more bands = more candidate volume, so keep
+    * maxHamming small (≤ 7 is sensible).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val extra = 64 % nBands // first `extra` bands get one more bit
+    val offsets = (0 until nBands).scanLeft(0)((acc, b) =>
+      acc + base + (if (b < extra) 1 else 0))
     val sh = simhashes(df, idCol, textCol)
-    val bandCols = (0 until 4).map(b => shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val bandCols = (0 until nBands).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("sh"), offsets(b)).bitwiseAND(lit(mask))
+    }
     val banded = sh.select(col("id"), col("sh"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     pairsFromBuckets(banded, maxBucket, "sh")

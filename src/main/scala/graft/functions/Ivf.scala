@@ -18,11 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Unit-normalize (double) a vector column. */
-  private def normalizeCol(vecCol: Column): Column = {
-    val vd = transform(vecCol, x => x.cast("double"))
-    transform(vd, x => x / sqrt(array_dot(vd, vd)))
-  }
 
   /** Deterministic k-means on a driver-side sample: seeds are k
     * stride-spaced sample vectors (spread across the id range — first-k
@@ -31,10 +26,12 @@ object Ivf {
     */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5, sampleN: Int = 4096): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = df
-      .orderBy(col(idCol))
-      .limit(sampleN)
-      .select(normalizeCol(col(vecCol)))
+    // Similarity.normalized materializes the norm once per vector (a
+    // naive transform-lambda normalization re-evaluates the dot per
+    // element, O(dim^2))
+    val sample: Array[Array[Double]] = Similarity
+      .normalized(df.orderBy(col(idCol)).limit(sampleN), vecCol)
+      .select(col(vecCol))
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"need ≥ $k sample vectors, got ${sample.length}")
@@ -74,14 +71,17 @@ object Ivf {
   private def centroidDots(vecN: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.map(c => array_dot(vecN, typedLit(c.toSeq))): _*)
 
-  /** Nearest-cell assignment (argmax of centroid dots). The dots
-    * array is materialized in its own column first so argmax doesn't
-    * evaluate the k dot products twice (array_position + array_max
-    * would each re-evaluate a shared subtree).
+  /** Nearest-cell assignment (argmax of centroid dots). Replaces
+    * `vecCol` with its unit-normalized double form (norm computed
+    * once per vector) and materializes the dots array in its own
+    * column so argmax doesn't evaluate the k dot products twice
+    * (array_position + array_max would each re-evaluate a shared
+    * subtree).
     */
   def assignCells(df: DataFrame, vecCol: String,
                   centroids: Array[Array[Double]]): DataFrame =
-    df.withColumn("_dots", centroidDots(normalizeCol(col(vecCol)), centroids))
+    Similarity.normalized(df, vecCol)
+      .withColumn("_dots", centroidDots(col(vecCol), centroids))
       .withColumn("ivf_cell",
         (array_position(col("_dots"), array_max(col("_dots"))) - 1).cast("int"))
       .drop("_dots")
@@ -93,14 +93,14 @@ object Ivf {
               centroids: Array[Array[Double]], nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    // assignCells already leaves vecCol unit-normalized
     val cells = assignCells(spread, vecCol, centroids)
-      .select(col(idCol).as("neighbor_id"), normalizeCol(col(vecCol)).as("cvec"),
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         col("ivf_cell"))
     // per query: rank cells by centroid dot, explode the top nprobe
-    val qdots = centroidDots(normalizeCol(col(vecCol)), centroids)
-    val probes = broadcast(queries
-      .select(col(idCol).as("query_id"), normalizeCol(col(vecCol)).as("qvec"),
-        qdots.as("cd"))
+    val probes = broadcast(Similarity.normalized(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        centroidDots(col(vecCol), centroids).as("cd"))
       .select(col("query_id"), col("qvec"),
         explode(slice(reverse(array_sort(zip_with(
           col("cd"), sequence(lit(0), lit(centroids.length - 1)),

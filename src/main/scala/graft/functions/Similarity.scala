@@ -39,7 +39,7 @@ object Similarity {
     * downstream pairwise cosine is a single dot product — norms are
     * computed once per vector instead of twice per candidate pair.
     */
-  private def normalized(df: DataFrame, vecCol: String): DataFrame = {
+  private[functions] def normalized(df: DataFrame, vecCol: String): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
     df.withColumn("_vd", vd)
       .withColumn("_norm", sqrt(dot(col("_vd"), col("_vd"))))

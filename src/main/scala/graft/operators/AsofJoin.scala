@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, tsCol: String,
            valueCols: Seq[String]): DataFrame = {
+    val clash = valueCols.toSet.intersect(left.columns.toSet) ++
+      (if (left.columns.contains("_src")) Seq("_src") else Nil)
+    require(clash.isEmpty,
+      s"asof: left side already has column(s) ${clash.mkString(", ")} — " +
+        "they would mask the right side's forward-filled values")
     val l = left.withColumn("_src", lit(1))
     val r = right.select((Seq(col(key), col(tsCol)) ++ valueCols.map(col)): _*)
       .withColumn("_src", lit(0))

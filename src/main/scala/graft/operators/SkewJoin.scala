@@ -18,6 +18,12 @@ object SkewJoin {
   def saltedEquiJoin(skewed: DataFrame, build: DataFrame, key: String,
                      salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would emit every unmatched build row once per
+    // salt replica — refuse rather than silently duplicate
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedEquiJoin does not support '$joinType': build-side replication " +
+        "duplicates unmatched build rows under right/full outer joins")
     val salted = skewed.withColumn("_salt",
       pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
     val replicated = build.withColumn("_salt",

@@ -40,11 +40,12 @@ object Streams {
     * stream and batch results agree; StreamingSpec asserts it).
     */
   def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
-                  windowLen: String, watermark: String): DataFrame =
+                  windowLen: String, watermark: String,
+                  valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("total_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col(keyCol), col("n"), col("total_value"))
 
@@ -93,8 +94,16 @@ object Streams {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.last <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+            // merge when within gap of the open session's [start, last]
+            // interval — a late cross-batch event can extend the
+            // session BACKWARDS, so start takes the min
+            case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                s.n + 1, s.total + e.value))
+            case Some(s) if t < s.start - gapMs =>
+              // late event forming its own earlier session: emit it
+              // directly (the watermark bounds how late it can be)
+              out += Session(userId, e.ts, e.ts, 1L, e.value)
             case Some(s) =>
               out += Session(userId, new java.sql.Timestamp(s.start),
                 new java.sql.Timestamp(s.last), s.n, s.total)

@@ -66,6 +66,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("simhash banding preserves recall guarantee for maxHamming > 3") {
+    // docs 1 and 2 differ slightly; whatever their hamming distance,
+    // every pair within maxHamming must be found (pigeonhole over
+    // maxHamming+1 bands)
+    val pairs5 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .as[(Long, Long, Long)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
+    val pairs3 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
+    // supersets: everything found at 3 must be found at 7
+    assert(pairs3.keySet.subsetOf(pairs5.keySet))
+    assert(pairs5((1L, 4L)) == 0L)
+  }
+
   test("bucket cap drops degenerate buckets") {
     val boiler = (1L to 20L).map(i => (i, "same boilerplate text repeated everywhere ok"))
       .toDF("doc_id", "text")

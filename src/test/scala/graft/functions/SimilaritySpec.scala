@@ -43,6 +43,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gotF == 2.0)
   }
 
+  test("array_dot surfaces length mismatch and null elements as null") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(df.select(graft.plans.ArrayDot.array_dot(col("a"), col("b")))
+      .as[Option[Double]].head().isEmpty)
+    val withNull = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    assert(withNull.select(graft.plans.ArrayDot.array_dot(col("a"), col("b")))
+      .as[Option[Double]].head().isEmpty)
+  }
+
   test("lshSignature is deterministic") {
     val a = vecs.select(Similarity.lshSignature($"embedding", 16).as("s"))
       .as[Long].collect()

@@ -28,6 +28,33 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(res == Set((1L, 100.0, 10.0), (1L, 200.0, 20.0), (2L, 300.0, 30.0)))
   }
 
+  test("asof rejects value-column collisions with the left side") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), 5.0)).toDF("k", "ts", "p")
+    val r = Seq((1L, ts("2024-01-01 00:00:00"), 9.0)).toDF("k", "ts", "p")
+    assertThrows[IllegalArgumentException] {
+      AsofJoin.asof(l, r, "k", "ts", Seq("p"))
+    }
+  }
+
+  test("salted join rejects right/full outer types") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    assertThrows[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(df, df.withColumnRenamed("v", "w"), "k", 4, "right")
+    }
+  }
+
+  test("late out-of-order session event extends session start backwards") {
+    // covered end-to-end in StreamingSpec; here check the batch analog
+    // agrees with interval-merge semantics via session_window
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1.0),
+      (1L, ts("2024-01-01 00:05:00"), 2.0)) // "late" earlier event
+      .toDF("user_id", "ts", "value")
+    val sessions = Sessionize.batch(evs, "user_id", "ts", "value", "30 minutes")
+      .as[(Long, String, String, Long, Double)].collect().toSeq
+    assert(sessions == Seq((1L, "2024-01-01 00:05:00", "2024-01-01 00:10:00", 2L, 3.0)))
+  }
+
   test("left rows with no prior right row keep null (left-join semantics)") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "ts", "v")
     val r = Seq((1L, ts("2024-01-01 01:00:00"), 9.0)).toDF("k", "ts", "p")

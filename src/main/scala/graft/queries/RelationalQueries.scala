@@ -65,6 +65,38 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))),
 
+    // 21d. Exact interpolated percentiles per group (both engines use
+    //      the same p·(n-1) linear-interpolation definition, so raw
+    //      doubles match bit-for-bit).
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .orderBy("l_returnflag")),
+
+    // 21e. Statistical aggregates (corr / stddev / covar), engine-
+    //      neutrally rounded: accumulation order differs across engines.
+    "q_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          graft.functions.EngineNeutral.r4(corr("l_quantity", "l_extendedprice")).as("corr_qty_price"),
+          graft.functions.EngineNeutral.r2(stddev_samp("l_extendedprice")).as("sd_price"),
+          graft.functions.EngineNeutral.r4(covar_samp("l_quantity", "l_discount")).as("cov_qty_disc"))),
+
+    // 24b. Set operations: INTERSECT / EXCEPT over key projections.
+    "q_setops" -> ((s, d) => {
+      val custWithOrders = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      val allCust = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val both = allCust.intersect(custWithOrders)
+        .agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+      val only = allCust.except(custWithOrders)
+        .agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+      both.unionAll(only).orderBy("op")
+    }),
+
     // 23. Window functions: top-3 orders per customer + running total.
     "q_window" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -201,6 +233,28 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY r_name, n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats" ->
+      """SELECT
+        |  floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000.0 AS corr_qty_price,
+        |  floor(stddev_samp(l_extendedprice) * 100 + 0.5) / 100.0 AS sd_price,
+        |  floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) / 10000.0 AS cov_qty_disc
+        |FROM lineitem""".stripMargin,
+    "q_setops" ->
+      """SELECT op, n FROM (
+        |  SELECT 'intersect' AS op, count(*) AS n FROM (
+        |    SELECT c_custkey AS k FROM customer
+        |    INTERSECT SELECT DISTINCT o_custkey AS k FROM orders)
+        |  UNION ALL
+        |  SELECT 'except' AS op, count(*) AS n FROM (
+        |    SELECT c_custkey AS k FROM customer
+        |    EXCEPT SELECT DISTINCT o_custkey AS k FROM orders))
+        |ORDER BY op""".stripMargin,
     "q_window" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, rn, running_total FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -16,8 +16,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("SURVEY §2 inventory is fully wired (38 queries)") {
-    assert(SparkEntry.queries.size == 43)
-    assert(SparkEntry.oracleSql.size == 35)
+    assert(SparkEntry.queries.size == 46)
+    assert(SparkEntry.oracleSql.size == 38)
   }
 
   test("entry() returns rows") {

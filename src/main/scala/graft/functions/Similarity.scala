@@ -128,6 +128,13 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: LSH-bucketed self-join, exact
     * cosine ≥ minSim verify. Same banding trick as [[lshTopK]].
+    *
+    * Size `planes` to the corpus: each of the two bands has
+    * 2^(planes/2) buckets, and in-bucket pair generation is quadratic
+    * in bucket size — pick planes ≈ 2·log2(n / targetBucketSize)
+    * (e.g. n=20k, target ~100 → planes 16). For high thresholds the
+    * recall cost of more planes is tiny (bit-agreement probability is
+    * 1 − θ/π per plane).
     */
   def embeddingNearDups(corpus: DataFrame, minSim: Double, planes: Int = 16,
                         maxBucket: Int = 10000,

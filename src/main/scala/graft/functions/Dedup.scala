@@ -102,13 +102,14 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // the signature table is read three times (banding + both sides of
-    // the pair join); persist it — rows × ~520 B, the standard
-    // materialization step of an LSH pipeline. The cache lives until
-    // session-level LRU eviction (the returned DataFrame is lazy, so
-    // eager unpersist here would defeat the reuse); long-lived sessions
-    // calling this repeatedly rely on MEMORY_AND_DISK eviction.
+    // the pair join); persist it — rows × ~520 B, the standard LSH
+    // materialization. MEMORY_ONLY (not _AND_DISK) deliberately: the
+    // returned DataFrame is lazy so this operator can't unpersist, and
+    // memory-only blocks are LRU-EVICTED under pressure (recomputed on
+    // miss) whereas disk-demoted blocks would accumulate until session
+    // shutdown in long-lived sessions.
     val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // unrolled at plan-build time: band b hashes signature rows [b*R, (b+1)*R)
     val bandHashes = (0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))

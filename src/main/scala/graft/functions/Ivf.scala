@@ -19,18 +19,21 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
 
-  /** Deterministic k-means on a driver-side sample: seeds are k
-    * stride-spaced sample vectors (spread across the id range — first-k
-    * seeding can land all seeds in one cluster), then `iters` Lloyd
-    * steps. Returns unit-normalized centroids.
+  /** Deterministic k-means on a driver-side sample (hash-ordered, so
+    * it is spread across the corpus rather than its head): seeds are k
+    * stride-spaced sample vectors, then `iters` Lloyd steps. Returns
+    * unit-normalized centroids.
     */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5, sampleN: Int = 4096): Array[Array[Double]] = {
+    // deterministic pseudo-random sample: order by a hash of the id
+    // (NOT by id — the head of the corpus may be content-correlated,
+    // e.g. one ingest batch, which would train head-biased centroids).
     // Similarity.normalized materializes the norm once per vector (a
     // naive transform-lambda normalization re-evaluates the dot per
-    // element, O(dim^2))
+    // element, O(dim^2)).
     val sample: Array[Array[Double]] = Similarity
-      .normalized(df.orderBy(col(idCol)).limit(sampleN), vecCol)
+      .normalized(df.orderBy(xxhash64(col(idCol))).limit(sampleN), vecCol)
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Double](0).toArray)

@@ -23,20 +23,25 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, tsCol: String,
            valueCols: Seq[String]): DataFrame = {
     val clash = valueCols.toSet.intersect(left.columns.toSet) ++
-      (if (left.columns.contains("_src")) Seq("_src") else Nil)
+      Seq("_src", "_vals").filter(left.columns.contains)
     require(clash.isEmpty,
       s"asof: left side already has column(s) ${clash.mkString(", ")} — " +
         "they would mask the right side's forward-filled values")
     val l = left.withColumn("_src", lit(1))
-    val r = right.select((Seq(col(key), col(tsCol)) ++ valueCols.map(col)): _*)
+    // all right values travel as ONE struct, so the forward fill picks
+    // every value from the same matched right row — per-column fills
+    // would mix values across right rows whenever one column is null
+    val r = right.select(col(key), col(tsCol),
+        struct(valueCols.map(col): _*).as("_vals"))
       .withColumn("_src", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol).asc, col("_src").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn("_vals", last(col("_vals"), ignoreNulls = true).over(w))
+    val projected = valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col(s"_vals.$c"))
     }
-    filled.filter(col("_src") === 1).drop("_src")
+    projected.filter(col("_src") === 1).drop("_src", "_vals")
   }
 }

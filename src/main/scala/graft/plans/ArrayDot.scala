@@ -4,26 +4,32 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Dot product of two `array<double>` columns as a single codegen'd
-  * loop. Spark's higher-order `aggregate(zip_with(...))` is
-  * interpreted per element — on pairwise similarity workloads (every
-  * candidate pair evaluates a 64-dim dot) that interpretation
-  * dominates the query. Accumulation is sequential left-to-right,
-  * matching both the HOF fold it replaces and DuckDB's
-  * list_dot_product, so oracle results are bit-identical.
+/** Dot product of two `array<double>` / `array<float>` columns as a
+  * single codegen'd loop (floats are widened to double per element).
+  * Spark's higher-order `aggregate(zip_with(...))` is interpreted per
+  * element — on pairwise similarity workloads (every candidate pair
+  * evaluates a 64-dim dot) that interpretation dominates the query.
+  * Accumulation is sequential left-to-right, matching both the HOF
+  * fold it replaces and DuckDB's list_dot_product, so oracle results
+  * are bit-identical.
   */
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
 
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"array_dot requires array<double> arguments, got ${left.dataType}, ${right.dataType}")
+      s"array_dot requires array<double>/array<float> arguments, got ${left.dataType}, ${right.dataType}")
   }
 
   override def dataType: DataType = DoubleType
@@ -39,12 +45,15 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
+    val (lf, rf) = (isFloatArr(left), isFloatArr(right))
     val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getDouble(i) * y.getDouble(i)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -55,6 +64,8 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getA = if (isFloatArr(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloatArr(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -63,7 +74,7 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    $acc += $getA * $getB;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}

@@ -24,13 +24,20 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == n,
+      s"$name expects $n argument(s), got ${exprs.length}")
+    b(exprs)
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       info("rolling_hash", "rolling_hash(str) - polynomial rolling hash of the UTF-8 bytes"),
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+      arity("rolling_hash", 1)(exprs => RollingHash(exprs.head))),
     ("array_dot",
-      info("array_dot", "array_dot(a, b) - dot product of two array<double> columns"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+      info("array_dot", "array_dot(a, b) - dot product of two array<double|float> columns"),
+      arity("array_dot", 2)(exprs => ArrayDot(exprs(0), exprs(1)))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

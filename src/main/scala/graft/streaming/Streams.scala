@@ -62,6 +62,11 @@ object Streams {
     */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+  /** All of a user's open sessions — multiple can coexist while the
+    * watermark still admits late events between them.
+    */
+  final case class SessionsState(open: List[SessionState])
+
   /** Streaming sessionization with CUSTOM state —
     * `flatMapGroupsWithState` + event-time timeout: each user carries
     * one open-session state; when the watermark passes last-event +
@@ -80,44 +85,42 @@ object Streams {
     import spark.implicits._
     val gapMs = gapSeconds * 1000L
 
-    def fn(userId: Long, evts: Iterator[SEvent],
-           state: GroupState[SessionState]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
-          new java.sql.Timestamp(s.last), s.n, s.total))
-      } else {
-        val sorted = evts.toSeq.sortBy(_.ts.getTime)
-        var cur = state.getOption
-        val out = Seq.newBuilder[Session]
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            // merge when within gap of the open session's [start, last]
-            // interval — a late cross-batch event can extend the
-            // session BACKWARDS, so start takes the min
-            case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
-              cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
-                s.n + 1, s.total + e.value))
-            case Some(s) if t < s.start - gapMs =>
-              // late event forming its own earlier session: emit it
-              // directly (the watermark bounds how late it can be)
-              out += Session(userId, e.ts, e.ts, 1L, e.value)
-            case Some(s) =>
-              out += Session(userId, new java.sql.Timestamp(s.start),
-                new java.sql.Timestamp(s.last), s.n, s.total)
-              cur = Some(SessionState(t, t, 1L, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1L, e.value))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
-        }
-        out.result().iterator
+    // Merge an event into the open-session list: join every session
+    // within `gap` of it (an event can bridge two sessions), else open
+    // a new one. Sessions are emitted ONLY when the watermark passes
+    // their end + gap — never eagerly — so any event the watermark
+    // still admits can extend or bridge them (Append-mode output is
+    // final, so eager emission would make late merges impossible).
+    def merge(open: List[SessionState], t: Long, v: Double): List[SessionState] = {
+      val (touching, rest) = open.partition(s => t >= s.start - gapMs && t <= s.last + gapMs)
+      val joined = touching.foldLeft(SessionState(t, t, 1L, v)) { (acc, s) =>
+        SessionState(math.min(acc.start, s.start), math.max(acc.last, s.last),
+          acc.n + s.n, acc.total + s.total)
       }
+      joined :: rest
+    }
+
+    def fn(userId: Long, evts: Iterator[SEvent],
+           state: GroupState[SessionsState]): Iterator[Session] = {
+      val wm = state.getCurrentWatermarkMs()
+      var open = state.getOption.map(_.open).getOrElse(Nil)
+      evts.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        open = merge(open, e.ts.getTime, e.value)
+      }
+      // expired = no admissible event can still touch the session
+      val (expired, stillOpen) = open.partition(_.last + gapMs <= wm)
+      val out = expired.sortBy(_.start).map(s =>
+        Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n, s.total))
+      if (stillOpen.isEmpty) state.remove()
+      else {
+        state.update(SessionsState(stillOpen))
+        // wake when the earliest open session can expire (must be
+        // strictly beyond the current watermark)
+        val wake = stillOpen.map(_.last + gapMs).min
+        state.setTimeoutTimestamp(math.max(wake, wm + 1))
+      }
+      out.iterator
     }
 
     events

@@ -35,12 +35,15 @@ class SimilaritySpec extends AnyFunSuite {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, -5.0, 6.0))).toDF("a", "b")
     val got = df.select(graft.plans.ArrayDot.array_dot(col("a"), col("b"))).as[Double].head()
     assert(got == 1.0 * 4.0 + 2.0 * -5.0 + 3.0 * 6.0)
-    // float input path via cast
+    // float arrays accepted natively (widened per element)
     val dff = Seq((Array(0.5f, 0.25f), Array(2.0f, 4.0f))).toDF("a", "b")
-    val gotF = dff.select(graft.plans.ArrayDot.array_dot(
-      transform(col("a"), x => x.cast("double")),
-      transform(col("b"), x => x.cast("double")))).as[Double].head()
+    val gotF = dff.select(graft.plans.ArrayDot.array_dot(col("a"), col("b")))
+      .as[Double].head()
     assert(gotF == 2.0)
+    // mixed float × double also works
+    val mixed = dff.select(graft.plans.ArrayDot.array_dot(
+      col("a"), transform(col("b"), x => x.cast("double")))).as[Double].head()
+    assert(mixed == 2.0)
   }
 
   test("array_dot surfaces length mismatch and null elements as null") {

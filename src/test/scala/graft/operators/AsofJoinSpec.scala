@@ -28,6 +28,18 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(res == Set((1L, 100.0, 10.0), (1L, 200.0, 20.0), (2L, 300.0, 30.0)))
   }
 
+  test("asof takes ALL values from the single matched right row (no cross-row mixing)") {
+    val l = Seq((1L, ts("2024-01-01 00:06:00"), 7.0)).toDF("k", "ts", "qty")
+    val r = Seq(
+      (1L, ts("2024-01-01 00:03:00"), Option(1.0), Option(1.0)),
+      (1L, ts("2024-01-01 00:05:00"), Option.empty[Double], Option(2.0)))
+      .toDF("k", "ts", "a", "b")
+    val res = AsofJoin.asof(l, r, "k", "ts", Seq("a", "b"))
+      .select("a", "b").as[(Option[Double], Option[Double])].collect().head
+    // matched row is ts=00:05 → a must be null (not back-filled from 00:03)
+    assert(res == (None, Some(2.0)))
+  }
+
   test("asof rejects value-column collisions with the left side") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), 5.0)).toDF("k", "ts", "p")
     val r = Seq((1L, ts("2024-01-01 00:00:00"), 9.0)).toDF("k", "ts", "p")

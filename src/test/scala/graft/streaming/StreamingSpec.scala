@@ -102,6 +102,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("consecutive late events merge into ONE session (no eager singletons)") {
+    import Streams.{SEvent, Session}
+    val ch = Streams.Channel[SEvent](spark)
+    val q = Streams.sessionizeStream(ch.toDS, gapSeconds = 120, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      // open a session [12:00, 12:01:30] for user 1 (within the 120s gap)
+      ch.send(
+        SEvent(1L, Timestamp.valueOf("2024-01-01 12:00:00"), 1.0),
+        SEvent(1L, Timestamp.valueOf("2024-01-01 12:01:30"), 1.0))
+      q.processAllAvailable()
+      // two consecutive late events well before it, still in-watermark;
+      // they must merge with EACH OTHER (one session), not become
+      // eager singletons, and must stay separate from [12:00,12:01:30]
+      // (11:56:30 + 120s < 12:00)
+      ch.send(
+        SEvent(1L, Timestamp.valueOf("2024-01-01 11:56:00"), 2.0),
+        SEvent(1L, Timestamp.valueOf("2024-01-01 11:56:30"), 2.0))
+      q.processAllAvailable()
+      // advance watermark far past everything (two batches to flush)
+      ch.send(SEvent(99L, Timestamp.valueOf("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      ch.send(SEvent(99L, Timestamp.valueOf("2024-01-01 15:01:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_late").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(got.length == 2, got.mkString(";"))
+      assert(got(0).n_events == 2L && got(0).total_value == 4.0)
+      assert(got(0).session_end == Timestamp.valueOf("2024-01-01 11:56:30"))
+      assert(got(1).n_events == 2L && got(1).total_value == 2.0)
+    } finally q.stop()
+  }
+
   test("parquet sink: exactly-once append with checkpoint, resumable") {
     import Streams.SEvent
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString

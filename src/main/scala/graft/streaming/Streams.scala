@@ -129,6 +129,17 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup: drop rows whose key columns were already
+    * seen, with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — duplicates are only tracked
+    * while a duplicate could still legally arrive). The streaming
+    * face of Dedup.exact for continuously ingested corpora.
+    */
+  def dedupStream(df: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

@@ -135,6 +135,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import Streams.SEvent
+    val ch = Streams.Channel[SEvent](spark)
+    val deduped = Streams.dedupStream(ch.toDS.toDF(), "ts", "10 minutes", Seq("user_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ch.send(
+        SEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        SEvent(1L, Timestamp.valueOf("2024-01-01 00:01:00"), 2.0), // dup key
+        SEvent(2L, Timestamp.valueOf("2024-01-01 00:02:00"), 3.0))
+      q.processAllAvailable()
+      ch.send(SEvent(1L, Timestamp.valueOf("2024-01-01 00:03:00"), 4.0)) // dup key, later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2) // users 1 and 2 once each
+    } finally q.stop()
+  }
+
   test("parquet sink: exactly-once append with checkpoint, resumable") {
     import Streams.SEvent
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString

@@ -217,4 +217,14 @@ object Pipeline {
   def fromParquet(spark: SparkSession, path: String,
                   config: PipelineConfig = PipelineConfig()): Pipeline[Row] =
     fromDataset(spark.read.parquet(path), config)
+
+  /** Reference pipeline.FromChannel (pipeline/pipeline.go:131): the
+    * unbounded source. In Spark the channel IS a streaming source, so
+    * this returns a [[graft.streaming.Streams.Channel]] — `send`
+    * elements in, consume `toDS` with the streaming transforms in
+    * [[graft.streaming.Streams]] (windowed aggregation, sessionize,
+    * dedup, parquet/memory sinks).
+    */
+  def fromChannel[T: Encoder](spark: SparkSession): graft.streaming.Streams.Channel[T] =
+    graft.streaming.Streams.Channel[T](spark)
 }

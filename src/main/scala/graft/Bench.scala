@@ -24,9 +24,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
+    // per-query timeout so one hung query cannot stall the whole bench
+    val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toInt
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, "graft-bench"); t.setDaemon(true); t
+      })
+    def run(name: String): Unit = {
+      val group = s"bench-$name"
+      val fut = scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        finally spark.sparkContext.clearJobGroup()
+      }(ec)
+      try scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(timeout, "s"))
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          throw e
+      }
+    }
 
     // warm-up (not timed): JVM, codegen, parquet footers
     try run("q_groupby") catch { case _: Throwable => () }

@@ -1,8 +1,19 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeoutException}
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each query runs under its own job group with a per-query timeout
+  * (SPARK_GRAFT_QUERY_TIMEOUT seconds, default 240) so one hung query
+  * cannot zero the whole round's correctness results.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,11 +26,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toInt.seconds
+    val ec = ExecutionContext.fromExecutorService(Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-verify"); t.setDaemon(true); t
+    })
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val group = s"verify-$name"
+      val fut = Future {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }(ec)
+      try Await.result(fut, timeout)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          System.err.println(s"[verify] $name TIMED OUT after $timeout")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

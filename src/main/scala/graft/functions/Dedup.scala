@@ -149,6 +149,23 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Boilerplate detection: the most frequent k-token shingles across
+    * the corpus (headers, footers, license blurbs repeat verbatim).
+    * One hash shuffle on the shingle string; count-desc ranking.
+    * Downstream: strip documents containing top-boilerplate shingles,
+    * or exclude those shingles from minhash signatures so boilerplate
+    * doesn't glue unrelated documents into near-dup clusters.
+    */
+  def frequentShingles(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, minCount: Long = 2L): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    spread
+      .select(explode(shingles(col(textCol), shingleK)).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Exact n-gram Jaccard on candidate pairs: re-attach shingle-hash
     * sets and compute |∩| / |∪| — the verify step after LSH. Operates
     * on 64-bit shingle hashes (Jaccard identical to the string-set

@@ -82,6 +82,13 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // 29b. Boilerplate detection: shingles appearing in many documents
+    //      (top-50 by document count; deterministic tie-break).
+    "q_boilerplate" -> ((s, d) =>
+      Dedup.frequentShingles(Tables.documents(s, d), "doc_id", "text", minCount = 2)
+        .orderBy(col("n").desc, col("shingle"))
+        .limit(50)),
+
     // 35. Language ID: stopword-set scoring with argmax (declared-order
     //     tie-break), fully columnar.
     "q_lang_id" -> ((s, d) =>
@@ -142,6 +149,17 @@ object LlmQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_boilerplate" ->
+      """SELECT shingle, n FROM (
+        |  SELECT shingle, count(*) AS n FROM (
+        |    SELECT unnest(list_distinct(
+        |      CASE WHEN len(toks) >= 3
+        |        THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |    FROM (SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |          FROM documents))
+        |  GROUP BY shingle HAVING count(*) >= 2)
+        |ORDER BY n DESC, shingle LIMIT 50""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id,

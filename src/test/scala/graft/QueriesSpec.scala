@@ -16,8 +16,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("SURVEY §2 inventory is fully wired (38 queries)") {
-    assert(SparkEntry.queries.size == 46)
-    assert(SparkEntry.oracleSql.size == 38)
+    assert(SparkEntry.queries.size == 47)
+    assert(SparkEntry.oracleSql.size == 39)
   }
 
   test("entry() returns rows") {

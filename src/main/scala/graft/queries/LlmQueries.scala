@@ -89,6 +89,19 @@ object LlmQueries {
         .orderBy(col("n").desc, col("shingle"))
         .limit(50)),
 
+    // 37b. Approximate top-k frequent tokens via the SpaceSaving
+    //      TypedImperativeAggregate sketch (fixed memory, partial→final
+    //      merge — no distinct-key shuffle). Exact whenever the
+    //      vocabulary fits the sketch capacity (k×8=160 here, corpus
+    //      vocab is 31), which is what makes the SQL oracle valid.
+    "q_freq_tokens" -> ((s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .agg(graft.plans.SpaceSavingTopK.approx_top_k(col("tok"), 20).as("top"))
+        .selectExpr("inline(top)")
+        .select(col("item").as("tok"), col("count").as("n"))
+        .orderBy(col("n").desc, col("tok"))),
+
     // 35. Language ID: stopword-set scoring with argmax (declared-order
     //     tie-break), fully columnar.
     "q_lang_id" -> ((s, d) =>
@@ -160,6 +173,11 @@ object LlmQueries {
         |          FROM documents))
         |  GROUP BY shingle HAVING count(*) >= 2)
         |ORDER BY n DESC, shingle LIMIT 50""".stripMargin,
+    "q_freq_tokens" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -16,8 +16,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("SURVEY §2 inventory is fully wired (38 queries)") {
-    assert(SparkEntry.queries.size == 47)
-    assert(SparkEntry.oracleSql.size == 39)
+    assert(SparkEntry.queries.size == 48)
+    assert(SparkEntry.oracleSql.size == 40)
   }
 
   test("entry() returns rows") {

@@ -24,27 +24,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // per-query timeout so one hung query cannot stall the whole bench
+    // per-query timeout so one hung query cannot stall the whole bench;
+    // fresh daemon thread per run so a driver-side hang can't make
+    // later queries queue behind it (see Verify for the rationale)
     val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toInt
-    val ec = scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newSingleThreadExecutor { r =>
-        val t = new Thread(r, "graft-bench"); t.setDaemon(true); t
-      })
     def run(name: String): Unit = {
       val group = s"bench-$name"
+      val es = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, s"graft-bench-$name"); t.setDaemon(true); t
+      }
       val fut = scala.concurrent.Future {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         try SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
         finally spark.sparkContext.clearJobGroup()
-      }(ec)
+      }(scala.concurrent.ExecutionContext.fromExecutorService(es))
       try scala.concurrent.Await.result(fut,
         scala.concurrent.duration.Duration(timeout, "s"))
       catch {
         case e: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
+          es.shutdownNow()
           throw e
       }
+      finally es.shutdown()
     }
 
     // warm-up (not timed): JVM, codegen, parquet footers

@@ -28,24 +28,30 @@ object Verify {
     new java.io.File(outDir).mkdirs()
 
     val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toInt.seconds
-    val ec = ExecutionContext.fromExecutorService(Executors.newSingleThreadExecutor { r =>
-      val t = new Thread(r, "graft-verify"); t.setDaemon(true); t
-    })
     SparkEntry.queries.foreach { case (name, fn) =>
       val group = s"verify-$name"
+      // fresh daemon thread per query: a query hung in DRIVER-side code
+      // (where cancelJobGroup reaches nothing) must not block the
+      // thread later queries run on — with a shared single worker every
+      // subsequent query would queue behind the zombie and time out
+      val es = Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, s"graft-verify-$name"); t.setDaemon(true); t
+      }
       val fut = Future {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         finally spark.sparkContext.clearJobGroup()
-      }(ec)
+      }(ExecutionContext.fromExecutorService(es))
       try Await.result(fut, timeout)
       catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
+          es.shutdownNow() // interrupt driver-side work too
           System.err.println(s"[verify] $name TIMED OUT after $timeout")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally es.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -156,10 +156,12 @@ object Dedup {
     * or exclude those shingles from minhash signatures so boilerplate
     * doesn't glue unrelated documents into near-dup clusters.
     */
-  def frequentShingles(df: DataFrame, idCol: String, textCol: String,
+  def frequentShingles(df: DataFrame, textCol: String,
                        shingleK: Int = 3, minCount: Long = 2L): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    spread
+    // round-robin spread: the groupBy below shuffles by shingle anyway,
+    // so no keyed layout is worth pre-building — this only parallelizes
+    // the tokenize/explode out of a single-row-group scan
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(explode(shingles(col(textCol), shingleK)).as("shingle"))
       .groupBy("shingle")
       .agg(count(lit(1)).as("n"))

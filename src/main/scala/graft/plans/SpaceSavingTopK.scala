@@ -13,34 +13,48 @@ import scala.collection.mutable
 
 /** SpaceSaving (Metwally et al.) stream summary: tracks at most
   * `capacity` items; when full, the minimum-count item is evicted and
-  * its count inherited (recorded as `err`). Any item with true
-  * frequency > n/capacity is guaranteed present.
+  * its count inherited (recorded as `err`), so every tracked count is
+  * an UPPER bound on the true frequency and `count - err` a lower
+  * bound. Any item with true frequency > n/capacity is guaranteed
+  * present. Eviction scans the map (O(capacity)); capacity is small
+  * (k × factor), so the scan is sub-microsecond — a Stream-Summary
+  * linked-list layout is the upgrade path if capacity ever grows
+  * into the tens of thousands.
   */
 final class SpaceSavingBuffer(val capacity: Int) {
   val counts = mutable.HashMap.empty[String, (Long, Long)] // item -> (count, err)
+
+  private def evictMin(): Long = {
+    val (minItem, (minC, _)) = counts.minBy { case (i, (c, _)) => (c, i) }
+    counts.remove(minItem)
+    minC
+  }
 
   def add(item: String, weight: Long = 1L): Unit =
     counts.get(item) match {
       case Some((c, e)) => counts.update(item, (c + weight, e))
       case None if counts.size < capacity => counts.update(item, (weight, 0L))
       case None =>
-        val (minItem, (minC, _)) = counts.minBy { case (i, (c, _)) => (c, i) }
-        counts.remove(minItem)
+        val minC = evictMin()
         counts.update(item, (minC + weight, minC))
     }
 
+  /** Merge preserving the overestimate invariant: inserts that evict
+    * inherit the evicted minimum into BOTH count and err, exactly as
+    * `add` does — re-inserting without inheritance would silently
+    * underestimate items whose mass was evicted earlier, letting a
+    * true heavy hitter rank below lighter items.
+    */
   def mergeIn(other: SpaceSavingBuffer): Unit =
-    // standard sketch merge: add each of the other's items with its
-    // count, accumulating errors; then shrink back to capacity
-    other.counts.foreach { case (item, (c, e)) =>
-      counts.get(item) match {
-        case Some((c0, e0)) => counts.update(item, (c0 + c, e0 + e))
-        case None => counts.update(item, (c, e))
-      }
-      if (counts.size > capacity) {
-        val (minItem, _) = counts.minBy { case (i, (c2, _)) => (c2, i) }
-        counts.remove(minItem)
-      }
+    other.counts.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.foreach {
+      case (item, (c, e)) =>
+        counts.get(item) match {
+          case Some((c0, e0)) => counts.update(item, (c0 + c, e0 + e))
+          case None if counts.size < capacity => counts.update(item, (c, e))
+          case None =>
+            val minC = evictMin()
+            counts.update(item, (minC + c, minC + e))
+        }
     }
 }
 
@@ -65,6 +79,12 @@ case class SpaceSavingTopK(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"approx_top_k requires a string argument, got ${child.dataType}")
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType), StructField("count", LongType),
     StructField("err", LongType))))
@@ -93,13 +113,17 @@ case class SpaceSavingTopK(
     new GenericArrayData(top)
   }
 
+  // length-prefixed UTF-8 framing (writeUTF would throw above 64 KB
+  // per item — long tracked values are legitimate for this API)
   override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.capacity)
     out.writeInt(buf.counts.size)
     buf.counts.foreach { case (item, (c, e)) =>
-      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+      val b = item.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -110,8 +134,11 @@ case class SpaceSavingTopK(
     val buf = new SpaceSavingBuffer(in.readInt())
     val n = in.readInt()
     (0 until n).foreach { _ =>
-      val item = in.readUTF(); val c = in.readLong(); val e = in.readLong()
-      buf.counts.update(item, (c, e))
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val c = in.readLong(); val e = in.readLong()
+      buf.counts.update(new String(b, "UTF-8"), (c, e))
     }
     buf
   }

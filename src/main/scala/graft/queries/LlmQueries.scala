@@ -85,7 +85,7 @@ object LlmQueries {
     // 29b. Boilerplate detection: shingles appearing in many documents
     //      (top-50 by document count; deterministic tie-break).
     "q_boilerplate" -> ((s, d) =>
-      Dedup.frequentShingles(Tables.documents(s, d), "doc_id", "text", minCount = 2)
+      Dedup.frequentShingles(Tables.documents(s, d), "text", minCount = 2)
         .orderBy(col("n").desc, col("shingle"))
         .limit(50)),
 

@@ -15,7 +15,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
-  test("SURVEY §2 inventory is fully wired (38 queries)") {
+  test("SURVEY §2 inventory is fully wired") {
     assert(SparkEntry.queries.size == 48)
     assert(SparkEntry.oracleSql.size == 40)
   }

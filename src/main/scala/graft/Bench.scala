@@ -58,19 +58,22 @@ object Bench {
     // local-machine noise from the reported numbers
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      var elapsed = 0.0
-      (1 to iters).foreach { _ =>
+      // iter 1 warms; report the MIN of the warm iters (noise-robust
+      // on a shared machine). Single-iter mode reports that run.
+      val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try {
           run(name)
-          elapsed = (System.nanoTime() - t0) / 1e9
+          (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             // a failed query must not masquerade as a fast one
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            elapsed = -1.0
+            -1.0
         }
       }
+      val warm = if (iters > 1) times.drop(1) else times
+      val elapsed = if (warm.contains(-1.0)) -1.0 else warm.min
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

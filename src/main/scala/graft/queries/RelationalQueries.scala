@@ -71,10 +71,13 @@ object RelationalQueries {
     "q_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        // one percentile buffer for all three fractions (three separate
+        // aggs would each build their own value-counts map)
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("ps"))
+        .select(col("l_returnflag"),
+          col("ps").getItem(0).as("p25"),
+          col("ps").getItem(1).as("p50"),
+          col("ps").getItem(2).as("p95"))
         .orderBy("l_returnflag")),
 
     // 21e. Statistical aggregates (corr / stddev / covar), engine-

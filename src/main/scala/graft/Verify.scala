@@ -68,6 +68,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full declared-query list, so the gate can report MISSING for a
+    // query that failed before writing any output (otherwise it would
+    // silently shrink the N/N denominator instead of failing)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), names)
     spark.stop()
   }
 }

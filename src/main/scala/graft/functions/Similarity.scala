@@ -38,12 +38,19 @@ object Similarity {
   /** Replaces `vecCol` with its unit-normalized double form, so
     * downstream pairwise cosine is a single dot product — norms are
     * computed once per vector instead of twice per candidate pair.
+    *
+    * Zero-norm (all-zero) vectors have no direction, so they are
+    * nulled out rather than divided to NaN — their sims become null
+    * and drop out of top-k / threshold comparisons explicitly instead
+    * of as silent NaN propagation.
     */
   private[functions] def normalized(df: DataFrame, vecCol: String): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
     df.withColumn("_vd", vd)
       .withColumn("_norm", sqrt(dot(col("_vd"), col("_vd"))))
-      .withColumn(vecCol, transform(col("_vd"), x => x / col("_norm")))
+      .withColumn(vecCol,
+        when(col("_norm") === 0.0, lit(null))
+          .otherwise(transform(col("_vd"), x => x / col("_norm"))))
       .drop("_vd", "_norm")
   }
 

@@ -35,8 +35,11 @@ object AsofJoin {
         struct(valueCols.map(col): _*).as("_vals"))
       .withColumn("_src", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // final tie-break on a hash of the right-side value struct: when
+    // multiple right rows share the same (key, ts) the forward-filled
+    // _vals would otherwise be picked nondeterministically across runs
     val w = Window.partitionBy(key)
-      .orderBy(col(tsCol).asc, col("_src").asc)
+      .orderBy(col(tsCol).asc, col("_src").asc, xxhash64(col("_vals")).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned.withColumn("_vals", last(col("_vals"), ignoreNulls = true).over(w))
     val projected = valueCols.foldLeft(filled) { (df, c) =>

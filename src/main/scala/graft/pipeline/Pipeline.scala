@@ -25,13 +25,21 @@ object Status {
   *
   * `maxParallelism` bounds the number of concurrent tasks for the
   * stage (reference MaxGoroutines) — realized as a `coalesce`, which
-  * narrows partitions without a shuffle. On a real cluster you would
-  * usually bound concurrency with executor counts / scheduler pools
-  * instead; this knob exists for API parity and for rate-limited
-  * stages (e.g. ones doing external calls).
+  * narrows partitions without a shuffle. DIVERGENCE from the
+  * reference: `coalesce` fuses with upstream narrow stages, so
+  * bounding a later stage also caps the task parallelism of every
+  * earlier narrow stage in the same Spark stage, whereas the
+  * reference bounds each stage's goroutine pool independently. Set
+  * `isolateBound = true` to realize the bound as a `repartition`
+  * (a shuffle barrier) when an isolated per-stage bound is required —
+  * upstream stages then keep their own parallelism. On a real cluster
+  * you would usually bound concurrency with executor counts /
+  * scheduler pools instead; this knob exists for API parity and for
+  * rate-limited stages (e.g. ones doing external calls).
   */
 final case class StageConfig(
     maxParallelism: Int = 0,
+    isolateBound: Boolean = false,
     timeout: Duration = Duration.Inf,
     customId: Long = 0L,
     logger: Option[GraftLogger] = None)

@@ -109,7 +109,10 @@ final class Stage[T] private[pipeline] (
 object Stage {
   /** Applies the effective parallelism bound: stage override, else
     * pipeline per-stage, else pipeline total (reference rate-limiter
-    * precedence). `coalesce` narrows without a shuffle; widening is a
+    * precedence). `coalesce` narrows without a shuffle but fuses with
+    * upstream narrow stages (bounding them too — see StageConfig doc);
+    * `isolateBound` switches to `repartition`, whose shuffle barrier
+    * keeps upstream parallelism intact. Widening via `coalesce` is a
     * no-op, so an over-generous bound costs nothing.
     */
   private[pipeline] def bound[U](ds: Dataset[U], c: StageConfig,
@@ -118,6 +121,8 @@ object Stage {
       if (c.maxParallelism > 0) c.maxParallelism
       else if (pc.maxParallelismPerStage > 0) pc.maxParallelismPerStage
       else pc.maxParallelismTotal
-    if (n > 0) ds.coalesce(n) else ds
+    if (n <= 0) ds
+    else if (c.isolateBound) ds.repartition(n)
+    else ds.coalesce(n)
   }
 }

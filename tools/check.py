@@ -28,9 +28,21 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# iterate over the DECLARED query list (queries.json), not just the
+# directories present — a query that failed before writing anything
+# must show as MISSING, not silently shrink the denominator
+declared_path = f"{outdir}/queries.json"
+if os.path.exists(declared_path):
+    declared = json.load(open(declared_path))
+else:
+    declared = [os.path.basename(d.rstrip("/"))
+                for d in sorted(glob.glob(f"{outdir}/*/"))]
 results = {}
-for name_dir in sorted(glob.glob(f"{outdir}/*/")):
-    name = os.path.basename(name_dir.rstrip("/"))
+for name in sorted(declared):
+    name_dir = f"{outdir}/{name}"
+    if not os.path.isdir(name_dir):
+        results[name] = "MISSING"
+        continue
     files = glob.glob(f"{name_dir}/*.parquet")
     if not files:
         results[name] = "NO_OUTPUT"

@@ -15,7 +15,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.LlmQueries.queries
+      graft.queries.LlmQueries.queries ++
+      graft.queries.CurationQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -24,5 +26,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
-      graft.queries.LlmQueries.oracles
+      graft.queries.LlmQueries.oracles ++
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles
 }

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: segment-level
+  * dedup, repetition quality stats (Gopher-style), tf-idf keywording,
+  * benchmark-contamination checks, and deterministic hash
+  * sampling/splitting.
+  *
+  * Scale design: every operator shuffles fixed-width keys (64-bit
+  * hashes, doc ids) rather than text; per-doc stats are computed with
+  * explode + codegen'd aggregates (Spark's array higher-order functions
+  * are interpreted); sampling/splitting are pure column expressions
+  * (zero shuffle, deterministic given the content hash — re-running the
+  * pipeline on a grown corpus keeps prior assignments stable).
+  */
+object Curation {
+
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
+  /** Fixed-length token segments (last one may be shorter). The
+    * corpus-dedup unit used by CCNet-style line/paragraph dedup; this
+    * corpus has no newlines, so segmentation is positional.
+    */
+  def segments(textCol: Column, segLen: Int): Column = {
+    val ts = Dedup.tokens(textCol)
+    // sequence(0, -1) would yield [0, -1] (negative step), so guard empties
+    when(size(ts) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(ts) / lit(segLen.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(ts, i * segLen + 1, lit(segLen)))))
+  }
+
+  /** Corpus-wide segment dedup, keep-first: a segment occurrence
+    * survives iff it is the first occurrence of that segment text in
+    * (doc id, position) order. Returns per-doc totals
+    * (doc_id, n_segs, n_kept).
+    *
+    * One shuffle on the 64-bit segment hash decides winners (window
+    * row_number — shuffle bytes ∝ segment count × 24 B, never corpus
+    * bytes), then one groupBy(doc) for the totals.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segLen: Int = 8): DataFrame = {
+    val spread = df.repartition(par(df), col(idCol))
+    val segs = spread
+      .select(col(idCol).as("id"),
+        posexplode(segments(col(textCol), segLen)).as(Seq("seg_idx", "seg")))
+      .select(col("id"), col("seg_idx"), xxhash64(col("seg")).as("h"))
+    val w = Window.partitionBy("h").orderBy("id", "seg_idx")
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("rn") === 1, 1)).as("n_kept"))
+  }
+
+  /** Gopher-style repetition stats per document: duplicate-token
+    * fraction and the share of tokens covered by the most frequent
+    * bigram. High values flag low-quality repetitive text.
+    *
+    * Bigrams are hashed from adjacent exploded tokens (window lead) —
+    * no bigram string is materialized; the (doc, bigram-hash) counts
+    * aggregate map-side before the per-doc max.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.repartition(par(df), col(idCol))
+    val ts = Dedup.tokens(col(textCol))
+    val base = keyed.select(col(idCol).as("doc_id"),
+      size(ts).as("n_tokens"), size(array_distinct(ts)).as("n_distinct"),
+      ts.as("ts"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = base
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "t")))
+      .select(col("doc_id"), lead(col("t"), 1).over(w).as("t2"), col("t"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("t"), col("t2")).as("bh"))
+    val top = bigrams
+      .groupBy("doc_id", "bh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_n"))
+    base.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        EngineNeutral.r4(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        coalesce(col("top_n"), lit(0L)).as("top_bigram_n"),
+        EngineNeutral.r4(coalesce(col("top_n"), lit(0L)) * lit(2.0) / col("n_tokens"))
+          .as("top_bigram_frac"))
+  }
+
+  /** Top-k tokens per document by tf-idf (idf = ln(N/df), df over the
+    * whole corpus). `docFilter` restricts which documents are scored
+    * (pushed to the scan) without changing the corpus statistics.
+    *
+    * The document-frequency table is vocabulary-sized; the join back to
+    * the (filtered) tf table is a plain equi-join AQE can broadcast
+    * when the filtered side is small — no forced strategy, both sides
+    * can be large at corpus scale.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+                docFilter: Column): DataFrame = {
+    val tok = df.repartition(par(df), col(idCol))
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ndocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(docFilter)
+      .join(dfreq, "tok")
+      .crossJoin(broadcast(ndocs))
+      .select(col("doc_id"), col("tok"),
+        EngineNeutral.r4(col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .as("tfidf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tfidf"))
+  }
+
+  /** Benchmark-contamination check: for each corpus document, how many
+    * distinct k-gram shingles it shares with the benchmark set, and
+    * with how many benchmark documents. Standard eval-leakage scan.
+    *
+    * The benchmark side is broadcast — benchmark suites are tiny
+    * relative to a training corpus, so the corpus side streams through
+    * map-side hash probes with no shuffle of corpus shingles.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int = 3): DataFrame = {
+    def sh(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(Dedup.shingles(col(textCol), shingleK)).as("shingle"))
+    sh(corpus, "doc_id")
+      .join(broadcast(sh(bench, "bench_id")), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_shared"),
+        countDistinct("bench_id").as("n_bench_docs"))
+  }
+
+  /** First hex digit of the content md5 — the deterministic bucketing
+    * primitive behind [[sampleFlag]] and [[splitAssign]]. Content-keyed
+    * (not id-keyed) so exact duplicates always land in one bucket and
+    * assignments survive re-ingestion with different ids.
+    */
+  def hashBucket16(textCol: Column): Column =
+    substring(md5(textCol.cast("binary")), 1, 1)
+
+  /** Deterministic ~rate/16 sample membership (rate ∈ 1..16). */
+  def sampleFlag(textCol: Column, rate16: Int): Column = {
+    val hex = "0123456789abcdef".take(rate16).map(_.toString)
+    hashBucket16(textCol).isin(hex: _*)
+  }
+
+  /** Deterministic train/val/test assignment: 12/2/2 sixteenths. */
+  def splitAssign(textCol: Column): Column = {
+    val h = hashBucket16(textCol)
+    when(h.isin("c", "d"), "val")
+      .when(h.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Curation, EngineNeutral}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries (SURVEY.md §2 rows 45-51): the second wave
+  * of training-data operators — segment dedup, repetition quality,
+  * tf-idf, contamination, deterministic sampling/splitting, corpus
+  * histograms. All carry DuckDB oracles.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // 45. Corpus-wide segment dedup (CCNet-style, keep-first): per-doc
+    //     segment totals and survivors after global dedup.
+    "q_dedup_segments" -> ((s, d) =>
+      Curation.segmentDedup(Tables.documents(s, d), "doc_id", "text", segLen = 8)
+        .orderBy("doc_id")),
+
+    // 46. Gopher-style repetition stats: duplicate-token fraction +
+    //     top-bigram coverage per document.
+    "q_repetition" -> ((s, d) =>
+      Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // 47. Top-3 tf-idf keywords per document (df over the full corpus,
+    //     output restricted to doc_id < 50).
+    "q_tfidf" -> ((s, d) =>
+      Curation.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3,
+          docFilter = col("doc_id") < 50)
+        .orderBy("doc_id", "rank")),
+
+    // 48. Benchmark-contamination scan: distinct 3-gram shingles each
+    //     corpus doc (id ≥ 20) shares with the benchmark set (id < 20).
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contamination(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", shingleK = 3)
+        .orderBy("doc_id")
+    }),
+
+    // 49. Deterministic stratified sampling: content-hash bucket keeps
+    //     ~4/16 of each source; per-source totals + realized rate.
+    "q_sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(Curation.sampleFlag(col("text"), 4), 1)).as("n_sampled"))
+        .withColumn("rate",
+          EngineNeutral.r4(col("n_sampled").cast("double") / col("n_total")))
+        .orderBy("source")),
+
+    // 50. Deterministic train/val/test split (12/2/2 sixteenths by
+    //     content hash), counted per language.
+    "q_split_assign" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), Curation.splitAssign(col("text")).as("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
+    // 51. Corpus length histogram: 50-char buckets of n_chars with the
+    //     corpus share of each bucket.
+    "q_histogram" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.documents(s, d)
+        .groupBy((expr("n_chars div 50") * 50).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          EngineNeutral.r4(col("n").cast("double") / sum(col("n")).over(w)))
+        .orderBy("bucket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_segments" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), segd AS (
+        |  SELECT doc_id, [array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ')
+        |                  FOR i IN range(1, cast(ceil(len(toks)/8.0) AS INT) + 1)] AS segs
+        |  FROM base
+        |), ex AS (
+        |  SELECT doc_id, unnest(segs) AS seg, unnest(range(1, len(segs)+1)) AS seg_idx
+        |  FROM segd
+        |), rn AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM ex
+        |)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+        |  FROM base
+        |), bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)
+        |), top AS (
+        |  SELECT doc_id, max(c) AS top_n FROM (
+        |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+        |  GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, s.n_tokens,
+        |  floor((1.0 - n_distinct::DOUBLE / n_tokens) * 10000 + 0.5) / 10000.0 AS dup_token_frac,
+        |  coalesce(top_n, 0) AS top_bigram_n,
+        |  floor(coalesce(top_n, 0) * 2.0 / n_tokens * 10000 + 0.5) / 10000.0 AS top_bigram_frac
+        |FROM stats s LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, tok, tfidf FROM (
+        |  SELECT tf.doc_id, tf.tok,
+        |    floor(tf.tf * ln(n_docs::DOUBLE / df) * 10000 + 0.5) / 10000.0 AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY floor(tf.tf * ln(n_docs::DOUBLE / df) * 10000 + 0.5) / 10000.0 DESC,
+        |        tf.tok) AS rank
+        |  FROM tf JOIN dfreq USING (tok), nd
+        |  WHERE tf.doc_id < 50)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |)
+        |SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared,
+        |  count(DISTINCT b.doc_id) AS n_bench_docs
+        |FROM sh c JOIN sh b ON c.shingle = b.shingle AND b.doc_id < 20
+        |WHERE c.doc_id >= 20
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT source, count(*) AS n_total,
+        |  count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')) AS n_sampled,
+        |  floor((count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')))::DOUBLE
+        |    / count(*) * 10000 + 0.5) / 10000.0 AS rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_split_assign" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(text), 1, 1) IN ('c','d') THEN 'val'
+        |       WHEN substr(md5(text), 1, 1) IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_histogram" ->
+      """SELECT (n_chars // 50) * 50 AS bucket, count(*) AS n,
+        |  floor(count(*)::DOUBLE / (SELECT count(*) FROM documents) * 10000 + 0.5) / 10000.0 AS share
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}

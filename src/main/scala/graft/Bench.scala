@@ -56,7 +56,9 @@ object Bench {
     // per-query: untimed warm run, then timed run — removes first-
     // touch costs (per-table footer reads, codegen compiles) and
     // local-machine noise from the reported numbers
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // default 3 = 1 warm + min of 2 timed: a single contended timed run
+    // inflated a recorded round total 1.6× vs a quiet rerun
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       // iter 1 warms; report the MIN of the warm iters (noise-robust
       // on a shared machine). Single-iter mode reports that run.

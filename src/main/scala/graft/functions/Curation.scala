@@ -123,17 +123,24 @@ object Curation {
     *
     * The benchmark side is broadcast — benchmark suites are tiny
     * relative to a training corpus, so the corpus side streams through
-    * map-side hash probes with no shuffle of corpus shingles.
+    * map-side hash probes with no shuffle of corpus shingles. Both
+    * sides shingle via [[Dedup.shingleHashes]]: the join key and both
+    * countDistincts operate on 64-bit hashes, so no shingle STRING is
+    * ever materialized, joined, or aggregated — counts are identical
+    * to the string-set semantics modulo 2⁻⁶⁴ hash collisions.
     */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, shingleK: Int = 3): DataFrame = {
-    def sh(df: DataFrame, as: String) =
-      df.select(col(idCol).as(as),
-        explode(Dedup.shingles(col(textCol), shingleK)).as("shingle"))
-    sh(corpus, "doc_id")
-      .join(broadcast(sh(bench, "bench_id")), "shingle")
+    val c = Dedup.shingleHashes(corpus, idCol, textCol, shingleK)
+      .select(col("id").as("doc_id"), col("h"))
+    // shingleHashes keeps duplicate shingles; dedupe the broadcast side
+    // so the probe's join fan-out is per distinct benchmark shingle
+    val b = Dedup.shingleHashes(bench, idCol, textCol, shingleK)
+      .select(col("id").as("bench_id"), col("h"))
+      .dropDuplicates("bench_id", "h")
+    c.join(broadcast(b), "h")
       .groupBy("doc_id")
-      .agg(countDistinct("shingle").as("n_shared"),
+      .agg(countDistinct("h").as("n_shared"),
         countDistinct("bench_id").as("n_bench_docs"))
   }
 

@@ -52,14 +52,15 @@ object AnalyticsQueries {
         .orderBy("n_name", "rank")
     }),
 
-    // 54. Quartile binning: global ntile(4) over order value. A global
-    //     ntile is inherently a total order — Spark runs it through a
-    //     range-partitioned sort; at 100 TB prefer approx quantile
-    //     boundaries + a bucket join if a single order is a bottleneck.
+    // 54. Quartile binning: exact global ntile(4) over order value —
+    //     NOT Spark's ntile window (whose empty-partition Window is a
+    //     single-task sort of the whole table); GlobalNtile range-
+    //     partitions, ranks per partition in parallel, and assigns
+    //     buckets from broadcast prefix-sum offsets. Same buckets,
+    //     scalable plan.
     "q_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("quartile", ntile(4).over(w))
+      graft.operators.GlobalNtile.ntile(Tables.orders(s, d), 4,
+          Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
         .groupBy("quartile")
         .agg(count(lit(1)).as("n"),
           min("o_totalprice").as("min_price"),

@@ -133,9 +133,12 @@ object RelationalQueries {
         .orderBy("hr", "event_type")),
 
     // 26. Approximate distinct (HLL sketch) — rows-only check: DuckDB's
-    //     approx_count_distinct uses a different sketch.
+    //     approx_count_distinct uses a different sketch. spread(): the
+    //     high-precision sketch (rsd 0.01 → 2^14 registers) makes the
+    //     per-row update the bottleneck, and the single-row-group scan
+    //     would otherwise run it on ONE core.
     "q_approx_distinct" -> ((s, d) =>
-      Tables.events(s, d)
+      Tables.spread(Tables.events(s, d))
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           count(lit(1)).as("n"))

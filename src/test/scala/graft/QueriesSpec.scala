@@ -16,8 +16,19 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("SURVEY §2 inventory is fully wired") {
-    assert(SparkEntry.queries.size == 48)
-    assert(SparkEntry.oracleSql.size == 40)
+    // Derived, not hard-coded sizes (which rot as waves of operators
+    // land): every query either carries a DuckDB oracle or is on the
+    // explicit rows-only allowlist (SURVEY §2 "✅rows" — hash/LSH
+    // internals no portable SQL can reproduce). A new query without an
+    // oracle fails here until it is consciously declared rows-only.
+    val rowsOnly = Set(
+      "q_ann_ivf", "q_ann_lsh", "q_approx_distinct", "q_dedup_embedding",
+      "q_dedup_minhash", "q_dedup_simhash", "q_fingerprint", "q_ngram_jaccard")
+    val withoutOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(withoutOracle == rowsOnly,
+      s"queries without oracle != declared rows-only allowlist; " +
+        s"undeclared: ${withoutOracle -- rowsOnly}, stale: ${rowsOnly -- withoutOracle}")
+    assert(SparkEntry.queries.size >= 62, "query inventory shrank below the round-2 level")
   }
 
   test("entry() returns rows") {

@@ -90,20 +90,15 @@ object Similarity {
 
   /** p-bit random-hyperplane signature. Hyperplane p's component j is
     * a deterministic pseudo-random value in [-0.5, 0.5) derived from
-    * xxhash64(p, j) — reproducible with zero stored state.
+    * xxhash64(p, j) — reproducible with zero stored state. Computed by
+    * the codegen'd [[graft.plans.HyperplaneSig]] loop (the HOF
+    * `aggregate(zip_with(...))` form is interpreted per element per
+    * plane — see SimilaritySpec for the bit-identical equivalence
+    * check). Null vectors (zero-norm embeddings) signature to 0L,
+    * matching the HOF form's `when(null > 0)` collapse.
     */
-  def lshSignature(vecCol: Column, planes: Int = 16): Column = {
-    // plane loop unrolls at plan-build time (shift amounts must be literal)
-    val bitCols = (0 until planes).map { p =>
-      val dotWithPlane = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (x, j) => x.cast("double") *
-            ((pmod(xxhash64(lit(p), j), lit(100000L)).cast("double") / 100000.0) - 0.5)),
-        lit(0.0), (a, v) => a + v)
-      when(dotWithPlane > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def lshSignature(vecCol: Column, planes: Int = 16): Column =
+    coalesce(graft.plans.HyperplaneSig.hyperplane_sig(vecCol, planes), lit(0L))
 
   /** ANN via hyperplane LSH: candidates share ≥1 of the two 8-bit
     * signature halves with the query (pigeonhole for small angular

@@ -37,7 +37,16 @@ object GraftExtensions {
       arity("rolling_hash", 1)(exprs => RollingHash(exprs.head))),
     ("array_dot",
       info("array_dot", "array_dot(a, b) - dot product of two array<double|float> columns"),
-      arity("array_dot", 2)(exprs => ArrayDot(exprs(0), exprs(1)))))
+      arity("array_dot", 2)(exprs => ArrayDot(exprs(0), exprs(1)))),
+    ("hyperplane_sig",
+      info("hyperplane_sig",
+        "hyperplane_sig(vec, planes) - random-hyperplane LSH signature (planes must be a literal)"),
+      arity("hyperplane_sig", 2)(exprs => HyperplaneSig(exprs(0),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sig: planes must be an integer literal, got $other")
+        }))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

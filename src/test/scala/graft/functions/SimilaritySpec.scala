@@ -65,6 +65,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("codegen hyperplane_sig is bit-identical to the interpreted HOF formula") {
+    import org.apache.spark.sql.functions._
+    // the original (Spark-4-interpreted) formulation HyperplaneSig replaces
+    def hofSignature(vecCol: org.apache.spark.sql.Column, planes: Int) = {
+      val bitCols = (0 until planes).map { p =>
+        val dotWithPlane = aggregate(
+          zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+            (x, j) => x.cast("double") *
+              ((pmod(xxhash64(lit(p), j), lit(100000L)).cast("double") / 100000.0) - 0.5)),
+          lit(0.0), (a, v) => a + v)
+        when(dotWithPlane > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bitCols.reduce(_ + _)
+    }
+    // real embeddings (float arrays), plus the tiny float vecs above
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    for (df <- Seq(emb.select($"embedding"), vecs.select($"embedding"));
+         planes <- Seq(8, 16, 64)) {
+      val mismatches = df
+        .select(hofSignature($"embedding", planes).as("old"),
+          Similarity.lshSignature($"embedding", planes).as("nu"))
+        .filter($"old" =!= $"nu").count()
+      assert(mismatches == 0, s"signatures diverge for planes=$planes")
+    }
+  }
+
   test("embeddingNearDups finds identical vectors with sim 1.0") {
     val dups = Seq(
       (10L, Array(0.5f, 0.5f, 0.0f, 0.1f)),

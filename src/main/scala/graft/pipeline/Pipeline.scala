@@ -129,11 +129,46 @@ final class PipelineCtx private[pipeline] (
     new GraftFuture[R](p.future)
   }
 
+  /** Shared token pool realizing `maxParallelismTotal` as a JOINT
+    * bound across everything the pipeline runs concurrently, matching
+    * the reference's pipeline-wide rate limiter
+    * (/root/reference/ratelimiter/ratelimiter.go:1-102, acquired per
+    * element across ALL stages): each action acquires permits equal to
+    * its own effective task bound, so N concurrent async aggregations
+    * can never run more than `maxParallelismTotal` user-stage tasks
+    * between them. The reference interleaves at element granularity;
+    * Spark's unit of concurrency is the task, so graft admits actions
+    * while their bounds still fit the pool and queues the rest (fair
+    * FIFO). Actions whose per-stage bound is unset claim the whole
+    * pool (they may legally use it all).
+    */
+  private val totalPermits: Option[java.util.concurrent.Semaphore] =
+    if (config.maxParallelismTotal > 0)
+      Some(new java.util.concurrent.Semaphore(config.maxParallelismTotal, true))
+    else None
+
+  private def actionPermits(conf: StageConfig): Int = {
+    val n =
+      if (conf.maxParallelism > 0) conf.maxParallelism
+      else if (config.maxParallelismPerStage > 0) config.maxParallelismPerStage
+      else config.maxParallelismTotal
+    math.min(n, config.maxParallelismTotal)
+  }
+
   private def submit[R](conf: StageConfig)(body: => R): Future[R] =
     Future {
-      spark.sparkContext.setJobGroup(jobGroup, "graft pipeline action", interruptOnCancel = true)
-      try body
-      finally spark.sparkContext.clearJobGroup()
+      val run = () => {
+        spark.sparkContext.setJobGroup(jobGroup, "graft pipeline action", interruptOnCancel = true)
+        try body
+        finally spark.sparkContext.clearJobGroup()
+      }
+      totalPermits match {
+        case Some(sem) =>
+          val n = actionPermits(conf)
+          sem.acquire(n)
+          try run() finally sem.release(n)
+        case None => run()
+      }
     }(PipelineCtx.ec)
 
   private def await[R](fut: Future[R], conf: StageConfig): Try[R] =
@@ -227,12 +262,30 @@ object Pipeline {
     fromDataset(spark.read.parquet(path), config)
 
   /** Reference pipeline.FromChannel (pipeline/pipeline.go:131): the
-    * unbounded source. In Spark the channel IS a streaming source, so
-    * this returns a [[graft.streaming.Streams.Channel]] — `send`
-    * elements in, consume `toDS` with the streaming transforms in
-    * [[graft.streaming.Streams]] (windowed aggregation, sessionize,
-    * dedup, parquet/memory sinks).
+    * unbounded source, wired into the full pipeline lifecycle
+    * (Status / manual Start / Interrupt / timeouts / logger — the
+    * reference's `from()` at pipeline.go:172 installs the same
+    * handling for all three source kinds). `send` elements in,
+    * `closeChannel()` to end the stream; terminal aggregations block
+    * until close, exactly like the reference's channel aggregations.
+    * For genuinely-unbounded consumption, `.toDS` exposes the
+    * transformed stream to [[graft.streaming.Streams]] (watermarked
+    * windows, sessionization, dedup, parquet/memory sinks).
     */
-  def fromChannel[T: Encoder](spark: SparkSession): graft.streaming.Streams.Channel[T] =
-    graft.streaming.Streams.Channel[T](spark)
+  def fromChannel[T: Encoder](spark: SparkSession,
+                              config: PipelineConfig = PipelineConfig()): ChannelPipeline[T, T] =
+    fromChannel(graft.streaming.Streams.Channel[T](spark), config)
+
+  /** Wraps a caller-owned channel (the reference signature — the user
+    * keeps sending on the channel they created).
+    */
+  def fromChannel[T: Encoder](channel: graft.streaming.Streams.Channel[T],
+                              config: PipelineConfig): ChannelPipeline[T, T] = {
+    val ds = channel.toDS
+    val ctx = new PipelineCtx(ds.sparkSession, config)
+    val init = new Stage[T](ctx, Stage.bound(ds, config.initStageConfig, config), 1L,
+      config.initStageConfig)
+    new ChannelPipeline[T, T](ctx, channel, init, implicitly[Encoder[T]],
+      new java.util.concurrent.CopyOnWriteArrayList[org.apache.spark.sql.streaming.StreamingQuery]())
+  }
 }

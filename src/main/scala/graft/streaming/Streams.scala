@@ -27,7 +27,23 @@ object Streams {
     */
   final class Channel[T: Encoder](spark: SparkSession) {
     private val stream = MemoryStream[T](spark)
-    def send(ts: T*): Unit = stream.addData(ts)
+    @volatile private var closedFlag = false
+
+    /** Enqueue elements; like a send on a closed Go channel, sending
+      * after [[close]] is a programming error and throws.
+      */
+    def send(ts: T*): Unit = {
+      if (closedFlag) throw new IllegalStateException("send on closed channel")
+      stream.addData(ts)
+    }
+
+    /** Marks end-of-stream (Go `close(ch)`): blocking aggregations on
+      * a [[graft.pipeline.ChannelPipeline]] fed by this channel
+      * complete once the already-sent elements are drained.
+      */
+    def close(): Unit = closedFlag = true
+    def isClosed: Boolean = closedFlag
+
     def toDS: Dataset[T] = stream.toDS()
   }
 

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.duration._
+import scala.util.Success
+
+/** Channel-sourced pipelines carry the FULL pipeline lifecycle —
+  * reference pipeline.FromChannel (pipeline/pipeline.go:131-170):
+  * status transitions, manual start, interrupt-while-streaming,
+  * timeouts, and all terminal aggregations (blocking until channel
+  * close, as the reference's channel aggregations do).
+  */
+class ChannelPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("transforms + blocking aggregation drain a closed channel") {
+    val p = Pipeline.fromChannel[Int](spark)
+    val doubled = p.filter(_ % 2 == 0).map(_ * 2)
+    p.send(1, 2, 3, 4, 5)
+    p.closeChannel()
+    assert(doubled.asSlice.map(_.sorted) == Success(Seq(4, 8)))
+    assert(p.status == Status.Done)
+  }
+
+  test("all aggregation families work on a channel source") {
+    val p = Pipeline.fromChannel[Int](spark)
+    p.send(3, 1, 2, 2)
+    p.closeChannel()
+    assert(p.sum == Success(8))
+    assert(p.count == Success(4L))
+    assert(p.min == Success(1) && p.max == Success(3))
+    assert(p.sort == Success(Seq(1, 2, 2, 3)))
+    assert(p.distinctCount == Success(3L))
+    assert(p.asMultiMap(i => (i % 2, i)).get.view.mapValues(_.sorted).toMap ==
+      Map(0 -> Seq(2, 2), 1 -> Seq(1, 3)))
+    assert(p.avgAsync.get() == Success(2.0))
+  }
+
+  test("async aggregation completes when the channel closes later") {
+    val p = Pipeline.fromChannel[Int](spark)
+    p.send(10, 20)
+    val fut = p.map(_ + 1).sumAsync
+    assert(!fut.isDone)
+    p.send(30)
+    p.closeChannel()
+    assert(fut.get() == Success(63))
+    assert(p.status == Status.Done)
+  }
+
+  test("interrupt while streaming fails pending aggregations") {
+    val p = Pipeline.fromChannel[Int](spark)
+    p.send(1, 2, 3)
+    val fut = p.countAsync // channel never closed — would block forever
+    Thread.sleep(100)
+    p.interrupt()
+    assert(p.status == Status.Interrupted)
+    assert(fut.get().isFailure)
+  }
+
+  test("pipeline timeout fires while the channel stays open") {
+    val p = Pipeline.fromChannel[Int](spark,
+      PipelineConfig(timeout = 300.millis))
+    p.send(1)
+    assert(p.count.isFailure)
+    assert(p.status == Status.TimedOut)
+  }
+
+  test("manual start: Pending until start(), channel send after close throws") {
+    val p = Pipeline.fromChannel[Int](spark, PipelineConfig(manualStart = true))
+    assert(p.status == Status.Pending)
+    p.send(5, 7)
+    val fut = p.sumAsync // waits for start()
+    Thread.sleep(100)
+    assert(!fut.isDone)
+    assert(p.start())
+    p.closeChannel()
+    assert(fut.get() == Success(12))
+    assert(p.status == Status.Done)
+    assertThrows[IllegalStateException] { p.send(9) }
+  }
+
+  test("error-handling transforms stream through the channel") {
+    val p = Pipeline.fromChannel[String](spark)
+    val parsed = p.mapWithErrorMapper(_.toInt, _ => -1)
+    p.send("1", "x", "3")
+    p.closeChannel()
+    assert(parsed.asSlice.map(_.sorted) == Success(Seq(-1, 1, 3)))
+  }
+}

@@ -140,4 +140,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Aggregate.count(p.initStage).isSuccess)
     assert(p.status == Status.Done)
   }
+
+  test("maxParallelismTotal jointly bounds concurrent async aggregations") {
+    // reference semantics (ratelimiter.go): ONE token pool for the
+    // whole pipeline — two concurrent async aggregations must never
+    // run more than `total` user-stage tasks between them (each action
+    // here is bounded to 2 tasks, so unshared enforcement would reach 4
+    // on this local[4] session)
+    ParGauge.reset()
+    val p = Pipeline.fromSeq(spark, 1 to 8, PipelineConfig(maxParallelismTotal = 2))
+    val s = p.initStage.map(i => i)
+    def body(i: Int): Unit = { ParGauge.enter(); Thread.sleep(100); ParGauge.exit() }
+    val f1 = AsyncAggregate.forEach(s, body _)
+    val f2 = AsyncAggregate.forEach(s, body _)
+    assert(f1.get().isSuccess && f2.get().isSuccess)
+    assert(ParGauge.maxSeen <= 2,
+      s"observed ${ParGauge.maxSeen} concurrent tasks under a total bound of 2")
+  }
+}
+
+/** JVM-wide concurrency gauge: executor lambdas run in this JVM under
+  * local[4], so a shared static observes true task concurrency.
+  */
+object ParGauge {
+  private val cur = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val max = new java.util.concurrent.atomic.AtomicInteger(0)
+  def enter(): Unit = {
+    val c = cur.incrementAndGet()
+    max.getAndAccumulate(c, (a, b) => math.max(a, b))
+  }
+  def exit(): Unit = cur.decrementAndGet()
+  def reset(): Unit = { cur.set(0); max.set(0) }
+  def maxSeen: Int = max.get()
 }

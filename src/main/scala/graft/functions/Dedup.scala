@@ -168,6 +168,34 @@ object Dedup {
       .filter(col("n") >= minCount)
   }
 
+  /** Exact near-dup edges: pairs of documents sharing at least
+    * `minShared` distinct k-token shingles. The df band is the scale
+    * control: shingles in fewer than `minDf` docs can't form a pair,
+    * and shingles in more than `maxDf` docs (boilerplate) are dropped
+    * BEFORE pair generation, bounding the per-shingle join fan-out to
+    * maxDf² — the same degenerate-bucket guard as LSH banding, but
+    * exact. One shuffle on the 64-bit shingle hash; the df filter is a
+    * window over that same partitioning, and the pair self-join reuses
+    * it. Feed the result (with [[graft.operators.ConnectedComponents]])
+    * to turn near-dup pairs into canonical clusters; at extreme scale
+    * swap in [[minhashCandidates]] edges — same downstream shape.
+    */
+  def sharedShingleEdges(df: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 3, minShared: Int = 5,
+                         minDf: Int = 2, maxDf: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleHashes(df, idCol, textCol, shingleK).dropDuplicates("id", "h")
+    val kept = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("_df").between(minDf, maxDf))
+      .drop("_df")
+    kept.select(col("h"), col("id").as("id_a"))
+      .join(kept.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard on candidate pairs: re-attach shingle-hash
     * sets and compute |∩| / |∪| — the verify step after LSH. Operates
     * on 64-bit shingle hashes (Jaccard identical to the string-set

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components via HashMin label propagation —
+  * the standard MapReduce CC algorithm: every vertex starts labeled
+  * with its own id and repeatedly adopts the minimum label among
+  * itself and its neighbors until no label changes.
+  *
+  * Each iteration is one key-shuffle join (edges ⋈ labels) + one
+  * aggregation — no driver-side graph state, so it scales to
+  * billion-edge near-dup graphs. Iteration count is the graph
+  * diameter; dedup-cluster graphs are piles of small dense blobs
+  * (diameter ≤ a handful), so convergence takes 2-4 passes. Labels are
+  * persisted per iteration (and the previous generation unpersisted)
+  * to cut lineage growth — without it iteration N would recompute all
+  * N-1 predecessors.
+  *
+  * Used for dedup canonicalization: LSH/shingle near-dup PAIRS become
+  * CLUSTERS, and `min(id)` per cluster is the canonical document to
+  * keep (the same keep-first rule as [[graft.functions.Dedup.exact]]).
+  */
+object ConnectedComponents {
+
+  /** Returns (id, comp): every vertex labeled with the minimum vertex
+    * id of its component. `vertices` must carry an `id` column,
+    * `edges` columns `id_a`/`id_b`; isolated vertices keep their own
+    * id as the component.
+    */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       maxIter: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_ONLY)
+    var labels = vertices.select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("comp").as("ncomp"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_ONLY)
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev"))
+        .count() // materializes `next`, so unpersisting the parent is safe
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -28,6 +28,17 @@ object ConnectedComponents {
     * id of its component. `vertices` must carry an `id` column,
     * `edges` columns `id_a`/`id_b`; isolated vertices keep their own
     * id as the component.
+    *
+    * Throws `IllegalStateException` if labels have not converged after
+    * `maxIter` passes — silently returning half-merged components
+    * would keep duplicate documents downstream, a correctness bug, not
+    * a degraded answer. Raise `maxIter` (it bounds graph diameter, not
+    * edge count) if a legitimately deep graph trips it.
+    *
+    * The returned DataFrame is persisted MEMORY_ONLY (the loop needs
+    * each generation materialized, and callers invariably reuse the
+    * labels for the join back to payloads); call `.unpersist()` on it
+    * when finished to release the blocks.
     */
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
                        maxIter: Int = 50): DataFrame = {
@@ -58,6 +69,12 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations; " +
+          "raise maxIter for deep graphs")
+    }
     labels
   }
 }

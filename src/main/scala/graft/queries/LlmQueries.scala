@@ -31,6 +31,25 @@ object LlmQueries {
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")),
 
+    // 29c. Near-dup clustering: exact shared-shingle edges →
+    //      connected components → one row per cluster with its
+    //      canonical keep id. This is the step that turns every
+    //      pair-producing dedup operator into corpus reduction; the
+    //      shared-shingle edge rule is deterministic (unlike LSH), so
+    //      DuckDB reproduces it exactly (recursive-CTE min-label
+    //      closure) and this is a full hash-match row.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.sharedShingleEdges(docs, "doc_id", "text",
+        shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+      val comps = graft.operators.ConnectedComponents.labelPropagation(
+        docs.select(col("doc_id").as("id")), edges)
+      val out = comps.groupBy("comp")
+        .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))
+        .orderBy("comp")
+      out
+    }),
+
     // 30. SimHash near-dups within hamming distance 3 (rows-only).
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
@@ -148,6 +167,39 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // Same edge rule as the Spark side (distinct 3-token shingles,
+    // doc-frequency band [2,20], ≥5 shared shingles per pair), then
+    // min-label connected components as a recursive transitive
+    // closure — UNION-distinct bounds the walk, and dedup-cluster
+    // graphs are tiny blobs so the closure stays small.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), kept AS (
+        |  SELECT id, shingle FROM (
+        |    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df BETWEEN 2 AND 20
+        |), edges AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges
+        |), walk(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+        |), comps AS (
+        |  SELECT id, min(r) AS comp FROM walk GROUP BY id
+        |)
+        |SELECT comp, count(*) AS n_docs, min(id) AS keep_id
+        |FROM comps GROUP BY comp ORDER BY comp""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT query_id, rank, neighbor_id, sim FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -5,7 +5,6 @@ import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import java.util.concurrent.CopyOnWriteArrayList
-import java.util.concurrent.atomic.AtomicLong
 import scala.reflect.ClassTag
 import scala.util.Try
 
@@ -24,8 +23,10 @@ import scala.util.Try
   * plans them incrementally per micro-batch). A terminal aggregation,
   * exactly as in the reference, blocks until the channel is closed:
   * it waits for `channel.close()` (responsive to Interrupt and
-  * timeouts), drains the transformed stream through a micro-batch
-  * query, and runs the aggregation on the drained result — so all 17
+  * timeouts), drains the transformed stream once through a
+  * foreachBatch micro-batch query into parquet (executor-side — never
+  * buffered on the driver), and runs the aggregation on the drained
+  * result — so all 17
   * sync + async aggregations work on channel pipelines with identical
   * semantics to slice-sourced ones. At cluster scale the same
   * transform chain runs unbounded via [[graft.streaming.Streams]]
@@ -39,7 +40,8 @@ final class ChannelPipeline[S, T] private[pipeline] (
     val channel: Streams.Channel[S],
     private val stage: Stage[T],
     private val enc: Encoder[T],
-    private val active: CopyOnWriteArrayList[StreamingQuery]) extends AutoCloseable {
+    private val active: CopyOnWriteArrayList[StreamingQuery],
+    private val drainDirs: CopyOnWriteArrayList[java.nio.file.Path]) extends AutoCloseable {
 
   def status: Status = ctx.status
   def start(): Boolean = ctx.start()
@@ -61,11 +63,16 @@ final class ChannelPipeline[S, T] private[pipeline] (
     */
   def closeChannel(): Unit = channel.close()
 
-  /** Reference Pipeline.Close: interrupt outstanding work + close the
-    * logger. (The channel itself is closed via [[closeChannel]].)
+  /** Reference Pipeline.Close: interrupt outstanding work, delete the
+    * pipeline's drain dirs, close the logger. (The channel itself is
+    * closed via [[closeChannel]].)
     */
   override def close(): Unit = {
     if (status == Status.Running || status == Status.Pending) interrupt()
+    drainDirs.forEach { p =>
+      Try(ChannelPipeline.deleteRecursively(p.toFile))
+    }
+    drainDirs.clear()
     ctx.config.logger.close()
   }
 
@@ -77,7 +84,7 @@ final class ChannelPipeline[S, T] private[pipeline] (
   def toDS: Dataset[T] = stage.ds
 
   private def chain[U](s2: Stage[U])(implicit e: Encoder[U]): ChannelPipeline[S, U] =
-    new ChannelPipeline[S, U](ctx, channel, s2, e, active)
+    new ChannelPipeline[S, U](ctx, channel, s2, e, active, drainDirs)
 
   // ---- transforms (same semantics as Stage; lazily streamed) ----
 
@@ -111,15 +118,27 @@ final class ChannelPipeline[S, T] private[pipeline] (
     chain(stage.flatMapAll(f, c))
 
   def filter(p: T => Boolean, c: StageConfig = StageConfig()): ChannelPipeline[S, T] =
-    new ChannelPipeline[S, T](ctx, channel, stage.filter(p, c), enc, active)
+    new ChannelPipeline[S, T](ctx, channel, stage.filter(p, c), enc, active, drainDirs)
 
   // ---- terminal aggregations ----
 
   /** Blocks until the channel is closed (responsive to interrupt /
     * timeout via the pipeline status the awaiter flips), then drains
-    * the transformed stream into a uniquely-named in-memory table and
-    * returns a batch Stage over it. Runs INSIDE runSync/runAsync so
-    * the whole wait+drain is covered by the pipeline's deadline.
+    * the transformed stream ONCE via foreachBatch into a temp parquet
+    * dir and returns a batch Stage over those files. Runs INSIDE
+    * runSync/runAsync so the whole wait+drain is covered by the
+    * pipeline's deadline.
+    *
+    * Parquet, not an in-memory table, deliberately: a memory sink
+    * buffers the entire drained stream in DRIVER memory, which only
+    * works while the source itself is driver-fed — swap in a
+    * distributed source and it becomes the scale-killer. foreachBatch
+    * writes flow executor→files, so aggregations over the drained
+    * Stage stay distributed at any volume. The drain result is cached
+    * per pipeline object — every subsequent aggregation on this
+    * object reuses the same files instead of re-draining the stream
+    * (re-drains relied on fragile MemoryStream commit timing). Dirs
+    * are deleted in [[close]].
     */
   private def drained(): Stage[T] = {
     while (!channel.isClosed &&
@@ -128,16 +147,34 @@ final class ChannelPipeline[S, T] private[pipeline] (
     }
     if (ctx.status == Status.Interrupted || ctx.status == Status.TimedOut)
       throw new InterruptedException(s"pipeline ${ctx.jobGroup} ${ctx.status} while draining channel")
-    val name = s"${ctx.jobGroup.replace('-', '_')}_drain_${ChannelPipeline.tableId.incrementAndGet()}"
-    val q = stage.ds.writeStream.format("memory").queryName(name).outputMode("append").start()
-    active.add(q)
-    try q.processAllAvailable()
-    finally {
-      Try(q.stop())
-      active.remove(q)
+    drainLock.synchronized {
+      if (drainedStage != null) return drainedStage
+      val spark = stage.ds.sparkSession
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft_drain_${ctx.jobGroup.replace('-', '_')}_")
+      drainDirs.add(dir)
+      val writeBatch: (Dataset[T], Long) => Unit =
+        (batch, _) => batch.write.mode("append").parquet(dir.toString)
+      val q = stage.ds.writeStream.foreachBatch(writeBatch).outputMode("append").start()
+      active.add(q)
+      try q.processAllAvailable()
+      finally {
+        Try(q.stop())
+        active.remove(q)
+      }
+      // an interrupt that landed mid-drain stopped the query early;
+      // caching the partial files would serve wrong answers forever
+      if (ctx.status == Status.Interrupted || ctx.status == Status.TimedOut)
+        throw new InterruptedException(s"pipeline ${ctx.jobGroup} ${ctx.status} while draining channel")
+      // explicit schema: a zero-element drain leaves no files to infer from
+      val batch = spark.read.schema(stage.ds.schema).parquet(dir.toString).as[T](enc)
+      drainedStage = new Stage[T](ctx, batch, stage.id, stage.conf)
+      drainedStage
     }
-    new Stage[T](ctx, stage.ds.sparkSession.table(name).as[T](enc), stage.id, stage.conf)
   }
+
+  private val drainLock = new Object
+  @volatile private var drainedStage: Stage[T] = _
 
   /** Generic sync aggregation over the drained channel contents. */
   def aggregate[R](act: Stage[T] => R, c: StageConfig = StageConfig()): Try[R] =
@@ -200,5 +237,8 @@ final class ChannelPipeline[S, T] private[pipeline] (
 }
 
 object ChannelPipeline {
-  private val tableId = new AtomicLong(0L)
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
 }

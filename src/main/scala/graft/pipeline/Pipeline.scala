@@ -286,6 +286,7 @@ object Pipeline {
     val init = new Stage[T](ctx, Stage.bound(ds, config.initStageConfig, config), 1L,
       config.initStageConfig)
     new ChannelPipeline[T, T](ctx, channel, init, implicitly[Encoder[T]],
-      new java.util.concurrent.CopyOnWriteArrayList[org.apache.spark.sql.streaming.StreamingQuery]())
+      new java.util.concurrent.CopyOnWriteArrayList[org.apache.spark.sql.streaming.StreamingQuery](),
+      new java.util.concurrent.CopyOnWriteArrayList[java.nio.file.Path]())
   }
 }

@@ -27,12 +27,17 @@ object Streams {
     */
   final class Channel[T: Encoder](spark: SparkSession) {
     private val stream = MemoryStream[T](spark)
-    @volatile private var closedFlag = false
+    private var closedFlag = false // guarded by `this`
 
     /** Enqueue elements; like a send on a closed Go channel, sending
-      * after [[close]] is a programming error and throws.
+      * after [[close]] is a programming error and throws. The flag
+      * check and the enqueue happen under one lock shared with
+      * [[close]] — a send racing close() either lands wholly before
+      * it (elements visible to any later drain) or deterministically
+      * throws; it can never slip elements in after close succeeded
+      * (Go makes the same race a deterministic panic).
       */
-    def send(ts: T*): Unit = {
+    def send(ts: T*): Unit = synchronized {
       if (closedFlag) throw new IllegalStateException("send on closed channel")
       stream.addData(ts)
     }
@@ -41,8 +46,8 @@ object Streams {
       * a [[graft.pipeline.ChannelPipeline]] fed by this channel
       * complete once the already-sent elements are drained.
       */
-    def close(): Unit = closedFlag = true
-    def isClosed: Boolean = closedFlag
+    def close(): Unit = synchronized { closedFlag = true }
+    def isClosed: Boolean = synchronized { closedFlag }
 
     def toDS: Dataset[T] = stream.toDS()
   }

@@ -89,4 +89,29 @@ class ChannelPipelineSpec extends AnyFunSuite {
     p.closeChannel()
     assert(parsed.asSlice.map(_.sorted) == Success(Seq(-1, 1, 3)))
   }
+
+  test("drain is file-backed and reused across aggregations on one object") {
+    // larger than anything a driver-side memory table should hold: the
+    // drain lands in parquet (executor-side writes), and the three
+    // aggregations below reuse ONE drain rather than re-streaming
+    val n = 200000
+    val p = Pipeline.fromChannel[Int](spark)
+    val doubled = p.map(_ * 2)
+    (0 until n).grouped(20000).foreach(chunk => p.send(chunk.toSeq: _*))
+    p.closeChannel()
+    assert(doubled.count == Success(n.toLong))
+    assert(doubled.sum == Success((0 until n).map(_ * 2).sum))
+    assert(doubled.min == Success(0))
+    // no in-memory sink tables registered by the drain
+    assert(!spark.catalog.listTables().collect().exists(_.name.contains("drain")))
+    doubled.close()
+  }
+
+  test("zero-element drain yields empty aggregations, not a read error") {
+    val p = Pipeline.fromChannel[Int](spark)
+    p.closeChannel()
+    assert(p.count == Success(0L))
+    assert(p.asSlice == Success(Seq.empty))
+    p.close()
+  }
 }

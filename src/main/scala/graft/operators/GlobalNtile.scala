@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.storage.StorageLevel
 
 /** Exact global `ntile(n)` without a single-partition sort.
   *
@@ -13,11 +14,16 @@ import org.apache.spark.sql.functions._
   *
   *  1. `repartitionByRange` on the sort key — the same distributed
   *     range-shuffle a global `orderBy` uses, every partition sorted
-  *     relative to the others;
-  *  2. per-partition row counts → prefix-sum offsets (a handful of
-  *     rows, one per partition — the only driver-scale data);
-  *  3. global rank = partition-local `row_number` (parallel window,
-  *     partitioned by the range-partition id) + broadcast offset;
+  *     relative to the others — then an in-partition sort;
+  *  2. `monotonically_increasing_id` over the sorted partitions
+  *     encodes (partition id << 33 | row sequence), giving the
+  *     partition-LOCAL rank with no extra shuffle and no window (the
+  *     id is assigned in iteration order, which after the sort IS the
+  *     sorted order; it is nondeterministic to Catalyst, so no rule
+  *     reorders it across the sort);
+  *  3. per-partition row counts are collected (one row per partition —
+  *     legitimately driver-scale) and prefix-summed into global-rank
+  *     offsets, broadcast-joined back on partition id;
   *  4. bucket from rank via ntile's ceil/floor split, pure arithmetic.
   *
   * The sort key must be a total order (include a unique id as the
@@ -25,39 +31,70 @@ import org.apache.spark.sql.functions._
   * shuffle could split equal keys between partitions and make local
   * ranks nondeterministic.
   *
-  * Determinism note: the plan references the range-shuffled child
-  * twice (counts + rank). `repartitionByRange` samples with seeds
-  * derived from partition index, so both evaluations see identical
-  * bounds, and Spark's ReuseExchange dedupes the shuffle.
+  * Consistency of counts and ranks is pinned by persisting the
+  * range-sorted child before anything reads it: the collected counts
+  * and the returned rows provably come from ONE evaluation of the
+  * range exchange (`repartitionByRange` bounds come from a sample
+  * whose seed incorporates the RDD id, so two independent evaluations
+  * could legally disagree; exchange reuse is an optimization, not a
+  * guarantee). MEMORY_ONLY: an evicted block recomputes from the same
+  * pinned physical RDD — same shuffle files, same bounds — so
+  * eviction cannot break the pin, and blocks don't pile up on disk in
+  * long sessions. The persist stays owned by the returned plan; call
+  * `.unpersist()` on the SparkSession-cached data via
+  * `spark.sharedState.cacheManager` only if the session is
+  * long-lived and the result has been fully consumed.
   */
 object GlobalNtile {
 
-  /** Adds `bucketCol` (1-based ntile bucket) to `df`. */
+  /** Adds `bucketCol` (1-based ntile bucket) to `df`.
+    *
+    * `ord` must be plain columns, not `.asc`/`.desc` sort orders: the
+    * same columns drive both the range partitioning and the local
+    * sort, and a SortOrder accepted in one but defaulted in the other
+    * would silently mis-rank. Wrap descending keys as negations or
+    * pre-compute a sort key column instead.
+    */
   def ntile(df: DataFrame, n: Int, ord: Seq[Column], bucketCol: String): DataFrame = {
     require(n > 0, "ntile bucket count must be positive")
+    ord.foreach { c =>
+      require(!Bridge.isSortOrder(c),
+        s"ntile ord columns must be plain (got sort order: $c); " +
+          "negate or precompute a key column for descending order")
+    }
     val parts = df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(parts, ord: _*)
-      .withColumn("_pid", spark_partition_id())
-    // tiny: one row per range partition — prefix-sum window is fine
-    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
-    val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy("_pid")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = counts.select(col("_pid"),
-      (sum("_cnt").over(wOff) - col("_cnt")).as("_off"),
-      sum("_cnt").over(wAll).as("_n"))
-    val wLocal = Window.partitionBy("_pid").orderBy(ord.map(_.asc): _*)
-    val ranked = ranged.join(broadcast(offsets), "_pid")
-      .withColumn("_rk", row_number().over(wLocal) + col("_off"))
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_ONLY)
+    // one count row per range partition → driver-side prefix sum (the
+    // only driver-scale data; no single-partition window anywhere)
+    val midMask = (1L << 33) - 1
+    val cnts = ranged
+      .groupBy(shiftright(col("_mid"), 33).as("_pid"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = cnts.map(_._2).sum
+    val offsets = cnts.scanLeft(0L)(_ + _._2) // rows before partition i
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = cnts.indices.map(i => (cnts(i)._1, offsets(i))).toDF("_pid", "_off")
+    val ranked = ranged
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .join(broadcast(offDf), Seq("_pid"), "left")
+      .withColumn("_rk", col("_mid").bitwiseAND(lit(midMask)) + 1 + coalesce(col("_off"), lit(0L)))
     // ntile semantics: N rows into n buckets — base = N div n rows per
     // bucket, the first N mod n buckets get one extra row
-    val base = expr(s"_n div $n")
-    val rem = pmod(col("_n"), lit(n.toLong))
+    val base = total / n
+    val rem = total % n
     val bigSpan = rem * (base + 1) // ranks covered by the larger buckets
-    val bucket = when(col("_rk") <= bigSpan,
-      floor((col("_rk") - 1) / (base + 1)) + 1)
-      .otherwise(rem + floor((col("_rk") - bigSpan - 1) / base) + 1)
+    val bucket =
+      if (base == 0L) floor((col("_rk") - 1) / lit(base + 1)) + 1 // n > N: rank == bucket
+      else when(col("_rk") <= bigSpan, floor((col("_rk") - 1) / lit(base + 1)) + 1)
+        .otherwise(lit(rem) + floor((col("_rk") - bigSpan - 1) / lit(base)) + 1)
     ranked.withColumn(bucketCol, bucket.cast("int"))
-      .drop("_pid", "_off", "_n", "_rk")
+      .drop("_pid", "_off", "_mid", "_rk")
   }
 }

@@ -65,12 +65,17 @@ object CurationQueries {
     // 51. Corpus length histogram: 50-char buckets of n_chars with the
     //     corpus share of each bucket.
     "q_histogram" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      Tables.documents(s, d)
+      // share of total via a broadcast scalar join, not an empty-
+      // partition window (which would funnel the buckets — and a
+      // WindowExec single-partition warning — through one task); the
+      // extra scan for the total is metadata-only (parquet row count)
+      val hist = Tables.documents(s, d)
         .groupBy((expr("n_chars div 50") * 50).as("bucket"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("share",
-          EngineNeutral.r4(col("n").cast("double") / sum(col("n")).over(w)))
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("_total"))
+      hist.crossJoin(broadcast(total))
+        .withColumn("share", EngineNeutral.r4(col("n").cast("double") / col("_total")))
+        .drop("_total")
         .orderBy("bucket")
     })
   )

@@ -14,4 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Whether the column is an `.asc`/`.desc` sort-order wrapper, NOT a
+    * plain value column. Spark 4 wraps sort orders as a ColumnNode
+    * (conversion to a catalyst `SortOrder` happens lazily at plan
+    * build), so this is the reliable pre-analysis check.
+    */
+  def isSortOrder(c: Column): Boolean =
+    c.node.isInstanceOf[org.apache.spark.sql.internal.SortOrder]
 }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantitative gates for the rows-only queries (SURVEY §2 "✅rows"):
+  * hash/LSH/sketch internals have no portable SQL oracle, so each one
+  * gets a property assertion here instead — error bounds vs the exact
+  * answer, run-to-run determinism, or an independent driver-side
+  * recomputation of the reported values. The ANN recall floors
+  * (q_ann_lsh, q_ann_ivf) live in SimilaritySpec/IvfSpec.
+  */
+class RowsOnlyInvariantsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q_approx_distinct is within 3x the configured rsd of exact counts") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val rel = math.abs(approx(k) - n).toDouble / n
+      assert(rel <= 0.03, f"$k: approx=${approx(k)} exact=$n relErr=$rel%.4f > 3*rsd")
+    }
+  }
+
+  test("q_fingerprint is deterministic across two independent runs") {
+    def run() = SparkEntry.queries("q_fingerprint")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(run() == run())
+  }
+
+  private def shingleSet(t: String, k: Int = 3): Set[String] = {
+    val toks = t.split(" ").filter(_.nonEmpty)
+    if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toSet
+    else Set(toks.mkString(" "))
+  }
+
+  test("q_dedup_minhash pairs all have substantial exact Jaccard") {
+    // est_jaccard >= 0.5 candidates must be genuinely similar: the
+    // exact shingle-set Jaccard of every reported pair clears a floor
+    // well above the random-pair level (~0 on this corpus)
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val exact = pairs.map { case (a, b) =>
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      (a, b, (sa & sb).size.toDouble / (sa | sb).size)
+    }
+    exact.foreach { case (a, b, j) =>
+      assert(j >= 0.3, f"pair ($a,$b): exact jaccard $j%.3f below candidate floor")
+    }
+  }
+
+  test("q_dedup_simhash hamming distances match an independent recomputation") {
+    val sh = Dedup.simhashes(Tables.documents(spark, sf), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b, s"pair order violated: ($a,$b)")
+      assert(h <= 3, s"pair ($a,$b) exceeds maxHamming: $h")
+      assert(java.lang.Long.bitCount(sh(a) ^ sh(b)) == h,
+        s"pair ($a,$b): reported hamming $h != recomputed")
+    }
+  }
+
+  test("q_dedup_embedding sims equal exact cosine and clear the threshold") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      d(ad, bd) / (math.sqrt(d(ad, ad)) * math.sqrt(d(bd, bd)))
+    }
+    val pairs = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, s) =>
+      assert(a < b, s"pair order violated: ($a,$b)")
+      assert(s >= 0.3, s"pair ($a,$b) below minSim: $s")
+      // reported sim is EngineNeutral.r4 (4-decimal) of normalized-dot;
+      // normalization vs direct cosine differ only by float rounding
+      assert(math.abs(s - cos(vecs(a), vecs(b))) < 5e-4,
+        s"pair ($a,$b): reported $s != exact ${cos(vecs(a), vecs(b))}")
+    }
+  }
+
+  test("q_ngram_jaccard values are the exact shingle-set Jaccard") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val rows = SparkEntry.queries("q_ngram_jaccard")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, j) =>
+      assert(j >= 0.5 && j <= 1.0, s"pair ($a,$b) outside [0.5,1]: $j")
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val exact = (sa & sb).size.toDouble / (sa | sb).size
+      assert(j == exact, s"pair ($a,$b): reported $j != recomputed $exact")
+    }
+  }
+}

@@ -31,6 +31,23 @@ class IvfSpec extends AnyFunSuite {
     assert(cluster1.head != cluster2.head)
   }
 
+  test("ivfTopK recall@10 >= 0.95 vs brute force on a clustered corpus") {
+    // the q_ann_ivf parameters (16 cells, nprobe=4, k=10) over a
+    // deterministic clustered corpus (see AnnTestData for why not the
+    // uniform-random sf embeddings) — the quantitative gate for a
+    // rows-only query (cell assignment has no SQL oracle).
+    // Deterministic centroids + data → exactly repeatable.
+    val emb = AnnTestData.clustered(spark)
+    val queries = emb.filter($"vec_id" < 20)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val approx = pairs(Ivf.ivfTopK(emb, queries, k = 10, cents, nprobe = 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.95, f"IVF recall@10 degraded: $recall%.3f < 0.95")
+  }
+
   test("ivfTopK finds same-cluster neighbors first") {
     val cents = Ivf.trainCentroids(vecs, "vec_id", "embedding", k = 2)
     val res = Ivf.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), k = 5, cents, nprobe = 1)

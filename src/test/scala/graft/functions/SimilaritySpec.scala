@@ -104,6 +104,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.head._3 == 1.0)
   }
 
+  test("lshTopK recall@10 >= 0.8 vs brute force on a clustered corpus") {
+    // the q_ann_lsh parameters (k=10, planes=8) over a deterministic
+    // clustered corpus (see AnnTestData for why not the uniform-random
+    // sf embeddings) — the quantitative gate for a rows-only query:
+    // hash-defined buckets have no SQL oracle, so a recall floor vs
+    // the exact result is the substitute. Fixed seed + deterministic
+    // hashes → the same number every run.
+    val emb = AnnTestData.clustered(spark)
+    val queries = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val approx = pairs(Similarity.lshTopK(emb, queries, k = 10, planes = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, f"LSH recall@10 degraded: $recall%.3f < 0.8")
+  }
+
   test("lshTopK returns only true-cosine-ranked candidates (precision)") {
     val res = Similarity
       .lshTopK(vecs, vecs.filter($"vec_id" === 0L), k = 3, planes = 8)

@@ -48,6 +48,15 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_ONLY)
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_ONLY)
+    // Convergence check without a per-iteration join against the
+    // previous generation: labels only ever DECREASE (least of self
+    // and neighbor minima), so the generation changed iff the exact
+    // label sum changed. decimal(38,0): exact at any id magnitude ×
+    // any row count — a hash/long sum could overflow or collide.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph sums to null
+    var prevSum = labelSum(labels) // also materializes the initial cache
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -59,13 +68,11 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .persist(StorageLevel.MEMORY_ONLY)
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .count() // materializes `next`, so unpersisting the parent is safe
+      val s = labelSum(next) // materializes `next`; parent safe to drop
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     sym.unpersist()

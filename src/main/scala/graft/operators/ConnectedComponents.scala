@@ -42,9 +42,14 @@ object ConnectedComponents {
     */
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
                        maxIter: Int = 50): DataFrame = {
+    // symmetrize in ONE pass over `edges` (explode, not a self-union:
+    // union's two branches would each evaluate the full upstream edge
+    // pipeline — for shingle-join edge rules that's the expensive part)
     val sym = edges
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_ONLY)
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_ONLY)

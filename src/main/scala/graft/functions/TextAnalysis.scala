@@ -76,4 +76,28 @@ object TextAnalysis {
     */
   def fingerprint(textCol: Column): Column =
     graft.plans.RollingHash.rolling_hash(textCol)
+
+  /** PII patterns, chosen to mean the same thing in Java regex
+    * (Spark) and RE2 (DuckDB, the oracle): no backrefs, no lookarounds,
+    * greedy quantifiers only — both dialects produce identical matches
+    * for these, so redaction is engine-neutral and oracle-checkable.
+    */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhone = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Number of email-shaped / phone-shaped spans in the text. */
+  def emailCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit(piiEmail), lit(0)))
+  def phoneCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit(piiPhone), lit(0)))
+
+  /** Text with email/phone spans replaced by typed placeholders —
+    * the standard pre-training scrub (emails first; the patterns
+    * cannot overlap, so order only matters for determinism). Pure
+    * columnar regexp_replace: partition-local, zero shuffle, codegen.
+    */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(textCol, piiEmail, "<EMAIL>"),
+      piiPhone, "<PHONE>")
 }

@@ -153,6 +153,26 @@ object LlmQueries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // 39b. PII redaction (emails/phones → typed placeholders), the
+    //      standard pre-training scrub. The synthetic corpus carries
+    //      no natural PII, so the query stamps a deterministic
+    //      email+phone per doc from its own fields and then counts
+    //      and redacts them — the operator is the regex columns; the
+    //      stamped text just gives it nonzero work both engines
+    //      reproduce exactly. Output carries md5(redacted) so the
+    //      oracle checks the full redacted string, not just counts.
+    "q_pii_redact" -> ((s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .withColumn("pii_text",
+          concat(col("text"), lit(" contact "), col("source"), lit("_"),
+            col("doc_id").cast("string"), lit("@example.com or call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-0199")))
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("pii_text")).as("n_emails"),
+          TextAnalysis.phoneCount(col("pii_text")).as("n_phones"),
+          md5(TextAnalysis.redactPii(col("pii_text")).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
     // 39. Multimodal: binary payload + typed metadata through the
     //     batched decode-stub pipeline (real mapPartitions plumbing;
     //     oracle mirrors the stub's deterministic arithmetic).
@@ -261,6 +281,20 @@ object LlmQueries {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH stamped AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || source || '_' || doc_id ||
+        |    '@example.com or call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+        |    '-0199' AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(pii_text, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM stamped ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

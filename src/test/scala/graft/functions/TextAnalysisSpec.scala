@@ -50,4 +50,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     val b = one("beta alpha").select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
     assert(a != b)
   }
+
+  test("PII redaction replaces emails and phones with typed placeholders") {
+    def redact(t: String): String =
+      one(t).select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(redact("mail Jane.Doe+spam@sub.example.org now") == "mail <EMAIL> now")
+    assert(redact("call 555-867-5309 today") == "call <PHONE> today")
+    assert(redact("a@b.co and c_d%e@f-g.museum; 111-222-3333.") ==
+      "<EMAIL> and <EMAIL>; <PHONE>.")
+    // clean text is untouched; redaction is idempotent
+    assert(redact("no pii here") == "no pii here")
+    assert(redact(redact("x y@z.io 999-888-7777")) == "x <EMAIL> <PHONE>")
+  }
+
+  test("PII counts match the spans redacted") {
+    val df = one("a@b.co c@d.io 123-456-7890")
+    assert(df.select(TextAnalysis.emailCount(col("text"))).as[Int].head() == 2)
+    assert(df.select(TextAnalysis.phoneCount(col("text"))).as[Int].head() == 1)
+    val clean = one("nothing sensitive")
+    assert(clean.select(TextAnalysis.emailCount(col("text"))).as[Int].head() == 0)
+    assert(clean.select(TextAnalysis.phoneCount(col("text"))).as[Int].head() == 0)
+  }
 }

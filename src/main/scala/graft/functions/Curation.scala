@@ -165,4 +165,30 @@ object Curation {
       .when(h.isin("e", "f"), "test")
       .otherwise("train")
   }
+
+  /** Continuous sequence packing (GPT-style pretraining layout):
+    * documents are laid end-to-end per shard and cut into fixed
+    * `ctxLen`-token training sequences; documents may straddle a
+    * sequence boundary. Emits (doc, shard, seq in shard, token offset
+    * in seq) — everything a loader needs to materialize the packed
+    * batches.
+    *
+    * Scale shape: the only shuffle is the per-shard window, and a
+    * shard's rows are a 1/`shards` slice of the corpus — size shards
+    * so a shard's (id, n_tokens) pairs fit an executor (the window
+    * carries two longs per doc, not the text). Shard here is
+    * `doc_id % shards` for oracle portability; production would use
+    * [[hashBucket16]]-style content hashing — the plan is identical.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    ctxLen: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("_end", sum(col(tokensCol)).over(w))
+      .select(col(idCol), col("shard"),
+        expr(s"(_end - $tokensCol) div $ctxLen").as("seq_id"),
+        expr(s"(_end - $tokensCol) % $ctxLen").as("seq_offset"))
+  }
 }

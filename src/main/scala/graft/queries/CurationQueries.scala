@@ -64,6 +64,40 @@ object CurationQueries {
 
     // 51. Corpus length histogram: 50-char buckets of n_chars with the
     //     corpus share of each bucket.
+    // 50b. Continuous sequence packing (GPT-style): fixed 512-token
+    //      training sequences per shard, docs laid end-to-end and
+    //      allowed to straddle boundaries. One per-shard window, two
+    //      longs per doc through the shuffle.
+    "q_pack" -> ((s, d) =>
+      Curation.packSequences(
+        Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.nWords(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", ctxLen = 512, shards = 8)
+        .orderBy("doc_id")),
+
+    // 51b. End-to-end curation funnel: quality gate (word count) →
+    //      language gate (scored stopword ID, unk dropped) → exact
+    //      dedup keep-first → per-language corpus stats. The composed
+    //      form of rows 35/36/28 — one query, one oracle, proving the
+    //      stages stack without driver round-trips.
+    "q_curate_e2e" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val scored = docs.select(col("doc_id"), col("text"),
+        graft.functions.TextAnalysis.nWords(col("text")).as("n_words"),
+        graft.functions.TextAnalysis.langIdScored(col("text")).as("lang_guess"))
+      val filtered = scored
+        .filter(col("n_words") >= 10 && col("lang_guess") =!= "unk")
+      val keep = filtered
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      filtered.join(keep, Seq("doc_id"), "left_semi")
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_tokens"))
+        .orderBy("lang_guess")
+    }),
+
     "q_histogram" -> ((s, d) => {
       // share of total via a broadcast scalar join, not an empty-
       // partition window (which would funnel the buckets — and a
@@ -164,6 +198,49 @@ object CurationQueries {
         |       ELSE 'train' END AS split,
         |  count(*) AS n
         |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS e
+        |  FROM toks)
+        |SELECT doc_id, shard,
+        |  CAST((e - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  CAST((e - n_tokens) % 512 AS BIGINT) AS seq_offset
+        |FROM cum ORDER BY doc_id""".stripMargin,
+    "q_curate_e2e" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text, n_words,
+        |    len(list_intersect(toks, ['the','and','of','to','is','in'])) AS s_en,
+        |    len(list_intersect(toks, ['le','la','les','et','est','une'])) AS s_fr,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','ein'])) AS s_de,
+        |    len(list_intersect(toks, ['el','los','las','y','es','una'])) AS s_es
+        |  FROM t
+        |), lang AS (
+        |  SELECT doc_id, text, n_words,
+        |    CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'unk'
+        |         WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |         WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |         WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |         ELSE 'es' END AS lang_guess
+        |  FROM s
+        |), filt AS (
+        |  SELECT * FROM lang WHERE n_words >= 10 AND lang_guess <> 'unk'
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)
+        |)
+        |SELECT lang_guess, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens
+        |FROM filt WHERE doc_id IN (SELECT doc_id FROM keep)
+        |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
     "q_histogram" ->
       """SELECT (n_chars // 50) * 50 AS bucket, count(*) AS n,
         |  floor(count(*)::DOUBLE / (SELECT count(*) FROM documents) * 10000 + 0.5) / 10000.0 AS share

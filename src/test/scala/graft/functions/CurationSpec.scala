@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("packSequences lays documents end-to-end per shard") {
+    // single shard, ctx 10: docs of 4,4,4 tokens → third doc straddles
+    // the first sequence boundary (starts at offset 8, seq 0)
+    val docs = Seq((0L, 4), (8L, 4), (16L, 4)).toDF("doc_id", "n_tokens")
+    val got = Curation.packSequences(docs, "doc_id", "n_tokens", ctxLen = 10, shards = 1)
+      .select("doc_id", "shard", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, 0L, 0L), (8L, 0L, 0L, 4L), (16L, 0L, 0L, 8L)))
+  }
+
+  test("packSequences invariants on a corpus: offsets bounded, starts contiguous") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", TextAnalysis.nWords($"text").as("n_tokens"))
+    val ctx = 128L
+    val packed = Curation.packSequences(docs, "doc_id", "n_tokens", ctx, shards = 4)
+      .join(docs, "doc_id")
+      .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(packed.nonEmpty)
+    packed.foreach { case (id, _, seq, off, _) =>
+      assert(seq >= 0 && off >= 0 && off < ctx, s"doc $id: seq=$seq off=$off")
+    }
+    // within a shard, consecutive docs start exactly where the
+    // previous ended (continuous layout, straddling allowed)
+    packed.groupBy(_._2).foreach { case (shard, ds) =>
+      val byId = ds.sortBy(_._1)
+      byId.sliding(2).foreach {
+        case Array((_, _, s1, o1, t1), (id2, _, s2, o2, _)) =>
+          val start1 = s1 * ctx + o1
+          val start2 = s2 * ctx + o2
+          assert(start2 == start1 + t1,
+            s"shard $shard doc $id2: starts at $start2, expected ${start1 + t1}")
+        case _ => ()
+      }
+    }
+  }
+}

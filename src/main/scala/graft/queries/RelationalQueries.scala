@@ -124,6 +124,24 @@ object RelationalQueries {
       withO.unionAll(noO).orderBy("kind")
     }),
 
+    // 24c. Full outer join: per-customer order rollup joined FULL
+    //      OUTER against the customer dim — unmatched customers keep
+    //      zero stats, orphan orders (none in TPC-H, but the plan
+    //      handles them) keep their keys. At scale this is the one
+    //      join type that can never broadcast (both sides must keep
+    //      unmatched rows), so it shuffle-joins on the key.
+    "q_join_outer" -> ((s, d) => {
+      val spend = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy("custkey")
+    }),
+
     // 25. Time-bucket aggregation on the event stream table.
     "q_events_hourly" -> ((s, d) =>
       Tables.events(s, d)
@@ -279,6 +297,15 @@ object RelationalQueries {
         |  SELECT 'no_orders' AS kind, count(*) AS n FROM customer
         |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
         |ORDER BY kind""".stripMargin,
+    "q_join_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(c_mktsegment, 'NONE') AS segment,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(spend, 0.0) AS spend
+        |FROM customer FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value

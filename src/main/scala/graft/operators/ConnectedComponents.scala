@@ -9,14 +9,27 @@ import org.apache.spark.storage.StorageLevel
   * with its own id and repeatedly adopts the minimum label among
   * itself and its neighbors until no label changes.
   *
-  * Each iteration is one key-shuffle join (edges ⋈ labels) + one
-  * aggregation — no driver-side graph state, so it scales to
-  * billion-edge near-dup graphs. Iteration count is the graph
-  * diameter; dedup-cluster graphs are piles of small dense blobs
-  * (diameter ≤ a handful), so convergence takes 2-4 passes. Labels are
-  * persisted per iteration (and the previous generation unpersisted)
-  * to cut lineage growth — without it iteration N would recompute all
-  * N-1 predecessors.
+  * Two structural choices keep it scalable:
+  *
+  *  - **Only edge-touched vertices iterate.** An isolated vertex's
+  *    label can never change, and in a near-dup graph the touched set
+  *    is a small fraction of the corpus — the loop's shuffles scale
+  *    with duplicate-pair volume, not corpus size. Isolated vertices
+  *    are unioned back (own id as component) at the end.
+  *  - **Self-loops instead of a second labels reference.** The
+  *    symmetrized edge table carries (a,b),(b,a),(a,a),(b,b) per
+  *    edge, so the per-iteration neighbor-minimum already includes
+  *    the vertex's own label: one join + one aggregation per
+  *    iteration, and `labels` appears ONCE in each generation's plan.
+  *    Referencing it twice (the textbook least(own, neighborMin)
+  *    formulation) doubles the logical plan per iteration —
+  *    exponential growth that OOMs the driver's plan stringification
+  *    after ~8 iterations regardless of data size.
+  *
+  * Each generation is persisted and the previous one dropped, so
+  * physical lineage stays one iteration deep. Iteration count is the
+  * graph diameter; dedup-cluster graphs are piles of small dense
+  * blobs, so convergence takes 2-4 passes.
   *
   * Used for dedup canonicalization: LSH/shingle near-dup PAIRS become
   * CLUSTERS, and `min(id)` per cluster is the canonical document to
@@ -26,8 +39,9 @@ object ConnectedComponents {
 
   /** Returns (id, comp): every vertex labeled with the minimum vertex
     * id of its component. `vertices` must carry an `id` column,
-    * `edges` columns `id_a`/`id_b`; isolated vertices keep their own
-    * id as the component.
+    * `edges` columns `id_a`/`id_b` (endpoints must exist in
+    * `vertices`); isolated vertices keep their own id as the
+    * component.
     *
     * Throws `IllegalStateException` if labels have not converged after
     * `maxIter` passes — silently returning half-merged components
@@ -35,27 +49,32 @@ object ConnectedComponents {
     * a degraded answer. Raise `maxIter` (it bounds graph diameter, not
     * edge count) if a legitimately deep graph trips it.
     *
-    * The returned DataFrame is persisted MEMORY_ONLY (the loop needs
-    * each generation materialized, and callers invariably reuse the
-    * labels for the join back to payloads); call `.unpersist()` on it
-    * when finished to release the blocks.
+    * The returned DataFrame is one materialized MEMORY_ONLY cache
+    * (loop generations and the edge table are released before
+    * returning); call `.unpersist()` on it when finished.
     */
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
                        maxIter: Int = 50): DataFrame = {
-    // symmetrize in ONE pass over `edges` (explode, not a self-union:
-    // union's two branches would each evaluate the full upstream edge
-    // pipeline — for shingle-join edge rules that's the expensive part)
+    // symmetrize + self-loops in ONE pass over `edges` (explode, not a
+    // self-union: union branches would each evaluate the full upstream
+    // edge pipeline — for shingle-join edge rules the expensive part).
+    // Duplicate self-loops (one per incident edge) are harmless under
+    // the min aggregate and cheaper than a distinct to dedupe them.
     val sym = edges
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        struct(col("id_b").as("src"), col("id_a").as("dst")),
+        struct(col("id_a").as("src"), col("id_a").as("dst")),
+        struct(col("id_b").as("src"), col("id_b").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_ONLY)
-    var labels = vertices.select(col("id"), col("id").as("comp"))
+    val touched = sym.select(col("src").as("id")).distinct()
+    var labels: DataFrame = vertices.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_ONLY)
     // Convergence check without a per-iteration join against the
-    // previous generation: labels only ever DECREASE (least of self
-    // and neighbor minima), so the generation changed iff the exact
+    // previous generation: labels only ever DECREASE (min over
+    // neighbors ∪ self), so the generation changed iff the exact
     // label sum changed. decimal(38,0): exact at any id magnitude ×
     // any row count — a hash/long sum could overflow or collide.
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -65,13 +84,11 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = sym
+      // self-loops put the vertex's own label in its neighbor group,
+      // so this min IS the HashMin update — labels referenced once
+      val next = sym
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min("comp").as("ncomp"))
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .groupBy(col("src").as("id")).agg(min("comp").as("comp"))
         .persist(StorageLevel.MEMORY_ONLY)
       val s = labelSum(next) // materializes `next`; parent safe to drop
       labels.unpersist()
@@ -80,13 +97,24 @@ object ConnectedComponents {
       prevSum = s
       iter += 1
     }
-    sym.unpersist()
     if (!converged) {
+      sym.unpersist()
       labels.unpersist()
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter iterations; " +
           "raise maxIter for deep graphs")
     }
-    labels
+    // isolated vertices rejoin with their own id; materialize the
+    // combined frame so callers get ONE cached frame whose
+    // .unpersist() releases everything, and the loop caches + edge
+    // table can be dropped eagerly here
+    val combined = labels
+      .unionAll(vertices.join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
+      .persist(StorageLevel.MEMORY_ONLY)
+    combined.count()
+    labels.unpersist()
+    sym.unpersist()
+    combined
   }
 }

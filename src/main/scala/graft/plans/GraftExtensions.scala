@@ -14,10 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `GraftExtensions.register(spark)` for an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // plan lint (spark.graft.scaleGuard=warn|fail|off); pre-CBO runs
+    // exactly once per query, after operator optimization
+    e.injectPreCBORule(ScaleGuardRule)
+  }
 }
 
 object GraftExtensions {

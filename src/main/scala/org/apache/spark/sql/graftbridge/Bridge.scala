@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{classic, Column}
+import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Column ↔ Expression bridging for custom Catalyst expressions.
@@ -22,4 +22,17 @@ object Bridge {
     */
   def isSortOrder(c: Column): Boolean =
     c.node.isInstanceOf[org.apache.spark.sql.internal.SortOrder]
+
+  /** DataFrame over a custom LogicalPlan (for library operators that
+    * introduce their own plan nodes — `Dataset.ofRows` is
+    * private[sql]).
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame. */
+  def analyzed(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

@@ -38,16 +38,22 @@ object AnalyticsQueries {
           col("n"), col("sum_qty"))
         .orderBy("rf", "ls")),
 
-    // 53. Top-k per group: top-3 customers by balance per nation
-    //     (rank shuffle keyed by nation; dim broadcast).
+    // 53. Top-k per group: top-3 customers by balance per nation via
+    //     the NATIVE bounded-heap operator (graft.plans.TopKPerKey —
+    //     custom LogicalPlan + Strategy + partial/final SparkPlans):
+    //     no full per-key sort, at most k rows per key per map
+    //     partition shuffle. The rank window after it runs over ≤k
+    //     rows per key on the operator's own hash(key) partitioning
+    //     (no extra exchange). Dim broadcast.
     "q_topk_per_group" -> ((s, d) => {
-      val w = Window.partitionBy("n_name")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, d)
+      val joined = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      val top = graft.plans.TopKPerKey.topK(joined, Seq("n_name"),
+        Seq("c_acctbal" -> true, "c_custkey" -> false), k = 3)
+      val w = Window.partitionBy("n_name")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      top.withColumn("rank", row_number().over(w))
         .select(col("n_name"), col("rank"), col("c_custkey"), col("c_acctbal"))
         .orderBy("n_name", "rank")
     }),

@@ -41,6 +41,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation columns run unchanged on a stream (batch/stream unification)") {
+    // the text-analysis/curation operators are pure column
+    // expressions, so the SAME code path filters a streaming corpus —
+    // quality gate + language gate + PII scrub applied to a channel
+    val ch = Streams.Channel[(Long, String)](spark)
+    ch.send(
+      1L -> "the quick brown fox jumps over the lazy dog in the yard",
+      2L -> "el y los", // too short, fails the word-count gate
+      3L -> "reach me at a@b.co or 555-123-4567 about the the the offer")
+    val curated = ch.toDS.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.redactPii(col("text")).as("clean"),
+        graft.functions.TextAnalysis.nWords(col("text")).as("n_words"),
+        graft.functions.TextAnalysis.langIdScored(col("text")).as("lang"))
+      .filter(col("n_words") >= 5 && col("lang") =!= "unk")
+    val q = Streams.runToMemory(curated, "curated_stream", outputMode = "append")
+    try {
+      val rows = spark.table("curated_stream")
+        .as[(Long, String, Int, String)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 3L))
+      assert(rows(1)._2.contains("<EMAIL>") && rows(1)._2.contains("<PHONE>"))
+      assert(rows.forall(_._4 == "en"))
+    } finally q.stop()
+  }
+
   test("custom-state sessionization emits sessions after watermark passes the gap") {
     import Streams.{SEvent, Session}
     val ch = Streams.Channel[SEvent](spark)

@@ -24,7 +24,11 @@ object CoreQueries {
   val queries: Map[String, Q] = Map(
     // 1. Map: 1→1 projection with arithmetic (transform.Map).
     "q_map" -> ((s, d) =>
-      Tables.spread(Tables.lineitem(s, d))
+      // prune BEFORE the round-robin spread: the repartition is a
+      // pushdown barrier, so an early select keeps the shuffle at 4
+      // columns instead of lineitem's 16
+      Tables.spread(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -33,7 +37,8 @@ object CoreQueries {
     // 2. MapWithError: try-parse, errored elements dropped
     //    (transform.MapWithError drops inputs whose mapFunc errs).
     "q_map_with_error" -> ((s, d) =>
-      Tables.spread(Tables.lineitem(s, d))
+      Tables.spread(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           when(col("l_linenumber") % 2 === 0, col("l_quantity").cast("string"))
@@ -46,7 +51,8 @@ object CoreQueries {
 
     // 3. MapWithErrorMapper: try-parse, errors mapped to a fallback value.
     "q_map_error_mapper" -> ((s, d) =>
-      Tables.spread(Tables.lineitem(s, d))
+      Tables.spread(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           when(col("l_linenumber") % 2 === 0, col("l_quantity").cast("string"))

@@ -156,7 +156,7 @@ object RelationalQueries {
     //     per-row update the bottleneck, and the single-row-group scan
     //     would otherwise run it on ONE core.
     "q_approx_distinct" -> ((s, d) =>
-      Tables.spread(Tables.events(s, d))
+      Tables.spread(Tables.events(s, d).select("event_type", "user_id"))
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           count(lit(1)).as("n"))

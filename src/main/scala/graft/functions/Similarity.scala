@@ -73,19 +73,20 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
-  /** Two-phase distributed top-k by (sim DESC, neighbor_id ASC). */
+  /** Two-phase distributed top-k by (sim DESC, neighbor_id ASC),
+    * via the native bounded-heap operator
+    * ([[graft.plans.TopKPerKey]]): partial heaps before the shuffle,
+    * ≤k rows per key per map partition shuffled, no group arrays.
+    * The rank window after it touches ≤k rows per key and reuses the
+    * operator's hash(key) output partitioning.
+    */
   private[functions] def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame = {
-    val entry = struct((-col("sim")).as("neg"), col("neighbor_id"), col("sim"))
-    val partial = scored
-      .withColumn("pid", spark_partition_id())
-      .groupBy(col(keyCol), col("pid"))
-      .agg(slice(array_sort(collect_list(entry)), 1, k).as("top"))
-    partial
-      .groupBy(col(keyCol))
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
-      .select(col(keyCol), posexplode(col("top")))
-      .select(col(keyCol), (col("pos") + 1).as("rank"),
-        col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val top = graft.plans.TopKPerKey.topK(scored, Seq(keyCol),
+      Seq("sim" -> true, "neighbor_id" -> false), k)
+    val w = Window.partitionBy(keyCol).orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col(keyCol), col("rank"), col("neighbor_id"), col("sim"))
   }
 
   /** p-bit random-hyperplane signature. Hyperplane p's component j is

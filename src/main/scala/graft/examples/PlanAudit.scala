@@ -22,7 +22,8 @@ object PlanAudit {
     val sf = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_tpch_q1", "q_join_broadcast", "q_join_multi", "q_tpch_q5",
-        "q_dedup_exact", "q_ann_bruteforce", "q_filter")
+        "q_dedup_exact", "q_ann_bruteforce", "q_filter",
+        "q_topk_per_group", "q_ntile", "q_pack")
     names.foreach { n =>
       println(s"\n=============== $n ===============")
       SparkEntry.queries(n)(spark, sf).explain("formatted")

@@ -65,6 +65,12 @@ object TopKPerKey {
       if (partial) UnspecifiedDistribution :: Nil
       else ClusteredDistribution(keys) :: Nil
 
+    // row-preserving per partition: downstream operators clustered on
+    // the same keys (e.g. a rank window over the ≤k survivors) must
+    // see the child's partitioning, or they re-shuffle needlessly
+    override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      child.outputPartitioning
+
     override protected def doExecute(): RDD[InternalRow] = {
       val keyExprs = keys
       val orderExprs = order

@@ -41,6 +41,22 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("null scores sort last, matching the window formulation") {
+    val df = Seq[(Long, Option[Double], Long)](
+      (1L, Some(5.0), 1L), (1L, None, 2L), (1L, Some(7.0), 3L), (1L, None, 4L),
+      (2L, None, 5L), (2L, None, 6L))
+      .toDF("key", "score", "id").repartition(4)
+    val expected = df.withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy($"score".desc, $"id")))
+      .filter($"rn" <= 3).drop("rn")
+      .as[(Long, Option[Double], Long)].collect().toSet
+    val got = TopKPerKey.topK(df, Seq("key"), Seq("score" -> true, "id" -> false), 3)
+      .as[(Long, Option[Double], Long)].collect().toSet
+    assert(got == expected)
+    // nulls fill key 1's third slot and all of key 2 (all-null group)
+    assert(got.contains((1L, None, 2L)) && got.contains((2L, None, 5L)))
+  }
+
   test("k larger than group size returns whole groups") {
     val df = Seq((1L, 1.0, 1L), (1L, 2.0, 2L), (2L, 9.0, 3L)).toDF("key", "score", "id")
     val got = TopKPerKey.topK(df, Seq("key"), Seq("score" -> true, "id" -> false), 10)

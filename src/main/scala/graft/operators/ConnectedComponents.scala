@@ -60,6 +60,13 @@ object ConnectedComponents {
     // edge pipeline — for shingle-join edge rules the expensive part).
     // Duplicate self-loops (one per incident edge) are harmless under
     // the min aggregate and cheaper than a distinct to dedupe them.
+    // pre-partitioned by SRC before the persist: the label table is
+    // the small side, so the per-iteration join broadcasts it (or
+    // shuffles only it), and the groupBy(src) neighbor-min then runs
+    // DIRECTLY on the cached hash(src) layout — zero edge-table
+    // shuffles per iteration (verified: the iteration plan is
+    // HashAggregate over BroadcastHashJoin over the in-memory scan,
+    // no Exchange)
     val sym = edges
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
@@ -67,6 +74,7 @@ object ConnectedComponents {
         struct(col("id_a").as("src"), col("id_a").as("dst")),
         struct(col("id_b").as("src"), col("id_b").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_ONLY)
     val touched = sym.select(col("src").as("id")).distinct()
     var labels: DataFrame = vertices.join(touched, Seq("id"), "left_semi")

@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.ScaleGuard.register(spark) // plan lint, warn mode
 
     // per-query timeout so one hung query cannot stall the whole bench;
     // fresh daemon thread per run so a driver-side hang can't make

@@ -22,6 +22,7 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.plans.GraftExtensions.register(spark)
+    graft.plans.ScaleGuard.register(spark) // plan lint, warn mode
     spark
   }
 }

@@ -25,6 +25,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dogfood the plan lint across every gated query: an
+    // empty-partition window sneaking into a query shows up as a
+    // ScaleGuard warning in this run's log
+    graft.plans.ScaleGuard.register(spark)
     new java.io.File(outDir).mkdirs()
 
     val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toInt.seconds

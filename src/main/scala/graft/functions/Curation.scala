@@ -166,6 +166,30 @@ object Curation {
       .otherwise("train")
   }
 
+  /** Overlapping token-window chunks — the embedding/RAG prep step:
+    * each document becomes ⌈n/step⌉ chunks of up to `chunkTokens`
+    * tokens, consecutive chunks sharing `overlap` tokens (step =
+    * chunkTokens − overlap; the final chunk may be shorter). Empty
+    * documents produce no chunks. Pure explode over a per-row token
+    * array — partition-local, zero shuffle, and chunk text is built
+    * only for emitted windows.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      "need chunkTokens > overlap >= 0")
+    val step = chunkTokens - overlap
+    df.repartition(par(df))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), expr(s"(size(toks) - 1) div $step")),
+          i => concat_ws(" ", slice(col("toks"), i * step + 1, lit(chunkTokens))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_text"))
+  }
+
   /** Continuous sequence packing (GPT-style pretraining layout):
     * documents are laid end-to-end per shard and cut into fixed
     * `ctxLen`-token training sequences; documents may straddle a

@@ -76,6 +76,13 @@ object CurationQueries {
         "doc_id", "n_tokens", ctxLen = 512, shards = 8)
         .orderBy("doc_id")),
 
+    // 50c. Overlapping token-window chunking (embedding/RAG prep):
+    //      32-token chunks, 8-token overlap.
+    "q_chunk" -> ((s, d) =>
+      Curation.chunk(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // 51b. End-to-end curation funnel: quality gate (word count) →
     //      language gate (scored stopword ID, unk dropped) → exact
     //      dedup keep-first → per-language corpus stats. The composed
@@ -211,6 +218,17 @@ object CurationQueries {
         |  CAST((e - n_tokens) // 512 AS BIGINT) AS seq_id,
         |  CAST((e - n_tokens) % 512 AS BIGINT) AS seq_offset
         |FROM cum ORDER BY doc_id""".stripMargin,
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, unnest([{'chunk_id': i, 'chunk_text': array_to_string(toks[i*24+1:i*24+32], ' ')}
+        |                         FOR i IN range(0, ((len(toks)-1)//24) + 1)]) AS u
+        |  FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id, u.chunk_text AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_curate_e2e" ->
       """WITH t AS (
         |  SELECT doc_id, text,

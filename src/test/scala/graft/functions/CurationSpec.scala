@@ -7,6 +7,24 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("chunk emits overlapping windows with a shorter tail") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Curation.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c d"), (1L, 1L, "c d e f"), (1L, 2L, "e f g h"),
+      (1L, 3L, "g h i j"), (1L, 4L, "i j"), // tail window, shorter
+      (2L, 0L, "x y")))                      // empty doc 3: no chunks
+  }
+
+  test("chunk windows reassemble the document (zero overlap)") {
+    val df = Seq((7L, (1 to 23).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.chunk(df, "doc_id", "text", chunkTokens = 5, overlap = 0)
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    assert(got.map(_._3).mkString(" ") == (1 to 23).map(i => s"t$i").mkString(" "))
+  }
+
   test("packSequences lays documents end-to-end per shard") {
     // single shard, ctx 10: docs of 4,4,4 tokens → third doc straddles
     // the first sequence boundary (starts at offset 8, seq 0)

@@ -69,6 +69,10 @@ object RelationalQueries {
     //      the same p·(n-1) linear-interpolation definition, so raw
     //      doubles match bit-for-bit).
     "q_percentile" -> ((s, d) =>
+      // deliberately NOT spread: l_extendedprice is near-unique, so
+      // the exact-percentile partial maps don't compress — spreading
+      // would shuffle the full data and replay the map build in the
+      // 3-group merge, paying more than the single-core build saves
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         // one percentile buffer for all three fractions (three separate

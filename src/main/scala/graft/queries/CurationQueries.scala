@@ -105,6 +105,18 @@ object CurationQueries {
         .orderBy("lang_guess")
     }),
 
+    // 51c. Data-quality gate (Deequ-style): every rule is one
+    //      aggregate expression, all rules in ONE scan. Range + set
+    //      rules are tuned to produce nonzero violation counts on
+    //      this data, so the gate demonstrably counts, not just
+    //      passes.
+    "q_data_quality" -> ((s, d) =>
+      graft.functions.Checks.run(Tables.orders(s, d), Seq(
+        graft.functions.Checks.NotNull("o_custkey"),
+        graft.functions.Checks.Unique("o_orderkey"),
+        graft.functions.Checks.InRange("o_totalprice", 0, 200000),
+        graft.functions.Checks.InSet("o_orderstatus", Seq("F", "O"))))),
+
     "q_histogram" -> ((s, d) => {
       // share of total via a broadcast scalar join, not an empty-
       // partition window (which would funnel the buckets — and a
@@ -259,6 +271,29 @@ object CurationQueries {
         |  CAST(sum(n_words) AS BIGINT) AS total_tokens
         |FROM filt WHERE doc_id IN (SELECT doc_id FROM keep)
         |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+    "q_data_quality" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders),
+        |v AS (
+        |  SELECT 'in_range(o_totalprice)' AS rule,
+        |    count(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 200000)) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)',
+        |    count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O'))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null(o_custkey)', count(*) FILTER (WHERE o_custkey IS NULL)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) +
+        |      greatest(count(*) FILTER (WHERE o_orderkey IS NULL) - 1, 0)
+        |  FROM orders
+        |)
+        |SELECT rule, violations, n_rows, violations = 0 AS pass
+        |FROM v, n ORDER BY rule""".stripMargin,
     "q_histogram" ->
       """SELECT (n_chars // 50) * 50 AS bucket, count(*) AS n,
         |  floor(count(*)::DOUBLE / (SELECT count(*) FROM documents) * 10000 + 0.5) / 10000.0 AS share

@@ -53,6 +53,44 @@ class PropertySpec extends AnyFunSuite {
     assert(got == strs.map(ref))
   }
 
+  test("native topK matches window top-k on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    (1 to 3).foreach { trial =>
+      val n = 120
+      val keys = sample(Gen.listOfN(n, Gen.chooseNum(1L, 9L)), 1000L + trial)
+      val scores = sample(Gen.listOfN(n, Gen.chooseNum(0, 50)), 2000L + trial)
+      val df = keys.zip(scores).zipWithIndex
+        .map { case ((k, s), i) => (k, s.toDouble, i.toLong) }
+        .toDF("key", "score", "id").repartition(5)
+      val k = 1 + trial * 2
+      val expected = df.withColumn("rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("score").desc, col("id"))))
+        .filter(col("rn") <= k).drop("rn")
+        .as[(Long, Double, Long)].collect().toSet
+      val got = graft.plans.TopKPerKey.topK(df, Seq("key"),
+          Seq("score" -> true, "id" -> false), k)
+        .as[(Long, Double, Long)].collect().toSet
+      assert(got == expected, s"trial $trial k=$k")
+    }
+  }
+
+  test("chunking with zero overlap reassembles random documents") {
+    (1 to 3).foreach { trial =>
+      val texts = sample(Gen.listOfN(8, doc), 3000L + trial)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val size = 1 + trial * 2 // 3, 5, 7 tokens per chunk
+      val got = Curation.chunk(docs, "doc_id", "text", chunkTokens = size, overlap = 0)
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).mkString(" ")).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == t, s"trial $trial doc $i")
+      }
+    }
+  }
+
   test("salted join equals plain join on random skewed data") {
     (1 to 3).foreach { trial =>
       val keys = sample(Gen.listOfN(40, Gen.chooseNum(1L, 5L)), 9L + trial)

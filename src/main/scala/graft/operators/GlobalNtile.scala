@@ -40,10 +40,9 @@ import org.apache.spark.storage.StorageLevel
   * guarantee). MEMORY_ONLY: an evicted block recomputes from the same
   * pinned physical RDD — same shuffle files, same bounds — so
   * eviction cannot break the pin, and blocks don't pile up on disk in
-  * long sessions. The persist stays owned by the returned plan; call
-  * `.unpersist()` on the SparkSession-cached data via
-  * `spark.sharedState.cacheManager` only if the session is
-  * long-lived and the result has been fully consumed.
+  * long sessions. The persist stays owned by the returned plan; in a
+  * long-lived session use [[GlobalNtile.ntileWithHandle]] and call the
+  * handle once the result is fully consumed.
   */
 object GlobalNtile {
 
@@ -55,7 +54,18 @@ object GlobalNtile {
     * would silently mis-rank. Wrap descending keys as negations or
     * pre-compute a sort key column instead.
     */
-  def ntile(df: DataFrame, n: Int, ord: Seq[Column], bucketCol: String): DataFrame = {
+  def ntile(df: DataFrame, n: Int, ord: Seq[Column], bucketCol: String): DataFrame =
+    ntileWithHandle(df, n, ord, bucketCol)._1
+
+  /** As [[ntile]], plus an unpersist handle for the internal
+    * range-sorted cache: call it AFTER the returned frame has been
+    * fully materialized (written / collected / checkpointed) — before
+    * that it would un-pin the single-evaluation guarantee the ranks
+    * depend on. Repeated `ntile` calls in a long-lived session leak
+    * one cached plan each without this.
+    */
+  def ntileWithHandle(df: DataFrame, n: Int, ord: Seq[Column],
+                      bucketCol: String): (DataFrame, () => Unit) = {
     require(n > 0, "ntile bucket count must be positive")
     ord.foreach { c =>
       require(!Bridge.isSortOrder(c),
@@ -94,7 +104,8 @@ object GlobalNtile {
       if (base == 0L) floor((col("_rk") - 1) / lit(base + 1)) + 1 // n > N: rank == bucket
       else when(col("_rk") <= bigSpan, floor((col("_rk") - 1) / lit(base + 1)) + 1)
         .otherwise(lit(rem) + floor((col("_rk") - bigSpan - 1) / lit(base)) + 1)
-    ranked.withColumn(bucketCol, bucket.cast("int"))
+    val out = ranked.withColumn(bucketCol, bucket.cast("int"))
       .drop("_pid", "_off", "_mid", "_rk")
+    (out, () => { ranged.unpersist(); () })
   }
 }

@@ -67,22 +67,24 @@ object RelationalQueries {
 
     // 21d. Exact interpolated percentiles per group (both engines use
     //      the same p·(n-1) linear-interpolation definition, so raw
-    //      doubles match bit-for-bit).
-    "q_percentile" -> ((s, d) =>
-      // deliberately NOT spread: l_extendedprice is near-unique, so
-      // the exact-percentile partial maps don't compress — spreading
-      // would shuffle the full data and replay the map build in the
-      // 3-group merge, paying more than the single-core build saves
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        // one percentile buffer for all three fractions (three separate
-        // aggs would each build their own value-counts map)
-        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("ps"))
-        .select(col("l_returnflag"),
-          col("ps").getItem(0).as("p25"),
-          col("ps").getItem(1).as("p50"),
-          col("ps").getItem(2).as("p95"))
-        .orderBy("l_returnflag")),
+    //      doubles match bit-for-bit). Rank-based range-partitioned
+    //      selection, NOT Spark's `percentile()` aggregate: that
+    //      buffer is a value→count map that is O(rows) per group over
+    //      near-unique doubles and concentrates each group's map into
+    //      one merge task — an executor OOM at 100 TB. ExactPercentile
+    //      keeps every task bounded by its input split and computes
+    //      the bit-identical interpolated value.
+    "q_percentile" -> ((s, d) => {
+      val (res, release) = graft.operators.ExactPercentile.percentilesWithHandle(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.95), Seq("p25", "p50", "p95"))
+      // one row per group: pin it locally, then release the big
+      // range-sorted cache immediately instead of leaking it into the
+      // session (the caller only ever sees the 3-row result)
+      val out = res.orderBy("l_returnflag").localCheckpoint()
+      release()
+      out
+    }),
 
     // 21e. Statistical aggregates (corr / stddev / covar), engine-
     //      neutrally rounded: accumulation order differs across engines.

@@ -86,12 +86,15 @@ object Bench {
       (name, elapsed, times)
     }
     val loadEnd = os.getSystemLoadAverage
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    def f2(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val qs2 = results.map { case (k, v, _) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // every iteration (warm-up first), so contention is visible per
     // query: a min that's 3x its sibling iters means a noisy box, a
     // min that matches them means a trustworthy number
-    def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
     val perIter = results.map { case (k, _, ts) =>
       s"\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -100,7 +103,26 @@ object Bench {
     // fast full run for consumers that read only the total
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}""")
+    val stamp = s""""load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir""""
+    // the stdout consumer keeps only the LAST 2000 chars of output, so
+    // the printed line must fit in that window (with sbt's trailing
+    // [success] line) or it is truncated mid-JSON and never parses —
+    // which is exactly what happened for five rounds while this line
+    // carried the per-iteration arrays. Compact line to stdout;
+    // full per-iteration detail to BENCH_DETAIL.json next to the repo.
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,$stamp}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
+    var line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs2,"sf":"$sfDir"}"""
+    if (line.length > 1850) {
+      // degrade gracefully if the query set outgrows the window:
+      // totals + failure count still parse, detail stays in the file
+      System.err.println(s"[bench] compact line ${line.length} chars > 1850; dropping per-query map from stdout (see BENCH_DETAIL.json)")
+      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}"""
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -84,6 +84,16 @@ object Verify {
     val names = SparkEntry.queries.keys.toSeq.filter(selected).sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), names)
+    // a filtered local run writes a marker so its artifact set can never
+    // be mistaken for (or graded as) a full gate run with a silently
+    // shrunken N/N denominator; a full run REMOVES any stale marker so
+    // a reused outDir converges to the truthful state either way
+    val marker = Paths.get(s"$outDir/filtered.json")
+    only match {
+      case Some(f) => Files.writeString(marker,
+        f.toSeq.sorted.map(q).mkString("{\"filtered\":[", ",", "]}"))
+      case None => Files.deleteIfExists(marker)
+    }
     spark.stop()
   }
 }

@@ -72,11 +72,25 @@ object ExactPercentile {
     require(fractions.forall(p => p >= 0.0 && p <= 1.0),
       s"fractions must be in [0, 1], got $fractions")
     val spark = df.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
-    val gcols = groupCols.map(col)
+    // backtick-quote every interpolated column reference so names
+    // containing dots (or backticks) resolve as single columns
+    def bq(n: String): String = "`" + n.replace("`", "``") + "`"
+    val gcols = groupCols.map(c => col(bq(c)))
     val base = df
-      .select(gcols :+ col(valueCol).cast("double").as("_v"): _*)
+      .select(gcols :+ col(bq(valueCol)).cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
+    // the pid|seq rank encoding gives each range partition 2^33 local
+    // sequence numbers — partition count must therefore scale with the
+    // input, not with executor count alone. Size from plan stats at
+    // ~256 MB per partition (>250x below the 2^33-row ceiling for any
+    // realistic row width); the post-collect require below is the
+    // exact backstop for when stats lie.
+    val statBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byStats: Int =
+      if (statBytes > 0 && statBytes < BigInt(Long.MaxValue) / 2)
+        (statBytes / (256L << 20)).min(BigInt(1 << 17)).toInt
+      else 0
+    val parts = math.max(spark.sparkContext.defaultParallelism, byStats)
     val ranged = base
       .repartitionByRange(parts, gcols :+ col("_v"): _*)
       .sortWithinPartitions(gcols :+ col("_v"): _*)
@@ -91,15 +105,36 @@ object ExactPercentile {
         min(col("_mid").bitwiseAND(lit(midMask))).as("_seq0"))
       .collect()
     val g = groupCols.length
+    // exact overflow backstop: if any real partition held ≥ 2^33 rows,
+    // its sequence numbers bled into the pid bits — and the first 2^33
+    // of them still land on the true pid, so that observed pid bucket
+    // counts ≥ 2^33 and this check CANNOT miss the corruption
+    locally {
+      val lim = 1L << 33
+      slots.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+        val n = rs.map(_.getLong(g + 1)).sum
+        require(n < lim, s"range partition $pid holds $n rows >= 2^33: " +
+          "the pid|seq rank encoding would corrupt ranks; increase " +
+          "partition count (input stats under-estimated the data size)")
+      }
+    }
     // driver: per group, partition slots in pid order → prefix-sum
     // offsets; rank of a row = localSeq + (offset − seq0) = localSeq + adj
+    // group key for driver-side equality: binary columns collect as
+    // Array[Byte], whose JVM equals is reference identity — normalize
+    // arrays to Seq for the key, keep originals for row construction
+    def comparable(v: Any): Any = v match {
+      case a: Array[_] => a.toSeq
+      case x => x
+    }
     val byGroup: Map[Seq[Any], Array[Row]] = slots
-      .groupBy(r => (1 to g).map(r.get): Seq[Any])
+      .groupBy(r => (1 to g).map(i => comparable(r.get(i))): Seq[Any])
       .view.mapValues(_.sortBy(_.getLong(0))).toMap
     val groupSchema = StructType(groupCols.map(base.schema(_)))
     val adjRows = Seq.newBuilder[Row]
     val neededRows = Seq.newBuilder[Row]
-    byGroup.foreach { case (gv, slotRows) =>
+    byGroup.foreach { case (_, slotRows) =>
+      val gv = (1 to g).map(slotRows.head.get)
       var off = 0L
       slotRows.foreach { r =>
         adjRows += Row.fromSeq(r.getLong(0) +: gv :+ (off - r.getLong(g + 2)))
@@ -135,7 +170,7 @@ object ExactPercentile {
     // null-safe group equality: groupBy above treats null as a group,
     // so the joins must too
     def groupEq(l: String, r: String): Column =
-      groupCols.map(c => col(s"$l.$c") <=> col(s"$r.$c"))
+      groupCols.map(c => col(s"$l.${bq(c)}") <=> col(s"$r.${bq(c)}"))
         .foldLeft(lit(true))(_ && _)
     val cand = ranged
       .withColumn("_pid", shiftright(col("_mid"), 33)).as("l")
@@ -143,11 +178,11 @@ object ExactPercentile {
         col("l._pid") === col("r._pid") && groupEq("l", "r"))
       .withColumn("_grank",
         col("_mid").bitwiseAND(lit(midMask)) + col("_adj"))
-      .select(groupCols.map(c => col(s"l.$c")) :+ col("_grank") :+ col("_v"): _*)
+      .select(groupCols.map(c => col(s"l.${bq(c)}")) :+ col("_grank") :+ col("_v"): _*)
     val hits = cand.as("l")
       .join(broadcast(neededDf.as("r")),
         col("l._grank") === col("r._grank") && groupEq("l", "r"))
-      .select(groupCols.map(c => col(s"l.$c")) ++
+      .select(groupCols.map(c => col(s"l.${bq(c)}")) ++
         Seq(col("_fidx"), col("_role"), col("_wl"), col("_wh"), col("_v")): _*)
     // ≤ 2·|fractions| rows per group reach this aggregation
     val aggExprs = fractions.indices.flatMap { i => Seq(

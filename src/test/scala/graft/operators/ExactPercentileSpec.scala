@@ -85,6 +85,36 @@ class ExactPercentileSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("binary group columns group by value, not reference") {
+    // each Row carries a FRESH Array[Byte] — reference-equality keying
+    // on the driver would split one logical group into many
+    val df = (1 to 400).map { i =>
+      (Array[Byte]((i % 2).toByte, 7), i.toDouble)
+    }.toDF("g", "v").repartition(5)
+    val (res, release) = ExactPercentile.percentilesWithHandle(
+      df, Seq("g"), "v", Seq(0.5), Seq("p50"))
+    val got = res.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getDouble(1)).toMap
+    release()
+    val want = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getDouble(1)).toMap
+    got shouldBe want
+    got.size shouldBe 2
+  }
+
+  test("group / value column names containing dots resolve") {
+    val df = (1 to 300).map(i => ("g" + (i % 2), i.toDouble))
+      .toDF("the.group", "the.value")
+    val (res, release) = ExactPercentile.percentilesWithHandle(
+      df, Seq("the.group"), "the.value", Seq(0.5), Seq("p50"))
+    val got = res.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    release()
+    val want = df.groupBy(col("`the.group`"))
+      .agg(expr("percentile(`the.value`, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got shouldBe want
+  }
+
   test("empty input yields empty result with the right schema") {
     val df = Seq.empty[(String, Double)].toDF("g", "v")
     val (res, release) = ExactPercentile.percentilesWithHandle(

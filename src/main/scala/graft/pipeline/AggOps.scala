@@ -53,8 +53,16 @@ private[pipeline] object AggOps {
   def sortDesc[T: Ordering: ClassTag](stage: Stage[T]): Seq[T] =
     stage.ds.rdd.sortBy(identity, ascending = false).collect().toSeq
 
-  def groupBy[T, K: ClassTag](stage: Stage[T], f: T => K): Map[K, Seq[T]] =
-    stage.ds.rdd.groupBy(f).map { case (k, vs) => (k, vs.toSeq) }.collect().toMap
+  // aggregateByKey, not groupBy/groupByKey: map-side combine builds the
+  // per-key vectors before the shuffle, halving shuffle volume vs
+  // shipping every raw value (the result is driver-materialized by the
+  // pippin contract either way, but the shuffle shouldn't pay twice)
+  def groupBy[T, K: ClassTag](stage: Stage[T], f: T => K): Map[K, Seq[T]] = {
+    implicit val tt: ClassTag[T] = stage.ds.encoder.clsTag
+    stage.ds.rdd.map(t => (f(t), t))
+      .aggregateByKey(Vector.empty[T])(_ :+ _, _ ++ _)
+      .collect().toMap
+  }
 
   def reduce[T](stage: Stage[T], f: (T, T) => T): T = stage.ds.reduce(f)
 
@@ -64,7 +72,9 @@ private[pipeline] object AggOps {
     stage.ds.rdd.map(f).collectAsMap().toMap
 
   def asMultiMap[T, K: ClassTag, V: ClassTag](stage: Stage[T], f: T => (K, V)): Map[K, Seq[V]] =
-    stage.ds.rdd.map(f).groupByKey().map { case (k, vs) => (k, vs.toSeq) }.collect().toMap
+    stage.ds.rdd.map(f)
+      .aggregateByKey(Vector.empty[V])(_ :+ _, _ ++ _)
+      .collect().toMap
 
   def forEach[T](stage: Stage[T], f: T => Unit): Unit = stage.ds.foreach(f)
 

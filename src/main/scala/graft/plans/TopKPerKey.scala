@@ -77,6 +77,15 @@ object TopKPerKey {
       val childOutput = child.output
       val limit = k
       val isPartial = partial
+      // partial-pass memory guard: with near-unique keys a 128 MB split
+      // could otherwise copy ~every row into heaps (several× expansion
+      // as UnsafeRow copies + PQ overhead) with no spill path. When the
+      // key map crosses this bound, emit-and-clear: each flush still
+      // sends ≤ k rows per key, so the final pass merges the same
+      // result — identical to how Spark's partial aggregates fall back
+      // to pass-through emission under memory pressure.
+      val maxKeys = conf.getConfString(
+        "spark.graft.topk.partialMaxKeys", "65536").toInt
       child.execute().mapPartitions { iter =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val rowOrd = GenerateOrdering.generate(orderExprs, childOutput)
@@ -84,7 +93,7 @@ object TopKPerKey {
         // when a better one arrives — classic bounded top-k
         val heaps = scala.collection.mutable.LinkedHashMap
           .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-        iter.foreach { row =>
+        def consume(row: InternalRow): Unit = {
           val key = keyProj(row)
           heaps.get(key) match {
             case Some(pq) =>
@@ -99,8 +108,28 @@ object TopKPerKey {
               heaps.put(key.copy(), pq)
           }
         }
-        if (isPartial) heaps.valuesIterator.flatMap(_.iterator)
-        else heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+        if (isPartial) new Iterator[InternalRow] {
+          private var out: Iterator[InternalRow] = Iterator.empty
+          private def fill(): Unit =
+            while (!out.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+              while (iter.hasNext && heaps.size < maxKeys) consume(iter.next())
+              if (heaps.nonEmpty) {
+                // snapshot before clear — the emitting iterator must
+                // not read through the live (about-to-refill) map
+                val drained = heaps.values.toArray
+                heaps.clear()
+                out = drained.iterator.flatMap(_.iterator)
+              }
+            }
+          override def hasNext: Boolean = { fill(); out.hasNext }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            out.next()
+          }
+        } else {
+          iter.foreach(consume)
+          heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+        }
       }
     }
   }

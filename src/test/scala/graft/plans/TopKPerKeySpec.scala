@@ -57,6 +57,24 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got.contains((1L, None, 2L)) && got.contains((2L, None, 5L)))
   }
 
+  test("partial-pass emit-and-clear under a tiny key budget stays exact") {
+    // 61 distinct keys per partition against a 4-key budget forces
+    // ~15 flush cycles per partition; the final pass must still merge
+    // the flush fragments to the exact window-formulation answer
+    val df = (1 to 2000).map { i =>
+      (i.toLong % 61, ((i * 131) % 97).toDouble, i.toLong)
+    }.toDF("key", "score", "id").repartition(8)
+    spark.conf.set("spark.graft.topk.partialMaxKeys", "4")
+    try {
+      Seq(1, 5).foreach { k =>
+        val got = TopKPerKey.topK(df, Seq("key"), Seq("score" -> true, "id" -> false), k)
+          .as[(Long, Double, Long)].collect()
+        assert(got.toSet == windowTopK(df, k), s"k=$k under flush pressure")
+        assert(got.length == got.toSet.size, s"k=$k emitted duplicates")
+      }
+    } finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
+  }
+
   test("k larger than group size returns whole groups") {
     val df = Seq((1L, 1.0, 1L), (1L, 2.0, 2L), (2L, 9.0, 3L)).toDF("key", "score", "id")
     val got = TopKPerKey.topK(df, Seq("key"), Seq("score" -> true, "id" -> false), 10)

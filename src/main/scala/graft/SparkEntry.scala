@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.LlmQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracles ++
       graft.queries.LlmQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
-      graft.queries.AnalyticsQueries.oracles
+      graft.queries.AnalyticsQueries.oracles ++
+      graft.queries.ExtendedQueries.oracles
 }

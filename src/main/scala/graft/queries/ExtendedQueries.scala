@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.EngineNeutral
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third-wave operators (SURVEY.md §2 rows 58-65): JSON extraction,
+  * event funnels, blocked record linkage, ordered string aggregation,
+  * rank-family windows, first/last/nth windows, salted skew joins as a
+  * gated query, and time-range self-joins. All carry DuckDB oracles.
+  */
+object ExtendedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // 58. JSON extraction: pull typed fields out of a JSON payload
+    //     column and aggregate. get_json_object is a codegen'd path
+    //     expression — the parse happens once per row inside the
+    //     stage, no UDF; at 100 TB this is scan-bound, exactly as it
+    //     should be.
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // 59. Event funnel: users whose first click converts to a purchase
+    //     within 24 hours, with the conversion timestamp. Two
+    //     hash-partitioned passes on user_id — the first-click
+    //     aggregation reuses its shuffle for the purchase join under
+    //     AQE; no window over the full event stream.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      ev.filter(col("event_type") === "purchase").as("p")
+        .join(firstClick.as("c"), col("p.user_id") === col("c.user_id"))
+        .filter(col("p.ts") > col("first_click") &&
+          col("p.ts") <= col("first_click") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("p.user_id").as("user_id"), col("first_click"))
+        .agg(min(col("p.ts")).as("first_conversion"))
+        .select(col("user_id"),
+          date_format(col("first_click"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_click"),
+          date_format(col("first_conversion"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_conversion"))
+        .orderBy("user_id")
+    }),
+
+    // 60. Blocked record linkage: the classic scale shape for fuzzy
+    //     matching — equi-join on a cheap blocking key (here
+    //     nation × segment) so candidate pairs stay near-linear, then
+    //     verify each candidate with an exact edit distance. Never
+    //     all-pairs: the block join is a plain hash join and the
+    //     quadratic step runs only within blocks.
+    "q_linkage" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+        .filter(col("dist") <= 2)
+        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+          col("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 61. Ordered string aggregation (LISTAGG) — bounded by running it
+    //     over the native top-k operator's survivors (≤3 rows per
+    //     nation), never over raw groups: an unbounded listagg is a
+    //     driver-OOM generator at scale.
+    "q_listagg" -> ((s, d) => {
+      val joined = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+      graft.plans.TopKPerKey.topK(joined, Seq("n_name"),
+          Seq("c_acctbal" -> true, "c_custkey" -> false), k = 3)
+        .groupBy("n_name")
+        .agg(array_join(sort_array(collect_list(col("c_name"))), ",").as("top_names"))
+        .orderBy("n_name")
+    }),
+
+    // 62. Rank-family windows: percent_rank / cume_dist / ntile in ONE
+    //     window spec (deterministic total order via the custkey
+    //     tiebreak), so the whole family shares a single
+    //     shuffle + sort.
+    "q_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("tile"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // 63. Value-position windows: lag/lead/first/last/nth over each
+    //     customer's order history — again one window spec, one
+    //     shuffle; last/nth need the explicit full frame.
+    "q_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          first("o_totalprice").over(full).as("first_price"),
+          last("o_totalprice").over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // 64. Salted skew join as a gated query (the operator itself is
+    //     spec-tested): orders' hot customers split across 8 salted
+    //     reducers, customer replicated 8×; result is row-identical to
+    //     the plain join, which is exactly what the oracle checks.
+    "q_join_skew" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumnRenamed("c_custkey", "o_custkey")
+      graft.operators.SkewJoin
+        .saltedEquiJoin(Tables.orders(s, d), cust, "o_custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // 65. Time-range self-join: clicks in the 4 hours before each
+    //     purchase, per user. The user_id equi-key keeps it a hash
+    //     join with the range as a residual filter — at 100 TB you
+    //     would additionally bucket both sides by (user, time window)
+    //     so the residual never sees more than two buckets.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("ts").as("cts"), col("value"))
+      p.join(c, col("user_id") === col("cuser") &&
+          col("cts") >= col("pts") - expr("INTERVAL 4 HOURS") &&
+          col("cts") < col("pts"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum("value"), 2).as("click_value"))
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(ts) AS first_click FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT p.user_id,
+        |  strftime(fc.first_click, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+        |  strftime(min(p.ts), '%Y-%m-%d %H:%M:%S.%f') AS first_conversion
+        |FROM events p JOIN fc ON p.user_id = fc.user_id
+        |WHERE p.event_type = 'purchase'
+        |  AND p.ts > fc.first_click
+        |  AND p.ts <= fc.first_click + INTERVAL 24 HOUR
+        |GROUP BY p.user_id, fc.first_click ORDER BY p.user_id""".stripMargin,
+    "q_linkage" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_listagg" ->
+      """SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS top_names
+        |FROM (
+        |  SELECT n_name, c_name,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rn <= 3 GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  ntile(4) OVER w AS tile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_skew" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id, count(*) AS n_clicks,
+        |  round(sum(c.value), 2) AS click_value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 4 HOUR
+        | AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)
+}

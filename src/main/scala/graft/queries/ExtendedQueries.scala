@@ -59,7 +59,10 @@ object ExtendedQueries {
     "q_linkage" -> ((s, d) => {
       val c = Tables.customer(s, d)
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-      c.as("a").join(c.as("b"),
+      // spread the PROBE side: the single-row-group test scan would
+      // otherwise stream the whole table — and run every in-block
+      // levenshtein — in one task under the broadcast join
+      Tables.spread(c).as("a").join(c.as("b"),
           col("a.c_nationkey") === col("b.c_nationkey") &&
           col("a.c_mktsegment") === col("b.c_mktsegment") &&
           col("a.c_custkey") < col("b.c_custkey"))

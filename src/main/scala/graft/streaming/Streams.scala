@@ -161,6 +161,30 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each left row pairs with right rows
+    * of the same key whose event time falls in
+    * `[leftTs − lookbackSeconds, leftTs)` — the streaming face of the
+    * batch q_range_join (purchase ← preceding clicks).
+    *
+    * Both sides carry watermarks and the join condition bounds right's
+    * event time relative to left's, so Spark can expire join state:
+    * right rows are dropped once the left watermark passes
+    * `rightTs + lookbackSeconds`, left rows once right's watermark
+    * passes leftTs. Without the time bound the state store would grow
+    * forever — the condition is what makes this run indefinitely at
+    * scale (reference: Structured Streaming's inner joins with
+    * event-time range conditions). Append-mode only, like all
+    * stream-stream inner joins.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+                   rightTs: String, key: (String, String),
+                   lookbackSeconds: Long, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark).join(
+      right.withWatermark(rightTs, watermark),
+      col(key._1) === col(key._2) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col(rightTs) < col(leftTs))
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

@@ -7,6 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 
 case class Evt(ts: Timestamp, event_type: String, value: Double)
+case class PEvt(pts: Timestamp, puser: Long, order_id: Long)
+case class CEvt(cts: Timestamp, cuser: Long, v: Double)
 
 /** Channel source (reference pipeline.FromChannel) + watermarked
   * windowed aggregation, and stream/batch agreement for the same
@@ -175,6 +177,44 @@ class StreamingSpec extends AnyFunSuite {
       ch.send(SEvent(1L, Timestamp.valueOf("2024-01-01 00:03:00"), 4.0)) // dup key, later batch
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() == 2) // users 1 and 2 once each
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    val purchases = Streams.Channel[PEvt](spark)
+    val clicks = Streams.Channel[CEvt](spark)
+    val p = Seq(
+      PEvt(Timestamp.valueOf("2024-01-01 00:30:00"), 1L, 100L),
+      PEvt(Timestamp.valueOf("2024-01-01 00:40:00"), 2L, 101L),
+      PEvt(Timestamp.valueOf("2024-01-01 02:00:00"), 1L, 102L))
+    val c = Seq(
+      CEvt(Timestamp.valueOf("2024-01-01 00:10:00"), 1L, 1.0), // in 30m window of 100
+      CEvt(Timestamp.valueOf("2024-01-01 00:29:00"), 1L, 2.0), // in window of 100
+      CEvt(Timestamp.valueOf("2024-01-01 00:35:00"), 2L, 4.0), // in window of 101
+      CEvt(Timestamp.valueOf("2024-01-01 00:30:00"), 1L, 8.0), // cts == pts: excluded
+      CEvt(Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 16.0)) // too early for 102
+    purchases.send(p: _*)
+    clicks.send(c: _*)
+    val joined = Streams.intervalJoin(
+      purchases.toDS.toDF(), "pts", clicks.toDS.toDF(), "cts",
+      "puser" -> "cuser", lookbackSeconds = 1800, watermark = "10 minutes")
+      .select($"order_id", $"cts", $"v")
+    val q = Streams.runToMemory(joined, "ij_out", outputMode = "append")
+    try {
+      // advance both watermarks far past every event so all pairs emit
+      purchases.send(PEvt(Timestamp.valueOf("2024-01-02 00:00:00"), 9L, 999L))
+      clicks.send(CEvt(Timestamp.valueOf("2024-01-02 00:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ij_out")
+        .as[(Long, Timestamp, Double)].collect().toSet
+      val batch = p.toDF().join(c.toDF(),
+          $"puser" === $"cuser" &&
+          $"cts" >= $"pts" - expr("INTERVAL 1800 SECONDS") && $"cts" < $"pts")
+        .select($"order_id", $"cts", $"v")
+        .as[(Long, Timestamp, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set(100L, 101L))
+      assert(streamed.size == 3)
     } finally q.stop()
   }
 

@@ -6,10 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Third-wave operators (SURVEY.md §2 rows 58-65): JSON extraction,
+/** Third-wave operators (SURVEY.md §2 rows 58-67): JSON extraction,
   * event funnels, blocked record linkage, ordered string aggregation,
   * rank-family windows, first/last/nth windows, salted skew joins as a
-  * gated query, and time-range self-joins. All carry DuckDB oracles.
+  * gated query, time-range self-joins, vector quantization, and cohort
+  * retention. All carry DuckDB oracles.
   */
 object ExtendedQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -152,6 +153,48 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_clicks"),
           round(sum("value"), 2).as("click_value"))
         .orderBy("event_id")
+    }),
+
+    // 66. Vector normalize + int8 quantization: L2 norm via the
+    //     codegen'd array_dot expression, then per-element
+    //     floor(x/norm·127 + 0.5) — the engine-neutral symmetric
+    //     rounding, exact for negatives too. Output is scalar
+    //     projections of the quantized vector (sum/min/max/first):
+    //     any single-element divergence shifts q_sum, and array
+    //     columns would defeat the oracle's row-sorting compare.
+    //     transform/aggregate are interpreted in Spark 4 — fine here
+    //     over 64-dim vectors; a hot 100 TB path would get a codegen
+    //     ArrayScale sibling of ArrayDot.
+    "q_vector_quantize" -> ((s, d) => {
+      val e = graft.Tables.spread(Tables.embeddings(s, d))
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("norm", sqrt(graft.functions.Similarity.dot(col("v"), col("v"))))
+        .withColumn("q", transform(col("v"),
+          x => floor(x / col("norm") * 127 + lit(0.5)).cast("int")))
+      e.select(col("vec_id"),
+          EngineNeutral.roundHalfUp(col("norm"), 6).as("norm_r6"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          element_at(col("q"), 1).as("q0"))
+        .orderBy("vec_id")
+    }),
+
+    // 67. Cohort retention: users grouped by first-seen day, distinct
+    //     actives per day offset. Two user_id-partitioned aggregations
+    //     and one join — the cohort table is tiny relative to events
+    //     and broadcasts; all counts are exact ints.
+    "q_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +266,32 @@ object ExtendedQueries {
         | AND c.ts >= p.ts - INTERVAL 4 HOUR
         | AND c.ts < p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q_vector_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, norm,
+        |    list_transform(v, x -> CAST(floor(x / norm * 127 + 0.5) AS INT)) AS qv
+        |  FROM t)
+        |SELECT vec_id,
+        |  floor(norm * 1000000 + 0.5) / 1000000.0 AS norm_r6,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  list_aggregate(qv, 'min') AS q_min,
+        |  list_aggregate(qv, 'max') AS q_max,
+        |  qv[1] AS q0
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', c.cohort_day, e.day) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin)
 }

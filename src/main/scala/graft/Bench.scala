@@ -86,11 +86,47 @@ object Bench {
       (name, elapsed, times)
     }
     val loadEnd = os.getSystemLoadAverage
-    def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
-    def f2(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
+    // failed queries (-1 markers) must not improve the total; an
+    // explicit failed-count keeps a partial run from masquerading as a
+    // fast full run for consumers that read only the total
+    val failed = results.count(_._2 < 0)
+    val total = if (failed > 0) -1.0 else results.map(_._2).sum
+    val detail = BenchFormat.detailJson(results, total, failed,
+      loadStart, loadEnd, cpus, sfDir)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
+    val (line, overflow) = BenchFormat.compactLine(
+      results.map { case (k, v, _) => (k, v) }, total, failed, sfDir)
+    overflow.foreach(System.err.println)
+    println(line)
+    spark.stop()
+  }
+}
+
+/** JSON formatting for [[Bench]], separated so the stdout-line length
+  * budget is testable: the consumer keeps only the LAST 2000 chars of
+  * output, so the printed line must fit in that window alongside
+  * sbt's trailing `[success]` line or it is truncated mid-JSON and
+  * never parses — which is exactly what happened for five recorded
+  * rounds while the line carried per-iteration arrays. Compact line
+  * to stdout; full per-iteration detail to BENCH_DETAIL.json.
+  */
+object BenchFormat {
+  /** Budget for the stdout line: 2000-char tail window minus ~100
+    * chars of sbt epilogue, with margin. BenchFormatSpec pins the
+    * CURRENT query inventory under this with worst-case widths.
+    */
+  val MaxLineChars = 1850
+
+  def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+  private def f2(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
+
+  def detailJson(results: Seq[(String, Double, Seq[Double])], total: Double,
+                 failed: Int, loadStart: Double, loadEnd: Double,
+                 cpus: String, sfDir: String): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val qs2 = results.map { case (k, v, _) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // every iteration (warm-up first), so contention is visible per
     // query: a min that's 3x its sibling iters means a noisy box, a
@@ -98,31 +134,21 @@ object Bench {
     val perIter = results.map { case (k, _, ts) =>
       s"\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // failed queries (-1 markers) must not improve the total; an
-    // explicit failed-count keeps a partial run from masquerading as a
-    // fast full run for consumers that read only the total
-    val failed = results.count(_._2 < 0)
-    val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    val stamp = s""""load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir""""
-    // the stdout consumer keeps only the LAST 2000 chars of output, so
-    // the printed line must fit in that window (with sbt's trailing
-    // [success] line) or it is truncated mid-JSON and never parses —
-    // which is exactly what happened for five rounds while this line
-    // carried the per-iteration arrays. Compact line to stdout;
-    // full per-iteration detail to BENCH_DETAIL.json next to the repo.
-    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,$stamp}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
-    var line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs2,"sf":"$sfDir"}"""
-    if (line.length > 1850) {
-      // degrade gracefully if the query set outgrows the window:
-      // totals + failure count still parse, detail stays in the file
-      System.err.println(s"[bench] compact line ${line.length} chars > 1850; dropping per-query map from stdout (see BENCH_DETAIL.json)")
-      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}"""
-    }
-    println(line)
-    spark.stop()
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
+  }
+
+  /** The stdout line, plus a warning when the per-query map had to be
+    * dropped to stay under [[MaxLineChars]] (totals still parse;
+    * detail stays in the file).
+    */
+  def compactLine(results: Seq[(String, Double)], total: Double,
+                  failed: Int, sfDir: String): (String, Option[String]) = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    if (line.length <= MaxLineChars) (line, None)
+    else (s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}""",
+      Some(s"[bench] compact line ${line.length} chars > $MaxLineChars; " +
+        "dropping per-query map from stdout (see BENCH_DETAIL.json)"))
   }
 }

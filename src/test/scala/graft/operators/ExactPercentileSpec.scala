@@ -115,6 +115,47 @@ class ExactPercentileSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("randomized: bit-identical to Spark percentile() across distributions") {
+    // mixed regimes per trial: heavy ties, near-unique doubles,
+    // negatives, single-element groups, nulls — the operator must be
+    // bit-exact against Spark's value→count-map implementation on all
+    // of them (deterministic seeds; the gate must not flake)
+    val rnd = new scala.util.Random(4242)
+    (1 to 4).foreach { trial =>
+      val n = 200 + rnd.nextInt(1800)
+      val nGroups = 1 + rnd.nextInt(6)
+      val tieDomain = 1 + rnd.nextInt(50)
+      val rows = (1 to n).map { _ =>
+        val g = "g" + rnd.nextInt(nGroups)
+        val v =
+          if (rnd.nextBoolean()) Some((rnd.nextInt(tieDomain) - tieDomain / 2).toDouble)
+          else if (rnd.nextInt(20) == 0) None
+          else Some(rnd.nextDouble() * 2000 - 1000)
+        (g, v)
+      }
+      val df = rows.toDF("g", "v").repartition(1 + rnd.nextInt(9))
+      val ps = Seq.fill(1 + rnd.nextInt(4))(rnd.nextDouble()).distinct ++ Seq(0.0, 1.0)
+      val names = ps.indices.map(i => s"p$i")
+      val (res, release) = ExactPercentile.percentilesWithHandle(
+        df, Seq("g"), "v", ps, names)
+      val got = res.collect()
+        .map(r => r.getString(0) -> names.indices.map(i => r.getDouble(i + 1)))
+        .toMap
+      release()
+      val want = refPercentiles(df, "g", "v", ps)
+        .collect { case (k, v) if k != null => k.asInstanceOf[String] -> v }
+      // all-null groups drop out of both (percentile over no values)
+      val wantNonEmpty = want.filter { case (g, _) => got.contains(g) }
+      assert(got.keySet == want.keySet.filter(g =>
+        rows.exists(r => r._1 == g && r._2.isDefined)), s"trial $trial group set")
+      wantNonEmpty.foreach { case (g, vs) =>
+        got(g).zip(vs).zipWithIndex.foreach { case ((a, b), i) =>
+          assert(a == b, s"trial $trial group $g p=${ps(i)}: got $a want $b")
+        }
+      }
+    }
+  }
+
   test("empty input yields empty result with the right schema") {
     val df = Seq.empty[(String, Double)].toDF("g", "v")
     val (res, release) = ExactPercentile.percentilesWithHandle(

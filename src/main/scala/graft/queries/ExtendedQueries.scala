@@ -195,7 +195,24 @@ object ExtendedQueries {
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset"), col("n_users"))
         .orderBy("cohort_day", "day_offset")
-    }))
+    }),
+
+    // 68. Approximate percentiles (GK-style mergeable sketch, rank
+    //     error ≤ n/accuracy): the bounded-memory counterpart of
+    //     ExactPercentile — sketch when ±ε·n rank slack is fine,
+    //     exact rank-selection when bit-exactness matters. Rows-only:
+    //     DuckDB's approx_quantile is a different sketch; the
+    //     quantitative gate is the rank-error invariant in
+    //     RowsOnlyInvariantsSpec.
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p95"))
+        .orderBy("l_returnflag")))
 
   val oracles: Map[String, String] = Map(
     "q_json_extract" ->

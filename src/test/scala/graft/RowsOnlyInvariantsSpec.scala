@@ -28,6 +28,30 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_approx_percentile values honor the sketch's rank-error bound") {
+    // Spark guarantees the returned value's rank is within
+    // n/accuracy of the target rank; verify against exact per-group
+    // rank counts with a +2 integer-boundary margin
+    val rows = SparkEntry.queries("q_approx_percentile")(spark, sf)
+      .as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_returnflag".as[String], $"l_extendedprice".as[Double])
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { case (rf, p50, p95) =>
+      val vs = li(rf)
+      val n = vs.length.toDouble
+      val eps = n / 10000.0 + 2
+      Seq(0.5 -> p50, 0.95 -> p95).foreach { case (p, v) =>
+        val lt = vs.count(_ < v)
+        val le = vs.count(_ <= v)
+        val target = p * n
+        assert(lt <= target + eps && le >= target - eps,
+          f"$rf p=$p: value $v has rank window [$lt,$le], target $target%.1f ± $eps%.1f")
+      }
+    }
+  }
+
   test("q_fingerprint is deterministic across two independent runs") {
     def run() = SparkEntry.queries("q_fingerprint")(spark, sf)
       .as[(Long, Long)].collect().toSeq

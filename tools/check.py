@@ -79,6 +79,11 @@ for name in sorted(declared):
 
 bad = {k: v for k, v in results.items()
        if not (v.startswith("OK") or v.startswith("ROWS_ONLY("))}
+# a filtered Verify run writes a marker; a partial artifact set must
+# never read as a clean full gate
+if os.path.exists(f"{outdir}/filtered.json"):
+    print("WARNING: filtered run (filtered.json present) — "
+          "NOT a full gate result")
 for k in sorted(results):
     print(f"{results[k]:<50} {k}")
 print(f"\n{len(results)-len(bad)}/{len(results)} pass")

@@ -114,11 +114,13 @@ object Bench {
   * to stdout; full per-iteration detail to BENCH_DETAIL.json.
   */
 object BenchFormat {
-  /** Budget for the stdout line: 2000-char tail window minus ~100
-    * chars of sbt epilogue, with margin. BenchFormatSpec pins the
-    * CURRENT query inventory under this with worst-case widths.
+  /** Budget for the stdout line: the consumer's 2000-char tail window
+    * must hold sbt's "[info] " prefix (7), this line, a newline, and
+    * sbt's ~73-char "[success] Total time …" epilogue — so the hard
+    * cap is ~1919. BenchFormatSpec pins the CURRENT query inventory
+    * under this at worst-case value widths.
     */
-  val MaxLineChars = 1850
+  val MaxLineChars = 1900
 
   def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
   private def f2(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
@@ -143,12 +145,26 @@ object BenchFormat {
     */
   def compactLine(results: Seq[(String, Double)], total: Double,
                   failed: Int, sfDir: String): (String, Option[String]) = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    if (line.length <= MaxLineChars) (line, None)
-    else (s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}""",
-      Some(s"[bench] compact line ${line.length} chars > $MaxLineChars; " +
-        "dropping per-query map from stdout (see BENCH_DETAIL.json)"))
+    def build(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    def f1(d: Double): String = if (d < 0) "-1" else f"$d%.1f"
+    val line2 = build(f2)
+    if (line2.length <= MaxLineChars) (line2, None)
+    else {
+      // degrade in steps: 1-decimal values first, whole map only as a
+      // last resort (totals + failure count always parse; full
+      // precision stays in BENCH_DETAIL.json)
+      val line1 = build(f1)
+      if (line1.length <= MaxLineChars)
+        (line1, Some(s"[bench] compact line ${line2.length} chars > $MaxLineChars; " +
+          "reduced per-query values to 1 decimal (full precision in BENCH_DETAIL.json)"))
+      else
+        (s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}""",
+          Some(s"[bench] compact line ${line1.length} chars > $MaxLineChars; " +
+            "dropping per-query map from stdout (see BENCH_DETAIL.json)"))
+    }
   }
 }

@@ -28,6 +28,24 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: survivors of `batch` after (1) in-batch
+    * keep-first dedup and (2) an anti-join against the existing
+    * corpus's text hashes — the online-curation shape, where each
+    * ingest round dedups only against a persisted hash index instead
+    * of re-deduping the whole corpus. Both steps key on the fixed-
+    * width md5, so the shuffle carries 16-byte keys + ids: at 100 TB
+    * the index side is a bucketed hash table and this is one
+    * hash-partitioned pass over the NEW data only.
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame,
+                  key: Column, idCol: String): DataFrame = {
+    val corpusHashes = corpus.select(key.as("text_hash")).distinct()
+    batch.select(col(idCol), key.as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(corpusHashes, Seq("text_hash"), "left_anti")
+  }
+
   /** Whitespace tokens with empties removed. */
   def tokens(textCol: Column): Column =
     filter(split(textCol, " "), t => length(t) > 0)

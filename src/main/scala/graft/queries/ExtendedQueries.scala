@@ -17,10 +17,10 @@ object ExtendedQueries {
 
   val queries: Map[String, Q] = Map(
     // 58. JSON extraction: pull typed fields out of a JSON payload
-    //     column and aggregate. get_json_object is a codegen'd path
-    //     expression — the parse happens once per row inside the
-    //     stage, no UDF; at 100 TB this is scan-bound, exactly as it
-    //     should be.
+    //     column and aggregate. get_json_object is a native streaming
+    //     path evaluator (CodegenFallback, so the Project runs
+    //     interpreted — but single-pass Jackson, no UDF, no full-doc
+    //     materialization); the aggregation on top stays partial→final.
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),

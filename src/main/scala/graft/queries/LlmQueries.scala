@@ -25,6 +25,23 @@ object LlmQueries {
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")),
 
+    // 28b. Incremental dedup: a new batch (doc_id ≥ 250) dedups
+    //      in-batch AND anti-joins the existing corpus's key index
+    //      (doc_id < 250) — each ingest round touches only the new
+    //      data plus a 16-byte-key hash index, never re-dedups the
+    //      whole corpus. Keyed on a normalized 5-token prefix
+    //      fingerprint so cross-boundary collisions actually occur.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val key = md5(concat_ws(" ",
+        slice(split(lower(col("text")), " "), 1, 5)).cast("binary"))
+      Dedup.incremental(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), key, "doc_id")
+        .select(col("text_hash"), col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+
     // 29. MinHash+LSH near-dup candidates (rows-only).
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
@@ -187,6 +204,18 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(array_to_string(
+        |    string_split(lower(text), ' ')[1:5], ' ')) AS text_hash
+        |  FROM documents),
+        |b AS (
+        |  SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM k WHERE doc_id >= 250 GROUP BY text_hash)
+        |SELECT text_hash, keep_id, n_copies FROM b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM k c WHERE c.doc_id < 250 AND c.text_hash = b.text_hash)
+        |ORDER BY keep_id""".stripMargin,
     // Same edge rule as the Spark side (distinct 3-token shingles,
     // doc-frequency band [2,20], ≥5 shared shingles per pair), then
     // min-label connected components as a recursive transitive

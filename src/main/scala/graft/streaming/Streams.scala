@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -184,6 +184,46 @@ object Streams {
       col(key._1) === col(key._2) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
         col(rightTs) < col(leftTs))
+
+  /** Streaming incremental corpus ingest: every micro-batch keeps only
+    * first occurrences (min `idCol` per `key`) that are NOT already in
+    * the parquet-backed key index, appends the survivors to `outPath`
+    * and their keys to `indexPath` — [[graft.functions.Dedup.incremental]]
+    * as a continuously-running pipeline. The index is the only state
+    * and it lives in files, not the state store: at 100 TB the
+    * anti-join is a hash join against a bucketed key table, and a
+    * replayed micro-batch is self-healing (its keys are already
+    * indexed, so re-delivery appends nothing to the output).
+    */
+  def dedupIngest(stream: DataFrame, key: Column, idCol: String,
+                  indexPath: String, outPath: String,
+                  checkpoint: String): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val keyed = batch.withColumn("_key", key)
+        val idx =
+          try spark.read.parquet(indexPath)
+          catch { case _: Throwable => keyed.select(col("_key")).limit(0) }
+        val keepIds = keyed
+          .groupBy(col("_key"))
+          .agg(org.apache.spark.sql.functions.min(col(idCol)).as("_keep"))
+          .join(idx, Seq("_key"), "left_anti")
+          .select(col("_keep"))
+        val survivors = keyed
+          .join(keepIds, keyed(idCol) === col("_keep"))
+          .drop("_keep")
+          .persist() // two writes below — evaluate the joins once
+        try {
+          survivors.drop("_key").write.mode("append").parquet(outPath)
+          survivors.select(col("_key")).write.mode("append").parquet(indexPath)
+        } finally { survivors.unpersist(); () }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
 
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart

@@ -9,6 +9,7 @@ import java.sql.Timestamp
 case class Evt(ts: Timestamp, event_type: String, value: Double)
 case class PEvt(pts: Timestamp, puser: Long, order_id: Long)
 case class CEvt(cts: Timestamp, cuser: Long, v: Double)
+case class IngestDoc(id: Long, text: String)
 
 /** Channel source (reference pipeline.FromChannel) + watermarked
   * windowed aggregation, and stream/batch agreement for the same
@@ -215,6 +216,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch)
       assert(streamed.map(_._1) == Set(100L, 101L))
       assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
+  test("streaming ingest dedups across micro-batches via the parquet index") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val (idx, out, ckpt) = (s"$base/idx", s"$base/out", s"$base/ckpt")
+    val ch = Streams.Channel[IngestDoc](spark)
+    val q = Streams.dedupIngest(ch.toDS.toDF(),
+      md5(col("text").cast("binary")), "id", idx, out, ckpt)
+    try {
+      // batch 1: in-batch duplicate (ids 1,2 share text) + unique
+      ch.send(IngestDoc(1, "aa"), IngestDoc(2, "aa"), IngestDoc(3, "bb"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (id 4 repeats "bb") + new
+      ch.send(IngestDoc(4, "bb"), IngestDoc(5, "cc"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).as[(Long, String)].collect().toSet
+      assert(kept == Set((1L, "aa"), (3L, "bb"), (5L, "cc")),
+        s"expected batch-1 keep-firsts + batch-2 novelty, got $kept")
+      // the index holds exactly the three distinct keys
+      assert(spark.read.parquet(idx).distinct().count() == 3)
     } finally q.stop()
   }
 

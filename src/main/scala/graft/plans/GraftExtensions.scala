@@ -42,6 +42,15 @@ object GraftExtensions {
     ("array_dot",
       info("array_dot", "array_dot(a, b) - dot product of two array<double|float> columns"),
       arity("array_dot", 2)(exprs => ArrayDot(exprs(0), exprs(1)))),
+    ("array_norm_quantize",
+      info("array_norm_quantize",
+        "array_norm_quantize(vec, scale) - L2-normalize then int-quantize (scale must be a literal)"),
+      arity("array_norm_quantize", 2)(exprs => ArrayNormQuantize(exprs(0),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"array_norm_quantize: scale must be an integer literal, got $other")
+        }))),
     ("hyperplane_sig",
       info("hyperplane_sig",
         "hyperplane_sig(vec, planes) - random-hyperplane LSH signature (planes must be a literal)"),

@@ -155,22 +155,20 @@ object ExtendedQueries {
         .orderBy("event_id")
     }),
 
-    // 66. Vector normalize + int8 quantization: L2 norm via the
-    //     codegen'd array_dot expression, then per-element
-    //     floor(x/norm·127 + 0.5) — the engine-neutral symmetric
-    //     rounding, exact for negatives too. Output is scalar
-    //     projections of the quantized vector (sum/min/max/first):
-    //     any single-element divergence shifts q_sum, and array
-    //     columns would defeat the oracle's row-sorting compare.
-    //     transform/aggregate are interpreted in Spark 4 — fine here
-    //     over 64-dim vectors; a hot 100 TB path would get a codegen
-    //     ArrayScale sibling of ArrayDot.
+    // 66. Vector normalize + int8 quantization, fused into ONE
+    //     codegen'd expression (plans.ArrayNormQuantize): norm and
+    //     per-element floor(x/norm·127 + 0.5) in a single pass —
+    //     the interpreted transform() HOF it replaces would dominate
+    //     a 100 TB embedding sweep. Output is scalar projections of
+    //     the quantized vector (sum/min/max/first): any
+    //     single-element divergence shifts q_sum, and array columns
+    //     would defeat the oracle's row-sorting compare.
     "q_vector_quantize" -> ((s, d) => {
       val e = graft.Tables.spread(Tables.embeddings(s, d))
         .withColumn("v", col("embedding").cast("array<double>"))
         .withColumn("norm", sqrt(graft.functions.Similarity.dot(col("v"), col("v"))))
-        .withColumn("q", transform(col("v"),
-          x => floor(x / col("norm") * 127 + lit(0.5)).cast("int")))
+        .withColumn("q",
+          graft.plans.ArrayNormQuantize.array_norm_quantize(col("v"), 127))
       e.select(col("vec_id"),
           EngineNeutral.roundHalfUp(col("norm"), 6).as("norm_r6"),
           aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),

@@ -2,21 +2,28 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Plan lint for the quietest scale-killer Spark allows: a window
-  * with an EMPTY partition spec moves every row to one task — fine on
-  * a laptop, a stalled stage at 100 TB (Spark itself only logs a
-  * WARN from the physical operator, after you're already running).
-  * This rule flags it at plan time, before execution.
+/** Plan lint for the two quietest scale-killers Spark allows:
+  *
+  *  1. a window with an EMPTY partition spec — every row moves to one
+  *     task (Spark itself only logs a WARN from the physical operator,
+  *     after you're already running);
+  *  2. a join with NO cross-side equality predicate — plans as a
+  *     nested-loop/cartesian join, O(|L|·|R|) at scale. Joins where
+  *     either side is provably ≤1 row (`maxRows`, e.g. a global
+  *     aggregate broadcast as a scalar) are exempt: those are the
+  *     legitimate broadcast-scalar pattern.
+  *
+  * Both are flagged at plan time, before execution.
   *
   * Modes via `spark.graft.scaleGuard`:
-  *  - `warn` (default): log each offending window expression
+  *  - `warn` (default): log each offence
   *  - `fail`: refuse the plan — the right setting for production
-  *    pipelines where a single-partition sort is always a bug (use
-  *    [[graft.operators.GlobalNtile]] / range-partitioned
-  *    alternatives instead)
+  *    pipelines where a single-partition sort or an accidental
+  *    cartesian is always a bug
   *  - `off`: disabled
   *
   * Wired by [[GraftExtensions]] as a pre-CBO rule (runs once per
@@ -24,18 +31,41 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * [[ScaleGuard.register]] (`experimental.extraOptimizations`).
   */
 case class ScaleGuardRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def hasCrossSideEquality(j: Join): Boolean = {
+    def crossSide(l: Expression, r: Expression): Boolean =
+      (l.references.subsetOf(j.left.outputSet) &&
+        r.references.subsetOf(j.right.outputSet) && l.references.nonEmpty) ||
+      (l.references.subsetOf(j.right.outputSet) &&
+        r.references.subsetOf(j.left.outputSet) && l.references.nonEmpty)
+    j.condition.exists(_.exists {
+      case EqualTo(l, r) => crossSide(l, r)
+      case EqualNullSafe(l, r) => crossSide(l, r)
+      case _ => false
+    })
+  }
+
+  private def scalarSide(j: Join): Boolean =
+    j.left.maxRows.exists(_ <= 1L) || j.right.maxRows.exists(_ <= 1L)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     spark.conf.get("spark.graft.scaleGuard", "warn") match {
       case "off" => ()
       case mode =>
+        def flag(msg: String): Unit =
+          if (mode == "fail") throw new SparkException(s"[graft.ScaleGuard] $msg")
+          else logWarning(s"[graft.ScaleGuard] $msg")
         plan.foreach {
           case w: Window if w.partitionSpec.isEmpty =>
             val what = w.windowExpressions.map(_.name).mkString(", ")
-            val msg = s"empty-partition Window over [$what]: every row " +
+            flag(s"empty-partition Window over [$what]: every row " +
               "moves to ONE task at scale; partition the window or use a " +
-              "range-partitioned formulation (e.g. graft GlobalNtile)"
-            if (mode == "fail") throw new SparkException(s"[graft.ScaleGuard] $msg")
-            else logWarning(s"[graft.ScaleGuard] $msg")
+              "range-partitioned formulation (e.g. graft GlobalNtile)")
+          case j: Join if !hasCrossSideEquality(j) && !scalarSide(j) =>
+            flag(s"${j.joinType} join with no cross-side equality " +
+              "predicate plans as a nested-loop/cartesian join — " +
+              "O(|L|*|R|) at scale; add an equi-key (block key, time " +
+              "bucket) and keep ranges/inequalities as residual filters")
           case _ => ()
         }
     }

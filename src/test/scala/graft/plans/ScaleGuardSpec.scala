@@ -53,6 +53,33 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("fail mode refuses a join with no cross-side equality") {
+    withGuard("fail") {
+      val a = Seq((1, 10.0), (2, 20.0)).toDF("ida", "va")
+      val b = Seq((1, 5.0), (2, 25.0)).toDF("idb", "vb")
+      val ex = intercept[SparkException] {
+        a.join(b, $"va" < $"vb").collect()
+      }
+      assert(ex.getMessage.contains("cartesian"))
+    }
+  }
+
+  test("equi joins with range residuals pass in fail mode") {
+    withGuard("fail") {
+      val a = Seq((1, 10.0), (2, 20.0)).toDF("ida", "va")
+      val b = Seq((1, 5.0), (2, 25.0)).toDF("idb", "vb")
+      assert(a.join(b, $"ida" === $"idb" && $"va" < $"vb").count() == 1)
+    }
+  }
+
+  test("broadcast-scalar cross joins (<=1-row side) pass in fail mode") {
+    withGuard("fail") {
+      val rows = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+      val scalar = rows.agg(max($"v").as("mx"))
+      assert(rows.crossJoin(scalar).count() == 2)
+    }
+  }
+
   test("register is idempotent and unregister removes the rule") {
     ScaleGuard.register(spark)
     ScaleGuard.register(spark)

@@ -123,7 +123,12 @@ object BenchFormat {
   val MaxLineChars = 1900
 
   def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
-  private def f2(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
+  // compact-map value formats are width-capped: ≥100 s drops decimals
+  // (a 100-second query does not need centiseconds in the summary;
+  // full precision is always in the detail file), so the worst-case
+  // per-entry width stays bounded as the inventory grows
+  private def f2(d: Double): String =
+    if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.2f"
 
   def detailJson(results: Seq[(String, Double, Seq[Double])], total: Double,
                  failed: Int, loadStart: Double, loadEnd: Double,
@@ -150,7 +155,8 @@ object BenchFormat {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     }
-    def f1(d: Double): String = if (d < 0) "-1" else f"$d%.1f"
+    def f1(d: Double): String =
+      if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.1f"
     val line2 = build(f2)
     if (line2.length <= MaxLineChars) (line2, None)
     else {

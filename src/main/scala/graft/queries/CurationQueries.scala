@@ -117,6 +117,38 @@ object CurationQueries {
         graft.functions.Checks.InRange("o_totalprice", 0, 200000),
         graft.functions.Checks.InSet("o_orderstatus", Seq("F", "O"))))),
 
+    // 51d. Corpus mixing / integer upsampling: epochs-per-document by
+    //      mixture weight (here lang='en' ×3) via explode(sequence) —
+    //      the deterministic data-mixing shape; no shuffle until the
+    //      verification aggregate, and the explode multiplies rows
+    //      inside the scan stage.
+    "q_mix_upsample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("copy_idx",
+          explode(sequence(lit(1), when(col("lang") === "en", 3).otherwise(1))))
+        .groupBy("lang", "copy_idx").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "copy_idx")),
+
+    // 51e. Per-source budget cap: keep documents in deterministic
+    //      pseudo-random order (md5) until each source's running
+    //      character budget is spent — the "cap every domain's
+    //      contribution" curation op. One window shuffle partitioned
+    //      by source; explicit ROWS frame so the running sum is
+    //      tie-independent on both engines.
+    "q_budget_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("cum", sum("n_chars").over(w))
+        .filter(col("cum") <= 4000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), max(col("cum")).as("chars_used"))
+        .orderBy("source")
+    }),
+
     "q_histogram" -> ((s, d) => {
       // share of total via a broadcast scalar join, not an empty-
       // partition window (which would funnel the buckets — and a
@@ -294,6 +326,19 @@ object CurationQueries {
         |)
         |SELECT rule, violations, n_rows, violations = 0 AS pass
         |FROM v, n ORDER BY rule""".stripMargin,
+    "q_mix_upsample" ->
+      """SELECT lang, copy_idx, count(*) AS n FROM (
+        |  SELECT lang, unnest(generate_series(1,
+        |    CASE WHEN lang = 'en' THEN 3 ELSE 1 END)) AS copy_idx
+        |  FROM documents)
+        |GROUP BY lang, copy_idx ORDER BY lang, copy_idx""".stripMargin,
+    "q_budget_cap" ->
+      """SELECT source, count(*) AS n_kept, max(cum) AS chars_used FROM (
+        |  SELECT source, sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY md5(text), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |WHERE cum <= 4000 GROUP BY source ORDER BY source""".stripMargin,
     "q_histogram" ->
       """SELECT (n_chars // 50) * 50 AS bucket, count(*) AS n,
         |  floor(count(*)::DOUBLE / (SELECT count(*) FROM documents) * 10000 + 0.5) / 10000.0 AS share

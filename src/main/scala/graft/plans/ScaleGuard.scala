@@ -38,7 +38,15 @@ case class ScaleGuardRule(spark: SparkSession) extends Rule[LogicalPlan] {
         r.references.subsetOf(j.right.outputSet) && l.references.nonEmpty) ||
       (l.references.subsetOf(j.right.outputSet) &&
         r.references.subsetOf(j.left.outputSet) && l.references.nonEmpty)
-    j.condition.exists(_.exists {
+    // top-level AND-conjuncts only, like the planner's own equi-key
+    // extraction: an EqualTo buried under Not/Or (e.g. `a =!= b`)
+    // provides no hash key and must not silence the lint
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    j.condition.exists(c => conjuncts(c).exists {
       case EqualTo(l, r) => crossSide(l, r)
       case EqualNullSafe(l, r) => crossSide(l, r)
       case _ => false
@@ -47,6 +55,14 @@ case class ScaleGuardRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def scalarSide(j: Join): Boolean =
     j.left.maxRows.exists(_ <= 1L) || j.right.maxRows.exists(_ <= 1L)
+
+  /** An explicit broadcast hint on either side is a conscious opt-in
+    * to a nested-loop join with a bounded build side (brute-force
+    * scoring, tiny dim tables) — not an accident to flag.
+    */
+  private def broadcastHinted(j: Join): Boolean =
+    (j.hint.leftHint ++ j.hint.rightHint)
+      .exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast")))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     spark.conf.get("spark.graft.scaleGuard", "warn") match {
@@ -61,7 +77,8 @@ case class ScaleGuardRule(spark: SparkSession) extends Rule[LogicalPlan] {
             flag(s"empty-partition Window over [$what]: every row " +
               "moves to ONE task at scale; partition the window or use a " +
               "range-partitioned formulation (e.g. graft GlobalNtile)")
-          case j: Join if !hasCrossSideEquality(j) && !scalarSide(j) =>
+          case j: Join if !hasCrossSideEquality(j) && !scalarSide(j) &&
+              !broadcastHinted(j) =>
             flag(s"${j.joinType} join with no cross-side equality " +
               "predicate plans as a nested-loop/cartesian join — " +
               "O(|L|*|R|) at scale; add an equi-key (block key, time " +

@@ -72,6 +72,26 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("a Not(EqualTo) condition is not an equi-key: fail mode refuses it") {
+    withGuard("fail") {
+      val a = Seq((1, 10.0), (2, 20.0)).toDF("ida", "va")
+      val b = Seq((1, 5.0), (2, 25.0)).toDF("idb", "vb")
+      val ex = intercept[SparkException] {
+        a.join(b, $"ida" =!= $"idb").collect()
+      }
+      assert(ex.getMessage.contains("cartesian"))
+    }
+  }
+
+  test("explicitly broadcast-hinted nested-loop joins pass in fail mode") {
+    withGuard("fail") {
+      val corpus = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("ida", "va")
+      val queries = Seq((1, 5.0), (2, 25.0)).toDF("idb", "vb")
+      // the deliberate brute-force shape: bounded broadcast side
+      assert(corpus.join(broadcast(queries), $"ida" =!= $"idb").count() == 4)
+    }
+  }
+
   test("broadcast-scalar cross joins (<=1-row side) pass in fail mode") {
     withGuard("fail") {
       val rows = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")

@@ -1,0 +1,139 @@
+package graft.functions
+
+import graft.plans.ArrayDot.array_dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization ANN: each unit-normalized vector is split
+  * into `m` subvectors, each encoded as the index of its nearest
+  * per-subspace centroid — compressing a dim-double vector to `m`
+  * small ints (64 dims × 8 bytes → 8 codes, a 64× memory cut). A
+  * query scores candidates by Asymmetric Distance Computation: one
+  * m×ksub table of subspace dots per query, then each candidate's
+  * approximate similarity is `m` table lookups instead of a full
+  * dot product.
+  *
+  * Scale design: codebooks train on the same deterministic
+  * hash-ordered sample as IVF and broadcast (m × ksub × dim/m
+  * doubles — tiny); encoding is per-row column work inside the scan
+  * stage; the ADC scan shuffles nothing and the top-k rides the
+  * native bounded-heap operator; optional exact reranking touches
+  * only `rerankFactor·k` candidates per query. At 100 TB the codes
+  * table IS the index you keep hot — the raw vectors page in only
+  * for the rerank join. Compose with [[Ivf]] cells when candidate
+  * pruning (not just compression) is needed.
+  */
+object Pq {
+
+  /** Per-subspace k-means codebooks on a deterministic sample:
+    * `codebooks(s)(c)` is centroid `c` of subspace `s` (length
+    * dim/m). Subvectors are NOT re-normalized — PQ approximates the
+    * full dot as the sum of subspace dots, which only holds in the
+    * original coordinates.
+    */
+  def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                     m: Int, ksub: Int, iters: Int = 5,
+                     sampleN: Int = 4096): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = Similarity
+      .normalized(df.orderBy(xxhash64(col(idCol))).limit(sampleN), vecCol)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(sample.length >= ksub, s"need ≥ $ksub sample vectors, got ${sample.length}")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val vs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cents = Array.tabulate(ksub)(c => vs(c * vs.length / ksub).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub, sub)(0.0)
+        val counts = Array.fill(ksub)(0)
+        vs.foreach { v =>
+          val best = nearest(v, cents)
+          var j = 0
+          while (j < sub) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** Nearest centroid by L2 (the PQ training metric — minimizing
+    * subspace reconstruction error, which bounds the ADC dot error).
+    */
+  private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def subvec(vecN: Column, s: Int, sub: Int): Column =
+    slice(vecN, s * sub + 1, sub)
+
+  /** Adds `pq_code` (array<int>, length m): per-subspace nearest
+    * codebook index by L2 — computed as argmax of
+    * `dot − ‖c‖²/2` (equivalent ordering, reuses the codegen'd
+    * array_dot). Leaves vecCol unit-normalized.
+    */
+  def encode(df: DataFrame, vecCol: String,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val norm = Similarity.normalized(df, vecCol)
+    val codeCols = (0 until m).map { s =>
+      val scores = array(codebooks(s).map { c =>
+        val half = c.map(x => x * x).sum / 2.0
+        array_dot(subvec(col(vecCol), s, sub), typedLit(c.toSeq)) - lit(half)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    norm.withColumn("pq_code", array(codeCols: _*))
+  }
+
+  /** PQ top-k with ADC scoring: every corpus row costs m table
+    * lookups; `rerankFactor·k` ADC survivors per query are reranked
+    * with exact dots so reported sims are exact (and recall recovers
+    * the quantization loss).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Double]]], rerankFactor: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val coded = encode(spread, vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("pq_code"))
+    // per query: the ADC table — qt(s)(c) = dot(q_s, codebook_s[c])
+    val qs = broadcast(Similarity.normalized(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        array((0 until m).map { s =>
+          array(codebooks(s).map(c =>
+            array_dot(subvec(col(vecCol), s, sub), typedLit(c.toSeq))): _*)
+        }: _*).as("qt")))
+    // approx sim = Σ_s qt[s][code[s]] — unrolled lookups, no HOF
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("qt"), s + 1),
+        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+    val scored = coded.crossJoin(qs)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cvec"), col("qvec"),
+        adc.as("adc_sim"))
+    val shortlist = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq("adc_sim" -> true, "neighbor_id" -> false), k = rerankFactor * k)
+    val exact = shortlist.select(col("query_id"), col("neighbor_id"),
+      EngineNeutral.r4(array_dot(col("qvec"), col("cvec"))).as("sim"))
+    Similarity.topKPerKey(exact, "query_id", k)
+  }
+}

@@ -17,6 +17,10 @@ object LlmQueries {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Deterministic PQ codebooks per sf dir (trained once). */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
   val queries: Map[String, Q] = Map(
     // 28. Exact dedup: group on md5(text) — shuffle carries 32-byte
     //     hashes, not document bytes.
@@ -115,6 +119,20 @@ object LlmQueries {
         graft.functions.Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16))
       graft.functions.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
           centroids, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // 34c. PQ ANN (rows-only: codes are quantizer-defined): vectors
+    //      compressed to m=8 sub-codes, candidates scored by ADC
+    //      table lookups, shortlist exactly reranked. Recall floor is
+    //      PqSpec's gate.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cbs = codebookCache.computeIfAbsent(d, _ =>
+        graft.functions.Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 8, ksub = 64))
+      graft.functions.Pq.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          cbs, rerankFactor = 8)
         .orderBy("query_id", "rank")
     }),
 

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization quality gates: codebook shapes, code ranges,
+  * the compression claim, and — the quantitative gate for the
+  * rows-only q_ann_pq — recall@10 against brute force on the
+  * deterministic clustered corpus (see AnnTestData for why recall on
+  * uniform-random vectors is meaningless).
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("codebooks have the requested shape and codes stay in range") {
+    val emb = AnnTestData.clustered(spark, n = 400)
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cbs.length == 8)
+    assert(cbs.forall(_.length == 16))
+    assert(cbs.forall(_.forall(_.length == 8))) // 64 dims / 8 subspaces
+    val codes = Pq.encode(emb, "embedding", cbs)
+      .select("pq_code").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // the compression claim: 8 codes of <16 vs 64 doubles
+    assert(codes.head.length * 1 < 64 * 8 / 8)
+  }
+
+  test("pqTopK recall@10 >= 0.9 vs brute force on a clustered corpus") {
+    // q_ann_pq parameters (m=8, ksub=64, rerankFactor=8) —
+    // deterministic sample + data → exactly repeatable
+    val emb = AnnTestData.clustered(spark)
+    val queries = emb.filter($"vec_id" < 20)
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 64)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val approx = pairs(Pq.pqTopK(emb, queries, k = 10, cbs, rerankFactor = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, f"PQ recall@10 degraded: $recall%.3f < 0.9")
+  }
+
+  test("reranked sims are exact and ordered") {
+    val emb = AnnTestData.clustered(spark, n = 300)
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val res = Pq.pqTopK(emb, emb.filter($"vec_id" === 0L), k = 5, cbs)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.length == 5)
+    val sims = res.sortBy(_._2).map(_._4)
+    assert(sims.sorted.reverse.toSeq == sims.toSeq)
+    // sims are exact r4-rounded cosines, recomputable driver-side
+    val vecs = Similarity.normalized(emb, "embedding")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Double])].collect().toMap
+    res.foreach { case (q, _, n, sim) =>
+      val exact = vecs(q).zip(vecs(n)).map { case (a, b) => a * b }.sum
+      val r4 = math.floor(exact * 10000 + 0.5) / 10000
+      assert(sim == r4, s"neighbor $n: $sim vs $r4")
+    }
+  }
+}

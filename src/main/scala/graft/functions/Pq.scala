@@ -102,6 +102,55 @@ object Pq {
     norm.withColumn("pq_code", array(codeCols: _*))
   }
 
+  /** IVF+PQ: coarse cells prune candidates to ~nprobe/cells of the
+    * corpus (the [[Ivf]] equi-join), PQ codes score the survivors by
+    * ADC, and the shortlist reranks exactly — the standard
+    * two-level ANN index shape: at 100 TB the cell-partitioned codes
+    * table is the hot index (codes are ~1% of the raw vectors) and
+    * raw vectors page in only for the rerank.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                nprobe: Int = 4, rerankFactor: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    // cell-assign + PQ-encode the corpus in one pass over the scan
+    val coded = encode(Ivf.assignCells(spread, vecCol, centroids), vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col("ivf_cell"), col("pq_code"))
+    // per query: top-nprobe cells (like Ivf.ivfTopK) + the ADC table
+    val qn = Similarity.normalized(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cd", array(centroids.map(c =>
+        array_dot(col("qvec"), typedLit(c.toSeq))): _*))
+      .withColumn("qt", array((0 until m).map { s =>
+        array(codebooks(s).map(c =>
+          array_dot(subvec(col("qvec"), s, sub), typedLit(c.toSeq))): _*)
+      }: _*))
+    val probes = broadcast(qn
+      .select(col("query_id"), col("qvec"), col("qt"),
+        explode(slice(reverse(array_sort(zip_with(
+          col("cd"), sequence(lit(0), lit(centroids.length - 1)),
+          (d, i) => struct(d.as("d"), i.as("cell"))))), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qvec"), col("qt"),
+        col("probe.cell").as("ivf_cell")))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("qt"), s + 1),
+        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+    val scored = coded.join(probes, "ivf_cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cvec"), col("qvec"),
+        adc.as("adc_sim"))
+    val shortlist = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq("adc_sim" -> true, "neighbor_id" -> false), k = rerankFactor * k)
+    val exact = shortlist.select(col("query_id"), col("neighbor_id"),
+      EngineNeutral.r4(array_dot(col("qvec"), col("cvec"))).as("sim"))
+    Similarity.topKPerKey(exact, "query_id", k)
+  }
+
   /** PQ top-k with ADC scoring: every corpus row costs m table
     * lookups; `rerankFactor·k` ADC survivors per query are reranked
     * with exact dots so reported sims are exact (and recall recovers

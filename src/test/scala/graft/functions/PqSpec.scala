@@ -40,6 +40,20 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"PQ recall@10 degraded: $recall%.3f < 0.9")
   }
 
+  test("ivfPqTopK recall@10 >= 0.85 with both levels of approximation") {
+    val emb = AnnTestData.clustered(spark)
+    val queries = emb.filter($"vec_id" < 20)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16)
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 64)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val approx = pairs(Pq.ivfPqTopK(emb, queries, k = 10, cents, cbs,
+      nprobe = 4, rerankFactor = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.85, f"IVF+PQ recall@10 degraded: $recall%.3f < 0.85")
+  }
+
   test("reranked sims are exact and ordered") {
     val emb = AnnTestData.clustered(spark, n = 300)
     val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)

@@ -6,11 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Third-wave operators (SURVEY.md §2 rows 58-67): JSON extraction,
+/** Third-wave operators (SURVEY.md §2 rows 58-69): JSON extraction,
   * event funnels, blocked record linkage, ordered string aggregation,
   * rank-family windows, first/last/nth windows, salted skew joins as a
-  * gated query, time-range self-joins, vector quantization, and cohort
-  * retention. All carry DuckDB oracles.
+  * gated query, time-range self-joins, vector quantization, cohort
+  * retention, approximate percentiles, and time-series resampling.
   */
 object ExtendedQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -195,6 +195,35 @@ object ExtendedQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // 69. Time-series resample: per-user hourly grid from first to
+    //     last purchase (sequence explode — no driver loop), hourly
+    //     sums left-joined on, gaps forward-filled with
+    //     last(ignoreNulls) over a user-partitioned running frame.
+    //     Grid generation multiplies rows inside the stage; the only
+    //     shuffles are the hourly agg and the user-partitioned window.
+    "q_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          col("value"))
+      val hourly = ev.groupBy("user_id", "hr")
+        .agg(round(sum("value"), 2).as("v"), count(lit(1)).as("n"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("hr")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm").as("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("v"), ignoreNulls = true).over(w).as("ff_value"))
+        .orderBy("user_id", "hr")
+    }),
+
     // 68. Approximate percentiles (GK-style mergeable sketch, rank
     //     error ≤ n/accuracy): the bounded-memory counterpart of
     //     ExactPercentile — sketch when ±ε·n rank slack is fine,
@@ -298,6 +327,25 @@ object ExtendedQueries {
         |  list_aggregate(qv, 'max') AS q_max,
         |  qv[1] AS q0
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |hourly AS (
+        |  SELECT user_id, hr, round(sum(value), 2) AS v, count(*) AS n
+        |  FROM ev GROUP BY user_id, hr),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(hr), max(hr),
+        |    INTERVAL 1 HOUR)) AS hr
+        |  FROM ev GROUP BY user_id)
+        |SELECT g.user_id, strftime(g.hr, '%Y-%m-%d %H:%M') AS hr,
+        |  coalesce(h.n, 0) AS n,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.hr = h.hr
+        |ORDER BY g.user_id, hr""".stripMargin,
     "q_retention" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -92,14 +92,21 @@ object Pq {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val norm = Similarity.normalized(df, vecCol)
-    val codeCols = (0 until m).map { s =>
-      val scores = array(codebooks(s).map { c =>
+    // materialize each subspace's 64-dot scores array in its own
+    // column before taking the argmax — array_position + array_max
+    // over an inline array would evaluate all ksub dots twice per row
+    // (the Ivf.assignCells `_dots` trick)
+    val withScores = (0 until m).foldLeft(norm) { (acc, s) =>
+      acc.withColumn(s"_sc$s", array(codebooks(s).map { c =>
         val half = c.map(x => x * x).sum / 2.0
         array_dot(subvec(col(vecCol), s, sub), typedLit(c.toSeq)) - lit(half)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
+      }: _*))
     }
-    norm.withColumn("pq_code", array(codeCols: _*))
+    withScores
+      .withColumn("pq_code", array((0 until m).map { s =>
+        (array_position(col(s"_sc$s"), array_max(col(s"_sc$s"))) - 1).cast("int")
+      }: _*))
+      .drop((0 until m).map(s => s"_sc$s"): _*)
   }
 
   /** IVF+PQ: coarse cells prune candidates to ~nprobe/cells of the

@@ -79,35 +79,19 @@ object Pq {
     best
   }
 
-  private def subvec(vecN: Column, s: Int, sub: Int): Column =
-    slice(vecN, s * sub + 1, sub)
-
   /** Adds `pq_code` (array<int>, length m): per-subspace nearest
-    * codebook index by L2 — computed as argmax of
-    * `dot − ‖c‖²/2` (equivalent ordering, reuses the codegen'd
-    * array_dot). Leaves vecCol unit-normalized.
+    * codebook index by L2 — argmax of `dot − ‖c‖²/2` (equivalent
+    * ordering) inside the single codegen'd [[graft.plans.PqEncode]]
+    * loop nest. Leaves vecCol unit-normalized.
     */
   def encode(df: DataFrame, vecCol: String,
-             codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val norm = Similarity.normalized(df, vecCol)
-    // materialize each subspace's 64-dot scores array in its own
-    // column before taking the argmax — array_position + array_max
-    // over an inline array would evaluate all ksub dots twice per row
-    // (the Ivf.assignCells `_dots` trick)
-    val withScores = (0 until m).foldLeft(norm) { (acc, s) =>
-      acc.withColumn(s"_sc$s", array(codebooks(s).map { c =>
-        val half = c.map(x => x * x).sum / 2.0
-        array_dot(subvec(col(vecCol), s, sub), typedLit(c.toSeq)) - lit(half)
-      }: _*))
-    }
-    withScores
-      .withColumn("pq_code", array((0 until m).map { s =>
-        (array_position(col(s"_sc$s"), array_max(col(s"_sc$s"))) - 1).cast("int")
-      }: _*))
-      .drop((0 until m).map(s => s"_sc$s"): _*)
-  }
+             codebooks: Array[Array[Array[Double]]]): DataFrame =
+    // one custom expression, not m×ksub composed array_dots: the
+    // composed form's several-thousand-node tree cost ~2 s of
+    // analysis/optimization per query before any data moved
+    Similarity.normalized(df, vecCol)
+      .withColumn("pq_code",
+        graft.plans.PqEncode.pq_encode(col(vecCol), codebooks))
 
   /** IVF+PQ: coarse cells prune candidates to ~nprobe/cells of the
     * corpus (the [[Ivf]] equi-join), PQ codes score the survivors by
@@ -133,10 +117,7 @@ object Pq {
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cd", array(centroids.map(c =>
         array_dot(col("qvec"), typedLit(c.toSeq))): _*))
-      .withColumn("qt", array((0 until m).map { s =>
-        array(codebooks(s).map(c =>
-          array_dot(subvec(col("qvec"), s, sub), typedLit(c.toSeq))): _*)
-      }: _*))
+      .withColumn("qt", graft.plans.PqAdcTable.pq_adc_table(col("qvec"), codebooks))
     val probes = broadcast(qn
       .select(col("query_id"), col("qvec"), col("qt"),
         explode(slice(reverse(array_sort(zip_with(
@@ -174,10 +155,7 @@ object Pq {
     // per query: the ADC table — qt(s)(c) = dot(q_s, codebook_s[c])
     val qs = broadcast(Similarity.normalized(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        array((0 until m).map { s =>
-          array(codebooks(s).map(c =>
-            array_dot(subvec(col(vecCol), s, sub), typedLit(c.toSeq))): _*)
-        }: _*).as("qt")))
+        graft.plans.PqAdcTable.pq_adc_table(col(vecCol), codebooks).as("qt")))
     // approx sim = Σ_s qt[s][code[s]] — unrolled lookups, no HOF
     val adc = (0 until m).map(s =>
       element_at(element_at(col("qt"), s + 1),

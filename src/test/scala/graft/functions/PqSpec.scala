@@ -40,6 +40,25 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"PQ recall@10 degraded: $recall%.3f < 0.9")
   }
 
+  test("PqEncode codes match a driver-side argmax recomputation") {
+    val emb = AnnTestData.clustered(spark, n = 200)
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val got = Pq.encode(emb, "embedding", cbs)
+      .select($"vec_id", $"embedding", $"pq_code")
+      .as[(Long, Seq[Double], Seq[Int])].collect()
+    got.foreach { case (id, v, codes) =>
+      val sub = v.length / 8
+      val want = (0 until 8).map { s =>
+        val vs = v.slice(s * sub, (s + 1) * sub)
+        val scores = cbs(s).map { c =>
+          vs.zip(c).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2.0
+        }
+        scores.indexOf(scores.max) // first max, like the expression
+      }
+      assert(codes == want, s"vec $id")
+    }
+  }
+
   test("ivfPqTopK recall@10 >= 0.85 with both levels of approximation") {
     val emb = AnnTestData.clustered(spark)
     val queries = emb.filter($"vec_id" < 20)

@@ -45,6 +45,16 @@ object AnnStress {
       Ivf.ivfTopK(emb, queries, k = 10, cents, nprobe = 4).collect())
     println(s"  rows: ${ivf.length}")
 
+    val cbs = time("PQ train (m=8, ksub=64)")(
+      graft.functions.Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 64))
+    val pq = time("PQ top-10 (ADC + rerank 8)")(
+      graft.functions.Pq.pqTopK(emb, queries, k = 10, cbs, rerankFactor = 8).collect())
+    println(s"  rows: ${pq.length}")
+    val ivfpq = time("IVF+PQ top-10 (nprobe=4, rerank 8)")(
+      graft.functions.Pq.ivfPqTopK(emb, queries, k = 10, cents, cbs,
+        nprobe = 4, rerankFactor = 8).collect())
+    println(s"  rows: ${ivfpq.length}")
+
     // recall vs brute force (the ground truth)
     def neighborSets(rows: Array[org.apache.spark.sql.Row]) =
       rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
@@ -54,7 +64,8 @@ object AnnStress {
       val per = truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
       per.sum / per.size
     }
-    println(f"LSH recall@10: ${recall(lsh)}%.2f   IVF recall@10: ${recall(ivf)}%.2f")
+    println(f"LSH recall@10: ${recall(lsh)}%.2f   IVF recall@10: ${recall(ivf)}%.2f   " +
+      f"PQ recall@10: ${recall(pq)}%.2f   IVF+PQ recall@10: ${recall(ivfpq)}%.2f")
 
     val nd = time("near-dup pairs (sim>=0.999, 16 planes)")(
       Similarity.embeddingNearDups(emb, minSim = 0.999, planes = 16).count())

@@ -136,6 +136,21 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // 34d. IVF+PQ composed ANN (rows-only): coarse cells prune, PQ
+    //      codes score by ADC, shortlist reranks exactly. Recall gate
+    //      in PqSpec.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.computeIfAbsent(d, _ =>
+        graft.functions.Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16))
+      val cbs = codebookCache.computeIfAbsent(d, _ =>
+        graft.functions.Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 8, ksub = 64))
+      graft.functions.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          centroids, cbs, nprobe = 4, rerankFactor = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // 29b. Boilerplate detection: shingles appearing in many documents
     //      (top-50 by document count; deterministic tie-break).
     "q_boilerplate" -> ((s, d) =>

@@ -35,4 +35,11 @@ object Bridge {
   def analyzed(df: DataFrame):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Block until all queued listener events have been delivered
+    * (`listenerBus` is private[spark]) — metrics listeners receive
+    * task events asynchronously, so readers must drain first.
+    */
+  def drainListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.LlmQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.LlmQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++
-      graft.queries.ExtendedQueries.oracles
+      graft.queries.ExtendedQueries.oracles ++
+      graft.queries.AdvancedQueries.oracles
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.plans.BloomMightContain.bloom_might_contain
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Bloom-prefiltered join: build a bloom filter over the small side's
+  * join keys (one action over the — by assumption — small relation),
+  * prune the big side at its scan with the codegen'd
+  * `bloom_might_contain` predicate, then run the exact join. Results
+  * are identical to the plain join (blooms have no false negatives;
+  * false positives are removed by the join itself) — the oracle for
+  * `q_bloom_join` checks exactly that.
+  *
+  * When it pays at 100 TB: the dim side is too big (or too contested)
+  * to broadcast but its KEY SET fits a few MB of bloom bits — e.g.
+  * 10 M keys at 1% fpp ≈ 12 MB. A shuffle join would move every fact
+  * row; with the bloom, ~(1−selectivity)·(1−fpp) of the fact NEVER
+  * leaves its scan stage, so shuffle bytes drop by the dim's
+  * selectivity. This is the manual form of Spark's runtime row-level
+  * filtering (spark.sql.optimizer.runtime.bloomFilter), usable when
+  * the optimizer's heuristics won't inject it — and deterministic, so
+  * it can be gated by an oracle.
+  */
+object BloomJoin {
+
+  /** Prune `big` to rows whose `bigKey` might be in `small.smallKey`,
+    * then inner-join. `expectedItems`/`fpp` size the sketch — bits ≈
+    * −n·ln(fpp)/ln(2)², so overestimating n costs memory linearly but
+    * never correctness.
+    */
+  def innerJoin(big: DataFrame, bigKey: String, small: DataFrame,
+                smallKey: String, expectedItems: Long = 1L << 20,
+                fpp: Double = 0.01): DataFrame = {
+    val pruned = prefilter(big, bigKey, small, smallKey, expectedItems, fpp)
+    pruned.join(small, col(bigKey) === col(smallKey))
+  }
+
+  /** Just the prune step: `big` rows whose key passes the bloom built
+    * from `small`'s keys. Exposed for composition (semi-join shapes,
+    * multi-stage pipelines) and for the spec's pruning-rate assertion.
+    */
+  def prefilter(big: DataFrame, bigKey: String, small: DataFrame,
+                smallKey: String, expectedItems: Long = 1L << 20,
+                fpp: Double = 0.01): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    big.filter(bloom_might_contain(col(bigKey), bloom))
+  }
+}

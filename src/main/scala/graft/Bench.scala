@@ -1,6 +1,9 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main (driver contract): times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -10,8 +13,34 @@ import org.apache.spark.sql.SparkSession
   * eliminate sorts, timing only the scan for map-shaped queries. A
   * warm-up query runs first so JVM/codegen/parquet-footer startup
   * isn't billed to whichever query happens to run first.
+  *
+  * Besides wall time, the final iteration of each query runs under a
+  * task-metrics listener recording shuffle read/write and spill
+  * bytes: wall-clock on one box cannot see a 100 TB regression, but
+  * shuffle volume can — a query whose shuffle grows from key-width to
+  * payload-width has regressed at scale even if local time is flat.
+  * Per-query bytes go to BENCH_DETAIL.json; the stdout line carries
+  * the total.
   */
 object Bench {
+
+  /** Totals across all tasks while attached (listener events arrive
+    * asynchronously — drain before reading).
+    */
+  final class TaskTotals extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spill = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,7 +98,13 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       // iter 1 warms; report the MIN of the warm iters (noise-robust
       // on a shared machine). Single-iter mode reports that run.
-      val times = (1 to iters).map { _ =>
+      // The LAST iteration runs under the metrics listener — shuffle
+      // volume is plan-determined, so one observed iteration is the
+      // number (unlike time, it does not need a min over repeats).
+      var shuffle = (0L, 0L, 0L)
+      val times = (1 to iters).map { i =>
+        val l = if (i == iters) Some(new TaskTotals) else None
+        l.foreach(spark.sparkContext.addSparkListener)
         val t0 = System.nanoTime()
         try {
           run(name)
@@ -79,11 +114,18 @@ object Bench {
             // a failed query must not masquerade as a fast one
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
+        } finally {
+          l.foreach { ll =>
+            org.apache.spark.sql.graftbridge.Bridge
+              .drainListeners(spark.sparkContext)
+            spark.sparkContext.removeSparkListener(ll)
+            shuffle = (ll.shuffleWrite.get, ll.shuffleRead.get, ll.spill.get)
+          }
         }
       }
       val warm = if (iters > 1) times.drop(1) else times
       val elapsed = if (warm.contains(-1.0)) -1.0 else warm.min
-      (name, elapsed, times)
+      (name, elapsed, times, shuffle)
     }
     val loadEnd = os.getSystemLoadAverage
     // failed queries (-1 markers) must not improve the total; an
@@ -91,14 +133,18 @@ object Bench {
     // fast full run for consumers that read only the total
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    val detail = BenchFormat.detailJson(results, total, failed,
-      loadStart, loadEnd, cpus, sfDir)
+    val totalShuffleW = results.map(_._4._1).sum
+    val detail = BenchFormat.detailJson(
+      results.map { case (k, v, ts, _) => (k, v, ts) }, total, failed,
+      loadStart, loadEnd, cpus, sfDir,
+      results.map { case (k, _, _, s) => (k, s) })
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
     val (line, overflow) = BenchFormat.compactLine(
-      results.map { case (k, v, _) => (k, v) }, total, failed, sfDir)
+      results.map { case (k, v, _, _) => (k, v) }, total, failed, sfDir,
+      totalShuffleW)
     overflow.foreach(System.err.println)
     println(line)
     spark.stop()
@@ -130,9 +176,12 @@ object BenchFormat {
   private def f2(d: Double): String =
     if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.2f"
 
+  private def mb2(bytes: Long): String = f"${bytes / 1048576.0}%.2f"
+
   def detailJson(results: Seq[(String, Double, Seq[Double])], total: Double,
                  failed: Int, loadStart: Double, loadEnd: Double,
-                 cpus: String, sfDir: String): String = {
+                 cpus: String, sfDir: String,
+                 shuffle: Seq[(String, (Long, Long, Long))] = Nil): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // every iteration (warm-up first), so contention is visible per
@@ -141,19 +190,30 @@ object BenchFormat {
     val perIter = results.map { case (k, _, ts) =>
       s"\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
+    // [write, read, spill] MB per query from the final iteration —
+    // the scale-regression signal (see Bench scaladoc)
+    val shuf = shuffle.map { case (k, (w, r, s)) =>
+      s"\"" + k + "\":[" + mb2(w) + "," + mb2(r) + "," + mb2(s) + "]"
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"shuffle_mb":$shuf,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
   }
 
   /** The stdout line, plus a warning when the per-query map had to be
     * dropped to stay under [[MaxLineChars]] (totals still parse;
-    * detail stays in the file).
+    * detail stays in the file). Per-query keys drop the uniform `q_`
+    * prefix — 96 queries outgrew the window with it; BENCH_DETAIL.json
+    * keeps full names. `shuffleWriteBytes` (total across queries, from
+    * each query's final iteration) prints as integer MB.
     */
   def compactLine(results: Seq[(String, Double)], total: Double,
-                  failed: Int, sfDir: String): (String, Option[String]) = {
+                  failed: Int, sfDir: String,
+                  shuffleWriteBytes: Long = 0L): (String, Option[String]) = {
+    val shufMb = (shuffleWriteBytes / 1048576.0).round
     def build(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      val qs = results.map { case (k, v) =>
+        s"\"" + k.stripPrefix("q_") + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"shuffle_mb":$shufMb,"queries":$qs,"sf":"$sfDir"}"""
     }
     def f1(d: Double): String =
       if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.1f"
@@ -168,7 +228,7 @@ object BenchFormat {
         (line1, Some(s"[bench] compact line ${line2.length} chars > $MaxLineChars; " +
           "reduced per-query values to 1 decimal (full precision in BENCH_DETAIL.json)"))
       else
-        (s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}""",
+        (s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"shuffle_mb":$shufMb,"queries":{},"sf":"$sfDir"}""",
           Some(s"[bench] compact line ${line1.length} chars > $MaxLineChars; " +
             "dropping per-query map from stdout (see BENCH_DETAIL.json)"))
     }

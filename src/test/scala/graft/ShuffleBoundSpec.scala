@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Asserted shuffle ceilings — the test form of "shuffle bytes scale
+  * with rows × key-width, not corpus bytes". Wall time on a 32-core
+  * box cannot catch a 100 TB shuffle regression (a query that starts
+  * carrying document text through its exchange is still fast at
+  * sf0.01); measured shuffle volume can, and this pins it.
+  */
+class ShuffleBoundSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Total shuffle write bytes while running `df` through the noop
+    * writer (same measurement as Bench's per-query recording).
+    */
+  private def shuffleWrite(df: org.apache.spark.sql.DataFrame): Long = {
+    val l = new Bench.TaskTotals
+    spark.sparkContext.addSparkListener(l)
+    try df.write.mode("overwrite").format("noop").save()
+    finally {
+      org.apache.spark.sql.graftbridge.Bridge.drainListeners(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(l)
+    }
+    l.shuffleWrite.get
+  }
+
+  test("q_dedup_exact shuffles key-width rows, never document bytes") {
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.count()
+    val corpusBytes = docs.agg(sum(length(col("text")))).head.getLong(0)
+    // warm once so AQE/codegen first-touch doesn't pollute, then measure
+    SparkEntry.queries("q_dedup_exact")(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    val bytes = shuffleWrite(SparkEntry.queries("q_dedup_exact")(spark, sf))
+    // two exchanges (hash agg + output sort) of fixed-width rows:
+    // 32-char md5 + two longs + compressed-block overhead — 200 B/row
+    // is generous, and at this SF it is also well under the raw text
+    // volume, which is the actual claim (key-width, not payload-width;
+    // at 100 TB corpusBytes/rows·400 diverge by orders of magnitude,
+    // here by ~2×, so both asserts stay meaningful)
+    val ceiling = rows * 200
+    assert(bytes > 0, "expected a hash shuffle — plan shape changed?")
+    assert(bytes <= ceiling,
+      s"q_dedup_exact shuffled $bytes B for $rows rows (> $ceiling): " +
+        "an exchange is carrying payload it should have projected away")
+    assert(corpusBytes > ceiling,
+      s"corpus too small for the ceiling to mean anything ($corpusBytes B)")
+  }
+
+  test("q_tpch_q1 shuffles only the partial-aggregate rows") {
+    val rows = Tables.lineitem(spark, sf).count()
+    SparkEntry.queries("q_tpch_q1")(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    val bytes = shuffleWrite(SparkEntry.queries("q_tpch_q1")(spark, sf))
+    // partial→final agg: ≤ (groups × partitions) fixed-width rows.
+    // 6 groups × 32 partitions × ~200 B ≈ 40 KB; anything near the
+    // 60k-row input (≈ rows × width) means map-side combine broke.
+    assert(bytes < rows * 4,
+      s"q_tpch_q1 shuffled $bytes B — map-side combine regressed?")
+  }
+}

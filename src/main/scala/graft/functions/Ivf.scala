@@ -100,6 +100,16 @@ object Ivf {
     val cells = assignCells(spread, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         col("ivf_cell"))
+    probeCells(cells, queries, k, centroids, nprobe, idCol, vecCol)
+  }
+
+  /** The probe step over an already-assigned cells table
+    * (`neighbor_id`, `cvec` unit-normalized, `ivf_cell`) — shared by
+    * the train-and-query path and the prebuilt-index path.
+    */
+  private def probeCells(cells: DataFrame, queries: DataFrame, k: Int,
+                         centroids: Array[Array[Double]], nprobe: Int,
+                         idCol: String, vecCol: String): DataFrame = {
     // per query: rank cells by centroid dot, explode the top nprobe
     val probes = broadcast(Similarity.normalized(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
@@ -114,5 +124,55 @@ object Ivf {
       .select(col("query_id"), col("neighbor_id"),
         EngineNeutral.r4(array_dot(col("qvec"), col("cvec"))).as("sim"))
     Similarity.topKPerKey(scored, "query_id", k)
+  }
+
+  /** Persist a trained index: `$path/centroids` (cell → vector) and
+    * `$path/cells` — the corpus with unit-normalized vectors and cell
+    * assignments, written `partitionBy(ivf_cell)` so a probe's
+    * equi-join on cell id becomes PARTITION PRUNING at the scan: a
+    * query touching `nprobe` of `k` cells reads ~nprobe/k of the
+    * index files and the rest never leave disk.
+    *
+    * A 100 TB corpus builds this once (one assignment pass, one
+    * write) and every later query/ingest round reads it — the verdict
+    * on retrain-per-session was that it re-pays the corpus scan on
+    * every call. Vectors are stored normalized so readers skip the
+    * norm pass too.
+    */
+  def writeIndex(corpus: DataFrame, path: String,
+                 centroids: Array[Array[Double]],
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1) // k rows — one tiny file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(corpus, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** Reload a persisted index's centroids (tiny: k × dim doubles). */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** IVF top-k over a prebuilt index at `path` — no training, no
+    * assignment pass; the cells scan is pruned to the probed
+    * partitions.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    val cells = spark.read.parquet(s"$path/cells")
+    probeCells(cells, queries, k, centroids, nprobe, idCol, vecCol)
   }
 }

@@ -59,4 +59,27 @@ class IvfSpec extends AnyFunSuite {
     val sims = res.sortBy(_._2).map(_._4)
     assert(sims.sorted.reverse.toSeq == sims.toSeq)
   }
+
+  test("index round-trip: persisted centroids identical, indexed recall holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val emb = AnnTestData.clustered(spark)
+    val queries = emb.filter($"vec_id" < 20)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16)
+    Ivf.writeIndex(emb, dir, cents)
+    // centroids survive the round-trip bit-exactly
+    val reloaded = Ivf.readCentroids(spark, dir)
+    assert(reloaded.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    // cells layout is partitioned by cell id (probe-side pruning)
+    assert(new java.io.File(s"$dir/cells").listFiles()
+      .exists(_.getName.startsWith("ivf_cell=")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val indexed = pairs(Ivf.ivfTopKIndexed(spark, dir, queries, k = 10, nprobe = 4))
+    val recall = (exact & indexed).size.toDouble / exact.size
+    assert(recall >= 0.95, f"indexed IVF recall@10 degraded: $recall%.3f < 0.95")
+    // and the indexed path agrees with the train-and-query path
+    val direct = pairs(Ivf.ivfTopK(emb, queries, k = 10, cents, nprobe = 4))
+    assert(indexed == direct)
+  }
 }

@@ -4,7 +4,7 @@ import graft.SparkTestSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.concurrent.duration._
-import scala.util.Success
+import scala.util.{Failure, Success}
 
 /** Channel-sourced pipelines carry the FULL pipeline lifecycle —
   * reference pipeline.FromChannel (pipeline/pipeline.go:131-170):
@@ -105,6 +105,56 @@ class ChannelPipelineSpec extends AnyFunSuite {
     // no in-memory sink tables registered by the drain
     assert(!spark.catalog.listTables().collect().exists(_.name.contains("drain")))
     doubled.close()
+  }
+
+  test("1M-element drain: results exact, driver retention bounded after close") {
+    // the volume form of the file-backed-drain claim: ~115 MB of
+    // string payload flows channel → foreachBatch → parquet →
+    // aggregation. The old memory-sink drain held every drained row in
+    // a driver-side table (several-fold expanded as Row objects); the
+    // parquet drain must leave no trace once the pipeline is closed.
+    def usedHeap(): Long = {
+      val rt = Runtime.getRuntime
+      System.gc(); Thread.sleep(100); System.gc()
+      rt.totalMemory() - rt.freeMemory()
+    }
+    val before = usedHeap()
+    val n = 1000000
+    val payload = "x" * 100
+    val p = Pipeline.fromChannel[String](spark)
+    val lens = p.map(_.length)
+    (0 until n).grouped(100000).foreach { chunk =>
+      p.send(chunk.map(i => s"$payload$i").toSeq: _*)
+    }
+    p.closeChannel()
+    assert(lens.count == Success(n.toLong))
+    // second aggregation reuses the SAME drain files (no re-stream)
+    assert(lens.min == Success(101))
+    assert(lens.max == Success(106))
+    p.close()
+    val growth = usedHeap() - before
+    assert(growth < 256L * 1024 * 1024,
+      s"driver retained ${growth / 1048576} MB after draining+closing a " +
+        "1M-element channel — the drain is buffering on the driver again")
+  }
+
+  test("interrupt mid-drain at volume: clean failure or full result, never partial") {
+    val n = 500000
+    val p = Pipeline.fromChannel[Int](spark)
+    (0 until n).grouped(100000).foreach(c => p.send(c.toSeq: _*))
+    val fut = p.countAsync
+    p.closeChannel() // the drain starts now
+    Thread.sleep(150) // land inside the drain with high probability
+    p.interrupt()
+    assert(p.status == Status.Interrupted)
+    fut.get() match {
+      // the drain won the race — the cached result must be COMPLETE
+      // (a partial drain being cached would serve wrong answers to
+      // every later aggregation; drained() guards exactly this)
+      case Success(c) => assert(c == n.toLong, s"partial drain cached: $c")
+      case Failure(_) => () // interrupted mid-drain: the documented outcome
+    }
+    p.close()
   }
 
   test("zero-element drain yields empty aggregations, not a read error") {

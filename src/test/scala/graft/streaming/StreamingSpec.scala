@@ -254,6 +254,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sf0.01 events: streamed windowed agg matches batch frame (real table)") {
+    // batch/stream unification on the REAL events table (10k rows, 5
+    // event types, ~3.4k hourly windows), not synthetic rows: replay
+    // the table through a channel in event-time order (so the
+    // watermark never drops what batch would keep) across several
+    // micro-batches, and the streamed frame must agree with the batch
+    // frame — n exactly; sums to fp tolerance (incremental state
+    // accumulates in a different order than the batch agg).
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"ts", $"event_type", $"value")
+    val batch = Streams
+      .windowedAgg(ev, "ts", "event_type", "1 hour", "10 minutes")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val rows = ev.as[Evt].collect().sortBy(_.ts.getTime)
+    val ch = Streams.Channel[Evt](spark)
+    val agg = Streams.windowedAgg(ch.toDS.toDF(), "ts", "event_type", "1 hour", "10 minutes")
+    val q = Streams.runToMemory(agg, "sf_win_out")
+    try {
+      rows.grouped(2500).foreach { chunk => ch.send(chunk.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("sf_win_out")
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"window keys diverge: ${(streamed.keySet diff batch.keySet).take(3)} / ${(batch.keySet diff streamed.keySet).take(3)}")
+      streamed.foreach { case (k, (n, total)) =>
+        assert(n == batch(k)._1, s"count diverges at $k")
+        assert(math.abs(total - batch(k)._2) <= 0.011, s"sum diverges at $k: $total vs ${batch(k)._2}")
+      }
+    } finally q.stop()
+  }
+
+  test("sf0.01 events: streamed sessionization matches batch session_window (real table)") {
+    import Streams.SEvent
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def f(t: Timestamp) = fmt.format(t.toInstant)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"user_id", $"ts", $"value")
+    val batch = graft.operators.Sessionize
+      .batch(ev, "user_id", "ts", "value", "30 minutes")
+      .as[(Long, String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    val rows = ev.as[SEvent].collect().sortBy(_.ts.getTime)
+    val ch = Streams.Channel[SEvent](spark)
+    val q = Streams.sessionizeStream(ch.toDS, gapSeconds = 1800, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sf_sess_out").outputMode("append").start()
+    try {
+      rows.grouped(2500).foreach { chunk => ch.send(chunk.toSeq: _*); q.processAllAvailable() }
+      // flush: two sentinel batches far past the last event + gap
+      val last = rows.last.ts.getTime
+      ch.send(SEvent(-1L, new Timestamp(last + 86400000L), 0.0))
+      q.processAllAvailable()
+      ch.send(SEvent(-1L, new Timestamp(last + 86400000L + 60000L), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sf_sess_out").as[Streams.Session].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, f(s.session_start), f(s.session_end)) ->
+          (s.n_events, s.total_value)).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"session keys diverge: ${(streamed.keySet diff batch.keySet).take(3)} / ${(batch.keySet diff streamed.keySet).take(3)}")
+      streamed.foreach { case (k, (n, total)) =>
+        assert(n == batch(k)._1, s"n_events diverges at $k")
+        // batch rounds to 2; the state fold does not — allow the
+        // rounding quantum plus fp-order noise
+        assert(math.abs(total - batch(k)._2) <= 0.011, s"total diverges at $k")
+      }
+    } finally q.stop()
+  }
+
   test("incremental sends are visible after reprocessing") {
     val ch = Streams.Channel[Evt](spark)
     ch.send(evts.head)

@@ -6,12 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Fourth-wave operators (SURVEY.md §2 rows 70-79): classic TPC-H
+/** Fourth-wave operators (SURVEY.md §2 rows 70-83): classic TPC-H
   * shapes (Q10 top-k revenue, Q17 correlated-average, Q18 having-join,
-  * Q22 anti-join + scalar subquery), statistical anomaly detection,
-  * inverted-index construction, bigram PMI co-occurrence, token
-  * distribution entropy, Markov event transitions, and the
-  * bloom-prefiltered join.
+  * Q22 anti-join + scalar subquery, Q4 exists, Q14 conditional share,
+  * Q16 distinct-count + NOT IN, Q19 disjunctive predicates),
+  * statistical anomaly detection, inverted-index construction, bigram
+  * PMI co-occurrence, token distribution entropy, Markov event
+  * transitions, and the bloom-prefiltered join.
   */
 object AdvancedQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -204,6 +205,74 @@ object AdvancedQueries {
         .orderBy("prev_type", "next_type")
     }),
 
+    // 80. TPC-H Q4 shape: order-priority checking — orders with at
+    //     least one lineitem shipped > 30 days after the order date.
+    //     The EXISTS is a left-semi hash join on orderkey; the date
+    //     comparison is its residual, evaluated inside the join, so
+    //     nothing materializes per matching pair.
+    "q_tpch_q4" -> ((s, d) => {
+      val late = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(s, d).as("o")
+        .join(late.as("l"),
+          col("l.l_orderkey") === col("o.o_orderkey") &&
+            col("l.l_shipdate") > col("o.o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // 81. TPC-H Q14 shape: promo revenue share in one ship month —
+    //     a conditional aggregate over a broadcast part join; the
+    //     ship-date range pushes to the lineitem scan.
+    "q_tpch_q14" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(EngineNeutral.r4(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))) /
+            sum(rev)).as("promo_share"))
+    }),
+
+    // 82. TPC-H Q16 shape: distinct supplier counts per part attribute,
+    //     excluding suppliers in bad standing (NOT IN ≡ left-anti
+    //     against a broadcast-tiny exclusion set). countDistinct is a
+    //     two-phase agg — dedup on (brand, type, suppkey) first, then
+    //     count — both map-side combined.
+    "q_tpch_q16" -> ((s, d) => {
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 10)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+        .limit(20)
+    }),
+
+    // 83. TPC-H Q19 shape: disjunctive brand/size/quantity predicates —
+    //     the OR-of-ANDs evaluates as the broadcast join's residual;
+    //     each arm's part attributes come from the build side, so the
+    //     fact scan reads only the three columns it needs.
+    "q_tpch_q19" -> ((s, d) => {
+      val arm1 = col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 10) && col("l_quantity") >= 10
+      val arm2 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(11, 20) && col("l_quantity") >= 20
+      val arm3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(21, 30) && col("l_quantity") >= 30
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
     // 79. Bloom-prefiltered join (operators.BloomJoin): dim keys →
     //     bloom → codegen'd scan-stage prune of the fact side → exact
     //     join. Result is row-identical to the plain join (no false
@@ -332,6 +401,35 @@ object AdvancedQueries {
         |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)) * 10000 + 0.5)
         |    / 10000.0 AS p
         |FROM tr ORDER BY prev_type, next_type""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT floor(((100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)) /
+        |  sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000.0
+        |  AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity >= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity >= 30)""".stripMargin,
     "q_bloom_join" ->
       """SELECT p_brand, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

@@ -324,6 +324,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches a channel against a dim table") {
+    // the enrichment pattern: an unbounded stream joins a bounded
+    // dimension loaded once — Spark plans a broadcast hash join per
+    // micro-batch, no state store involved (unlike stream-stream
+    // joins), so it runs indefinitely with zero state growth.
+    val nation = graft.Tables.nation(spark, "/root/testdata/sf0.01")
+      .select($"n_nationkey", $"n_name")
+    val ch = Streams.Channel[(Long, Double)](spark)
+    val enriched = ch.toDS.toDF("cust_nation", "amount")
+      .join(broadcast(nation), $"cust_nation" === $"n_nationkey")
+      .select($"n_name", $"amount")
+    val q = Streams.runToMemory(enriched, "enrich_out", outputMode = "append")
+    try {
+      ch.send(0L -> 10.0, 1L -> 20.0, 0L -> 5.0, 999L -> 1.0) // 999: no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").as[(String, Double)].collect()
+      assert(rows.length == 3, "unmatched keys must drop (inner join)")
+      assert(rows.filter(_._2 == 10.0).head._1.nonEmpty)
+      val batch = Seq(0L -> 10.0, 1L -> 20.0, 0L -> 5.0, 999L -> 1.0)
+        .toDF("cust_nation", "amount")
+        .join(nation, $"cust_nation" === $"n_nationkey")
+        .select($"n_name", $"amount").as[(String, Double)].collect()
+      assert(rows.sortBy(r => (r._1, r._2)).toSeq == batch.sortBy(r => (r._1, r._2)).toSeq)
+    } finally q.stop()
+  }
+
   test("incremental sends are visible after reprocessing") {
     val ch = Streams.Channel[Evt](spark)
     ch.send(evts.head)

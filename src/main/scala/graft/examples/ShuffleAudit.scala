@@ -28,9 +28,11 @@ object ShuffleAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_tpch_q1", "q_tpch_q5", "q_join_multi", "q_dedup_minhash",
-        "q_dedup_clusters", "q_ann_bruteforce", "q_ann_ivfpq", "q_percentile",
-        "q_linkage", "q_resample", "q_topk_per_group", "q_window")
+      else Seq("q_tpch_q1", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
+        "q_join_multi", "q_dedup_minhash", "q_dedup_clusters",
+        "q_ann_bruteforce", "q_ann_ivfpq", "q_percentile", "q_linkage",
+        "q_resample", "q_topk_per_group", "q_window", "q_bloom_join",
+        "q_inverted_index", "q_cooccur", "q_anomaly")
 
     final class Metrics extends SparkListener {
       val shuffleRead = new AtomicLong

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank over an undirected edge list — fixed power iterations of
+  *
+  *   r₁(v) = (1−d)/N + d · Σ_{u~v} rₖ(u)/deg(u)
+  *
+  * (the simplified no-dangling-redistribution form: isolated vertices
+  * hold the base rank (1−d)/N and leaked mass is not re-injected — the
+  * deterministic variant an unrolled SQL oracle can reproduce exactly,
+  * which is how q_pagerank is gated).
+  *
+  * The companion to [[ConnectedComponents]] in the dedup-graph
+  * toolchain: CC tells you WHICH documents form a near-duplicate
+  * cluster, PageRank ranks centrality WITHIN the similarity graph —
+  * e.g. picking the canonical representative as the most-connected
+  * document rather than min-id.
+  *
+  * Scale design (mirrors ConnectedComponents): the symmetrized edge
+  * table is hash-partitioned by src and persisted ONCE — each
+  * iteration is a join of the (small) rank table against that cached
+  * layout plus one groupBy(dst), so per-iteration shuffle carries one
+  * (id, contribution) pair per edge, never the edge table. Iteration
+  * count is fixed (power iteration converges geometrically at rate d;
+  * 5-10 iterations separate centrality tiers), so the plan is linear
+  * in iters — each generation is persisted and the parent released,
+  * exactly the CC lesson about lazy plan growth.
+  */
+object PageRank {
+
+  /** Returns (id, rank). `vertices` must carry an `id` column; `edges`
+    * columns `id_a`/`id_b`. Each undirected edge contributes in both
+    * directions; deg is the symmetric degree.
+    */
+  def run(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
+          damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val n = vertices.count()
+    require(n > 0, "empty vertex set")
+    val base = (1.0 - damping) / n
+
+    val sym = edges
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    deg.count() // materialize both caches before iterating
+
+    var ranks = vertices.select(col("id"), lit(1.0 / n).as("r"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    for (_ <- 1 to iters) {
+      val contribs = sym
+        .join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("contrib"))
+      val next = vertices.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
+        .persist(StorageLevel.MEMORY_ONLY)
+      next.count() // materialize; parent safe to release
+      ranks.unpersist()
+      ranks = next
+    }
+    sym.unpersist()
+    deg.unpersist()
+    ranks
+  }
+}

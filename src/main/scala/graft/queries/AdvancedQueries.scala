@@ -273,6 +273,28 @@ object AdvancedQueries {
             .as("revenue"))
     }),
 
+    // 84. PageRank over the shared-shingle similarity graph (same edge
+    //     rule as q_dedup_clusters): 5 power iterations of the
+    //     simplified no-dangling-redistribution recurrence, which an
+    //     unrolled 5-step SQL oracle reproduces bit-for-bit (the
+    //     (1.0 − 0.85) base is computed, not a 0.15 literal, so both
+    //     engines divide the SAME double by N). Ranks the most
+    //     central documents of the near-dup graph — the
+    //     canonical-representative signal CC's min-id cannot give.
+    "q_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.sharedShingleEdges(docs, "doc_id", "text",
+        shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+        .select("id_a", "id_b")
+      val pr = graft.operators.PageRank.run(
+        docs.select(col("doc_id").as("id")), edges, iters = 5)
+      val out = pr.select(col("id"),
+          EngineNeutral.roundHalfUp(col("r"), 6).as("rank_r6"))
+        .orderBy(col("rank_r6").desc, col("id"))
+        .limit(50)
+      out
+    }),
+
     // 79. Bloom-prefiltered join (operators.BloomJoin): dim keys →
     //     bloom → codegen'd scan-stage prune of the fact side → exact
     //     join. Result is row-identical to the plain join (no false
@@ -401,6 +423,44 @@ object AdvancedQueries {
         |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)) * 10000 + 0.5)
         |    / 10000.0 AS p
         |FROM tr ORDER BY prev_type, next_type""".stripMargin,
+    "q_pagerank" -> {
+      // one unrolled power-iteration step (rK from rPrev); the edge
+      // CTEs mirror q_dedup_clusters' oracle exactly
+      def step(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""r$k AS (
+           |  SELECT v.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c.c, 0.0) AS r
+           |  FROM (SELECT doc_id AS id FROM documents) v CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT s.dst AS id, sum(p.r / d.deg) AS c
+           |    FROM sym s JOIN deg d ON d.src = s.src JOIN $prev p ON p.id = s.src
+           |    GROUP BY s.dst) c ON c.id = v.id)""".stripMargin
+      }
+      s"""WITH sh AS (
+         |  SELECT id, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3
+         |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+         |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+         |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+         |        FROM documents)
+         |), kept AS (
+         |  SELECT id, shingle FROM (
+         |    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df BETWEEN 2 AND 20
+         |), edges AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2 HAVING count(*) >= 5
+         |), sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM edges
+         |  UNION ALL SELECT id_b, id_a FROM edges
+         |), deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src
+         |), nn AS (SELECT count(*) AS n FROM documents
+         |), r0 AS (SELECT doc_id AS id, 1.0 / nn.n AS r FROM documents, nn
+         |), ${(1 to 5).map(step).mkString(", ")}
+         |SELECT id, floor(r * 1000000 + 0.5) / 1000000.0 AS rank_r6
+         |FROM r5 ORDER BY rank_r6 DESC, id LIMIT 50""".stripMargin
+    },
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l

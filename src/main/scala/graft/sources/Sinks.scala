@@ -27,4 +27,10 @@ object Sinks {
               maxRecordsPerFile: Long = 1000000L,
               mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("maxRecordsPerFile", maxRecordsPerFile).parquet(path)
+
+  /** ORC write (columnar alternative; same file-size bound). */
+  def orc(df: DataFrame, path: String,
+          maxRecordsPerFile: Long = 1000000L,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("maxRecordsPerFile", maxRecordsPerFile).orc(path)
 }

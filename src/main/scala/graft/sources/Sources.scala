@@ -29,6 +29,13 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC reader — same pushdown/pruning properties as parquet (ORC is
+    * a built-in columnar source with predicate pushdown into stripe
+    * and row-group indexes).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Streaming parquet directory source (file arrival = new data). */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)

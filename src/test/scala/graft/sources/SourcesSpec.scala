@@ -27,4 +27,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.csv(spark, s"$dir/csv", df.schema).count() == 2)
     assert(Sources.jsonLines(spark, s"$dir/json", df.schema).count() == 2)
   }
+
+  test("orc round-trip with predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = (1L to 100L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "v")
+    Sinks.orc(df, dir)
+    val back = Sources.orc(spark, dir).filter(col("id") > 90L)
+    assert(back.count() == 10)
+    val scan = back.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(id,90"), scan)
+  }
 }

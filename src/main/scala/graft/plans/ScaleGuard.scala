@@ -102,4 +102,45 @@ object ScaleGuard {
   def unregister(spark: SparkSession): Unit =
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[ScaleGuardRule])
+
+  /** Physical-plan audit: the broadcast MISS the logical lint can't
+    * see — a sort-merge or shuffled-hash join whose one side's static
+    * size estimate is under `broadcastableBytes` (default: the
+    * session's autoBroadcastJoinThreshold). Both sides of such a join
+    * shuffle even though one would fit a broadcast; the usual causes
+    * are a disabled threshold, missing stats upstream of a
+    * non-pruning operator, or a join key wrapped in an expression
+    * that blocked the planner's size propagation. AQE often rescues
+    * these at runtime from observed sizes — this audit catches the
+    * ones static planning already knew about, before execution.
+    *
+    * Returns one finding per offending join (empty = clean). Audits
+    * the pre-AQE physical plan, so it is side-effect free.
+    */
+  def auditPhysical(df: org.apache.spark.sql.DataFrame,
+                    broadcastableBytes: Long = -1L): Seq[String] = {
+    val thresh: Long =
+      if (broadcastableBytes >= 0) broadcastableBytes
+      else org.apache.spark.sql.graftbridge.Bridge
+        .autoBroadcastThreshold(df.sparkSession)
+    if (thresh <= 0) return Nil
+    def sizeOf(p: org.apache.spark.sql.execution.SparkPlan): Option[BigInt] =
+      p.logicalLink.map(_.stats.sizeInBytes)
+    df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        (j: org.apache.spark.sql.execution.SparkPlan, "SortMergeJoin",
+          sizeOf(j.left), sizeOf(j.right))
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        (j, "ShuffledHashJoin", sizeOf(j.left), sizeOf(j.right))
+    }.flatMap { case (_, kind, l, r) =>
+      val small = Seq("left" -> l, "right" -> r).collect {
+        case (side, Some(sz)) if sz <= thresh => s"$side≈${sz}B"
+      }
+      if (small.nonEmpty)
+        Some(s"$kind shuffles both sides but ${small.mkString(",")} is under " +
+          s"the ${thresh}B broadcast threshold — a broadcast was missed " +
+          "(stats gap, disabled threshold, or non-propagating operator)")
+      else None
+    }
+  }
 }

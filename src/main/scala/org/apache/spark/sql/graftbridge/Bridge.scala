@@ -42,4 +42,11 @@ object Bridge {
     */
   def drainListeners(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** The session's autoBroadcastJoinThreshold in bytes (`sessionState`
+    * is private[sql]; the conf string form would need byte-suffix
+    * parsing).
+    */
+  def autoBroadcastThreshold(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
 }

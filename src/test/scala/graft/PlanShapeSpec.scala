@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the PHYSICAL plan shapes the 100 TB story depends on — a
+  * query can stay hash-correct while silently regressing from a
+  * broadcast to a both-sides shuffle, from a pruned scan to a full
+  * one, or from the native top-k operator to a window sort. Wall time
+  * at sf0.01 won't notice; these assertions will.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+
+  test("TPC-H joins broadcast their dims (never shuffle them)") {
+    Seq("q_tpch_q5", "q_tpch_q10", "q_join_broadcast").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian product")
+    }
+  }
+
+  test("semi/anti shapes stay semi/anti (never materialize the match)") {
+    assert(plan("q_tpch_q4").contains("LeftSemi"))
+    assert(plan("q_tpch_q16").contains("LeftAnti"))
+    assert(plan("q_semi_anti").contains("LeftSemi"))
+  }
+
+  test("ANN and top-k ride the native bounded-heap operator, not a window sort") {
+    Seq("q_ann_bruteforce", "q_topk_per_group").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TopK"), s"$q no longer uses the native TopKPerKey operator:\n$p")
+      assert(!p.contains("RunningWindowFunction"), s"$q regressed to a window rank")
+    }
+  }
+
+  test("dedup scan reads only the columns it needs") {
+    val p = SparkEntry.queries("q_dedup_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // md5(text) + min(doc_id): lang/source/n_chars must be pruned away
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("n_chars"), s"q_dedup_exact reads pruned-away columns:\n$p")
+  }
+
+  test("no static broadcast miss across headline queries (auditPhysical)") {
+    // every sort-merge/shuffled-hash join in the gated headliners must
+    // have both sides genuinely above the broadcast threshold
+    Seq("q_tpch_q1", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18", "q_join_multi",
+      "q_dedup_exact", "q_funnel", "q_retention").foreach { q =>
+      val findings = graft.plans.ScaleGuard.auditPhysical(
+        SparkEntry.queries(q)(spark, sf), broadcastableBytes = 1L * 1024 * 1024)
+      assert(findings.isEmpty, s"$q: ${findings.mkString("; ")}")
+    }
+  }
+
+  test("aggregations are partial->final (map-side combine present)") {
+    Seq("q_tpch_q1", "q_groupby", "q_entropy").foreach { q =>
+      val p = plan(q)
+      val aggs = "HashAggregate".r.findAllIn(p).size
+      assert(aggs >= 2, s"$q has $aggs HashAggregate nodes — partial agg missing?\n$p")
+    }
+  }
+}

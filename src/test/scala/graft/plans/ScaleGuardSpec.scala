@@ -109,4 +109,38 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(!spark.experimental.extraOptimizations
       .exists(_.isInstanceOf[ScaleGuardRule]))
   }
+
+  test("auditPhysical flags a shuffle join whose side was broadcastable") {
+    import spark.implicits._
+    val big = (1L to 10000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val small = (1L to 50L).toDF("k2")
+    // force the miss: broadcasts disabled, so the planner must
+    // shuffle both sides of an equi-join with a tiny right side
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = big.join(small, $"k" === $"k2")
+      val findings = ScaleGuard.auditPhysical(df, broadcastableBytes = 10L * 1024 * 1024)
+      assert(findings.nonEmpty, df.queryExecution.sparkPlan.toString)
+      assert(findings.head.contains("broadcast was missed"))
+      // clean case: both sides declared "too big" for the passed
+      // threshold -> nothing to flag
+      assert(ScaleGuard.auditPhysical(df, broadcastableBytes = 1L).isEmpty)
+    }
+  }
+
+  test("auditPhysical is silent on a broadcast join") {
+    import spark.implicits._
+    val big = (1L to 10000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val small = (1L to 50L).toDF("k2")
+    val df = big.join(org.apache.spark.sql.functions.broadcast(small), $"k" === $"k2")
+    assert(ScaleGuard.auditPhysical(df, broadcastableBytes = 10L * 1024 * 1024).isEmpty)
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

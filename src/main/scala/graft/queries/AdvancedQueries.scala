@@ -273,6 +273,19 @@ object AdvancedQueries {
             .as("revenue"))
     }),
 
+    // 85. Z-order (Morton) interleave as a gated expression: the
+    //     layout-clustering key (operators.Layout / plans.ZOrderCode)
+    //     cross-checked against DuckDB computing the same 5-step
+    //     bit-spread in pure integer SQL — bitwise ops are exact, so
+    //     this hash-matches with no rounding caveats at all.
+    "q_zorder" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.plans.ZOrderCode.z_order(
+            col("user_id") % 4096, col("event_id") % 4096).as("z"))
+        .orderBy(col("z").desc, col("event_id"))
+        .limit(20)),
+
     // 84. PageRank over the shared-shingle similarity graph (same edge
     //     rule as q_dedup_clusters): 5 power iterations of the
     //     simplified no-dangling-redistribution recurrence, which an
@@ -423,6 +436,22 @@ object AdvancedQueries {
         |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)) * 10000 + 0.5)
         |    / 10000.0 AS p
         |FROM tr ORDER BY prev_type, next_type""".stripMargin,
+    "q_zorder" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(user_id % 4096 AS BIGINT) AS x,
+        |    CAST(event_id % 4096 AS BIGINT) AS y FROM events),
+        |s1 AS (SELECT event_id, (x | (x << 16)) & 281470681808895 AS x,
+        |  (y | (y << 16)) & 281470681808895 AS y FROM base),
+        |s2 AS (SELECT event_id, (x | (x << 8)) & 71777214294589695 AS x,
+        |  (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        |s3 AS (SELECT event_id, (x | (x << 4)) & 1085102592571150095 AS x,
+        |  (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        |s4 AS (SELECT event_id, (x | (x << 2)) & 3689348814741910323 AS x,
+        |  (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        |s5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
+        |  (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+        |SELECT event_id, x | (y << 1) AS z FROM s5
+        |ORDER BY z DESC, event_id LIMIT 20""".stripMargin,
     "q_pagerank" -> {
       // one unrolled power-iteration step (rK from rPrev); the edge
       // CTEs mirror q_dedup_clusters' oracle exactly

@@ -28,4 +28,13 @@ object Observe {
     val obs = Observation(name)
     (df.observe(obs, first, rest: _*), obs)
   }
+
+  /** The streaming form: metrics attach by NAME (the [[Observation]]
+    * handle is batch-only) and surface per micro-batch in each
+    * `StreamingQueryProgress.observedMetrics` — an always-on funnel
+    * gauge for ingest pipelines, at the same ride-the-job cost.
+    */
+  def onStream(df: DataFrame, name: String,
+               first: Column, rest: Column*): DataFrame =
+    df.observe(name, first, rest: _*)
 }

@@ -350,6 +350,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observed metrics surface per micro-batch through progress events") {
+    val ch = Streams.Channel[(Long, Double)](spark)
+    val instrumented = graft.operators.Observe.onStream(
+      ch.toDS.toDF("id", "v"), "ingest_metrics",
+      count(lit(1)).as("n"), sum($"v").as("total"))
+    val q = Streams.runToMemory(instrumented, "obs_stream_out", outputMode = "append")
+    try {
+      ch.send(1L -> 2.0, 2L -> 3.0)
+      q.processAllAvailable()
+      ch.send(3L -> 5.0)
+      q.processAllAvailable()
+      val ms = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest_metrics")))
+      assert(ms.map(_.getAs[Long]("n")).sum == 3, s"per-batch counts: $ms")
+      assert(math.abs(ms.map(_.getAs[Double]("total")).sum - 10.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("incremental sends are visible after reprocessing") {
     val ch = Streams.Channel[Evt](spark)
     ch.send(evts.head)

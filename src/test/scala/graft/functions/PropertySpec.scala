@@ -102,4 +102,38 @@ class PropertySpec extends AnyFunSuite {
       assert(salted == plain, s"trial $trial")
     }
   }
+
+  test("z_order round-trips: de-interleaving recovers both keys on random input") {
+    import graft.plans.ZOrderCode.z_order
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(500)((rnd.nextInt(Int.MaxValue).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", z_order($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+    def unspread(z0: Long): Long = { // inverse of the 5-step spread
+      var v = z0 & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      (v | (v >> 16)) & 0xFFFFFFFFL
+    }
+    got.foreach { case (x, y, z) =>
+      assert(unspread(z) == x && unspread(z >> 1) == y,
+        s"z_order($x,$y)=$z does not de-interleave")
+    }
+  }
+
+  test("bloom prefilter keeps exactly the true matches after the exact join (random)") {
+    val rnd = new scala.util.Random(7)
+    val smallKeys = Seq.fill(300)(rnd.nextLong()).distinct
+    val bigKeys = (Seq.fill(2000)(rnd.nextLong()) ++ smallKeys.take(100)).distinct
+    val small = smallKeys.toDF("k")
+    val big = bigKeys.toDF("x")
+    val got = graft.operators.BloomJoin
+      .innerJoin(big, "x", small, "k", expectedItems = 1024)
+      .select("x").as[Long].collect().toSet
+    assert(got == (bigKeys.toSet intersect smallKeys.toSet))
+  }
 }

@@ -34,6 +34,11 @@ object PageRank {
   /** Returns (id, rank). `vertices` must carry an `id` column; `edges`
     * columns `id_a`/`id_b`. Each undirected edge contributes in both
     * directions; deg is the symmetric degree.
+    *
+    * Like [[ConnectedComponents.labelPropagation]], the returned frame
+    * is one materialized MEMORY_ONLY cache (edge/degree/generation
+    * caches are released before returning) — call `.unpersist()` on it
+    * when finished.
     */
   def run(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
           damping: Double = 0.85): DataFrame = {

@@ -106,6 +106,7 @@ object Bench {
         val l = if (i == iters) Some(new TaskTotals) else None
         l.foreach(spark.sparkContext.addSparkListener)
         val t0 = System.nanoTime()
+        var ok = true
         try {
           run(name)
           (System.nanoTime() - t0) / 1e9
@@ -113,13 +114,18 @@ object Bench {
           case e: Throwable =>
             // a failed query must not masquerade as a fast one
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            ok = false
             -1.0
         } finally {
           l.foreach { ll =>
             org.apache.spark.sql.graftbridge.Bridge
               .drainListeners(spark.sparkContext)
             spark.sparkContext.removeSparkListener(ll)
-            shuffle = (ll.shuffleWrite.get, ll.shuffleRead.get, ll.spill.get)
+            // partial counters from a failed/cancelled run would record
+            // an artificially LOW shuffle — mark instead of publish
+            shuffle =
+              if (ok) (ll.shuffleWrite.get, ll.shuffleRead.get, ll.spill.get)
+              else (-1L, -1L, -1L)
           }
         }
       }
@@ -133,7 +139,7 @@ object Bench {
     // fast full run for consumers that read only the total
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    val totalShuffleW = results.map(_._4._1).sum
+    val totalShuffleW = results.map(_._4._1).filter(_ >= 0).sum
     val detail = BenchFormat.detailJson(
       results.map { case (k, v, ts, _) => (k, v, ts) }, total, failed,
       loadStart, loadEnd, cpus, sfDir,
@@ -176,7 +182,9 @@ object BenchFormat {
   private def f2(d: Double): String =
     if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.2f"
 
-  private def mb2(bytes: Long): String = f"${bytes / 1048576.0}%.2f"
+  // -1 = metrics unavailable (the final iteration failed)
+  private def mb2(bytes: Long): String =
+    if (bytes < 0) "-1" else f"${bytes / 1048576.0}%.2f"
 
   def detailJson(results: Seq[(String, Double, Seq[Double])], total: Double,
                  failed: Int, loadStart: Double, loadEnd: Double,

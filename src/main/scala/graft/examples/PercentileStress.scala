@@ -27,7 +27,7 @@ object PercentileStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val li1 = graft.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_extendedprice")
     // 10×: jitter each copy so values stay near-unique (the adversarial

@@ -33,7 +33,10 @@ object BloomJoin {
                 smallKey: String, expectedItems: Long = 1L << 20,
                 fpp: Double = 0.01): DataFrame = {
     val pruned = prefilter(big, bigKey, small, smallKey, expectedItems, fpp)
-    pruned.join(small, col(bigKey) === col(smallKey))
+    // frame-qualified keys: bigKey/smallKey may share a NAME (the
+    // common case for a generic join helper), which unqualified
+    // col() would make an ambiguous reference
+    pruned.join(small, pruned(bigKey) === small(smallKey))
   }
 
   /** Just the prune step: `big` rows whose key passes the bloom built

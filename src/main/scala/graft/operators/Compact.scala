@@ -43,20 +43,40 @@ object Compact {
 
   /** Rewrite `path` into ceil(bytes / targetBytes) files. Returns
     * (filesBefore, filesAfter).
+    *
+    * The swap is defensive: the tmp dir is a SIBLING of the target
+    * (never inside it — a trailing slash must not place it under the
+    * directory being replaced), the rewrite is verified row-count
+    * complete BEFORE the original is touched, and every delete/rename
+    * return value is checked — a swap step that fails throws with the
+    * rewritten data still on disk in the tmp dir, it never silently
+    * drops the table.
     */
   def parquetDir(spark: SparkSession, path: String,
                  targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val before = fileCount(spark, path)
-    val bytes = dirBytes(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path) // normalizes trailing '/'
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, target.getName + "-compact-tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fileCount(spark, target.toString)
+    val bytes = dirBytes(spark, target.toString)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df: DataFrame = spark.read.parquet(path)
-    val tmp = s"$path-compact-tmp"
-    df.repartition(nOut).write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
-    (before, fileCount(spark, path))
+    val df: DataFrame = spark.read.parquet(target.toString)
+    val nRows = df.count()
+    df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    val rewritten = spark.read.parquet(tmp.toString).count()
+    if (rewritten != nRows) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction rewrite row mismatch: $rewritten != $nRows (original untouched)")
+    }
+    if (!fs.delete(target, true))
+      throw new java.io.IOException(
+        s"could not delete $target (rewrite preserved at $tmp)")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"rename $tmp -> $target failed (rewrite preserved at $tmp)")
+    (before, fileCount(spark, target.toString))
   }
 }

@@ -104,41 +104,63 @@ object ScaleGuard {
       spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[ScaleGuardRule])
 
   /** Physical-plan audit: the broadcast MISS the logical lint can't
-    * see — a sort-merge or shuffled-hash join whose one side's static
-    * size estimate is under `broadcastableBytes` (default: the
-    * session's autoBroadcastJoinThreshold). Both sides of such a join
-    * shuffle even though one would fit a broadcast; the usual causes
-    * are a disabled threshold, missing stats upstream of a
-    * non-pruning operator, or a join key wrapped in an expression
-    * that blocked the planner's size propagation. AQE often rescues
-    * these at runtime from observed sizes — this audit catches the
-    * ones static planning already knew about, before execution.
+    * see — a sort-merge or shuffled-hash join whose one LEGALLY
+    * BROADCASTABLE side's static size estimate is under
+    * `broadcastableBytes`. Both sides of such a join shuffle even
+    * though one would fit a broadcast; the usual causes are a
+    * disabled threshold, missing stats upstream of a non-pruning
+    * operator, or a join key wrapped in an expression that blocked
+    * the planner's size propagation. AQE often rescues these at
+    * runtime from observed sizes — this audit catches the ones
+    * static planning already knew about, before execution.
+    *
+    * Legality mirrors the planner's build-side rules: outer joins can
+    * only broadcast the side OPPOSITE the preserved one (full outer
+    * neither), semi/anti only the right — a small preserved side is
+    * not a miss, it is the only legal plan.
+    *
+    * `broadcastableBytes` defaults to the session threshold, falling
+    * back to Spark's stock 10 MB when the session disables
+    * broadcasts (threshold ≤ 0 — the audit must still SEE the misses
+    * that configuration causes; pass an explicit value to change the
+    * reference point).
     *
     * Returns one finding per offending join (empty = clean). Audits
     * the pre-AQE physical plan, so it is side-effect free.
     */
   def auditPhysical(df: org.apache.spark.sql.DataFrame,
                     broadcastableBytes: Long = -1L): Seq[String] = {
+    val sessionThresh = org.apache.spark.sql.graftbridge.Bridge
+      .autoBroadcastThreshold(df.sparkSession)
     val thresh: Long =
       if (broadcastableBytes >= 0) broadcastableBytes
-      else org.apache.spark.sql.graftbridge.Bridge
-        .autoBroadcastThreshold(df.sparkSession)
+      else if (sessionThresh > 0) sessionThresh
+      else 10L * 1024 * 1024
     if (thresh <= 0) return Nil
     def sizeOf(p: org.apache.spark.sql.execution.SparkPlan): Option[BigInt] =
       p.logicalLink.map(_.stats.sizeInBytes)
+    import org.apache.spark.sql.catalyst.plans._
+    def legalSides(jt: JoinType): (Boolean, Boolean) = jt match {
+      case Inner | Cross => (true, true)
+      case LeftOuter | LeftSemi | LeftAnti => (false, true) // build right only
+      case RightOuter => (true, false)
+      case _: ExistenceJoin => (false, true)
+      case FullOuter => (false, false)
+      case _ => (false, false)
+    }
     df.queryExecution.sparkPlan.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
-        (j: org.apache.spark.sql.execution.SparkPlan, "SortMergeJoin",
-          sizeOf(j.left), sizeOf(j.right))
+        ("SortMergeJoin", j.joinType, sizeOf(j.left), sizeOf(j.right))
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
-        (j, "ShuffledHashJoin", sizeOf(j.left), sizeOf(j.right))
-    }.flatMap { case (_, kind, l, r) =>
-      val small = Seq("left" -> l, "right" -> r).collect {
-        case (side, Some(sz)) if sz <= thresh => s"$side≈${sz}B"
+        ("ShuffledHashJoin", j.joinType, sizeOf(j.left), sizeOf(j.right))
+    }.flatMap { case (kind, jt, l, r) =>
+      val (leftOk, rightOk) = legalSides(jt)
+      val small = Seq(("left", leftOk, l), ("right", rightOk, r)).collect {
+        case (side, true, Some(sz)) if sz <= thresh => s"$side≈${sz}B"
       }
       if (small.nonEmpty)
-        Some(s"$kind shuffles both sides but ${small.mkString(",")} is under " +
-          s"the ${thresh}B broadcast threshold — a broadcast was missed " +
+        Some(s"$kind ($jt) shuffles both sides but ${small.mkString(",")} is " +
+          s"under the ${thresh}B broadcast threshold — a broadcast was missed " +
           "(stats gap, disabled threshold, or non-propagating operator)")
       else None
     }

@@ -50,7 +50,10 @@ case class ZOrderCode(left: Expression, right: Expression)
       val s = ctx.freshName("spread")
       val vx = ctx.freshName("vx")
       val vy = ctx.freshName("vy")
-      ctx.addNewFunction(s,
+      // addNewFunction may relocate the method into a nested class and
+      // returns the QUALIFIED invocation name — calling the bare fresh
+      // name would not compile in split generated classes
+      val fn = ctx.addNewFunction(s,
         s"""private long $s(long v) {
            |  v &= 0xFFFFFFFFL;
            |  v = (v | (v << 16)) & 0x0000FFFF0000FFFFL;
@@ -61,8 +64,8 @@ case class ZOrderCode(left: Expression, right: Expression)
            |  return v;
            |}""".stripMargin)
       s"""
-         |long $vx = $s($x);
-         |long $vy = $s($y);
+         |long $vx = $fn($x);
+         |long $vy = $fn($y);
          |${ev.value} = $vx | ($vy << 1);
        """.stripMargin
     })

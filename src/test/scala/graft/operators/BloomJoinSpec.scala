@@ -38,6 +38,14 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("same-named join keys resolve (frame-qualified, not ambiguous)") {
+    val small = (0L until 50L).map(i => (i * 2, i)).toDF("id", "ord")
+    val big = (0L until 200L).toDF("id")
+    val got = BloomJoin.innerJoin(big, "id", small, "id", expectedItems = 100)
+      .select(small("ord")).as[Long].collect().toSet
+    assert(got == (0L until 50L).toSet)
+  }
+
   test("interpreted eval and codegen agree") {
     val small = (0L until 64L).toDF("k")
     val bloom = small.stat.bloomFilter("k", 100, 0.01)

@@ -25,6 +25,18 @@ class CompactSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == want)
   }
 
+  test("trailing-slash path compacts safely (tmp dir is a sibling, never inside)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val want = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val (_, after) = Compact.parquetDir(spark, dir + "/", targetBytes = Long.MaxValue)
+    assert(after == 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == want,
+      "rows lost through the swap — the old in-place tmp bug")
+  }
+
   test("single-file target floors at one output file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact1").toString + "/t"
     (1 to 5).foreach { _ =>

@@ -127,6 +127,37 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("auditPhysical respects join-type legality: small PRESERVED outer side is not a miss") {
+    import spark.implicits._
+    val big = (1L to 10000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val small = (1L to 50L).toDF("k2")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // left-outer with the SMALL side on the left (preserved): Spark
+      // can only broadcast the right side here, so SMJ is the only
+      // legal plan — not a miss. Threshold 100 KB: small ≈ 800 B is
+      // under it, big ≈ 240 KB is above, so only legality decides.
+      val preserved = small.join(big, $"k2" === $"k", "left_outer")
+      assert(ScaleGuard.auditPhysical(preserved, 100L * 1024).isEmpty,
+        preserved.queryExecution.sparkPlan.toString)
+      // flip it: small side on the right IS broadcastable — a real miss
+      val missed = big.join(small, $"k" === $"k2", "left_outer")
+      assert(ScaleGuard.auditPhysical(missed, 100L * 1024).nonEmpty)
+    }
+  }
+
+  test("auditPhysical still sees misses when the session disables broadcasts") {
+    import spark.implicits._
+    val big = (1L to 10000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val small = (1L to 50L).toDF("k2")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // no explicit threshold passed: the audit falls back to the
+      // stock 10 MB reference instead of going blind — the disabled
+      // threshold is precisely the misconfiguration it must catch
+      val df = big.join(small, $"k" === $"k2")
+      assert(ScaleGuard.auditPhysical(df).nonEmpty)
+    }
+  }
+
   test("auditPhysical is silent on a broadcast join") {
     import spark.implicits._
     val big = (1L to 10000L).map(i => (i, i * 2.0)).toDF("k", "v")

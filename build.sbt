@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify consumer keeps only the tail of the process output
+// and parses the final JSON line. sbt's default forked-run logger
+// prefixes every program line with "[info] " (so no line starts with
+// '{') and appends a "[success] Total time …" banner after it (so the
+// JSON is never the last line). Inherit stdout raw and drop the
+// banner so the bench line reaches the consumer byte-exact and last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exclude
+// it from the unused-setting lint so its warning doesn't precede runs
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

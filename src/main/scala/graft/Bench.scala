@@ -152,8 +152,17 @@ object Bench {
       results.map { case (k, v, _, _) => (k, v) }, total, failed, sfDir,
       totalShuffleW)
     overflow.foreach(System.err.println)
+    // Print the line ONCE, after spark.stop(), so it is the process's
+    // final stdout line: a consumer that parses only the last line of
+    // its tail window must see JSON, not Spark shutdown noise — and
+    // exactly once, so a first-'{'-to-last-'}' substring parser isn't
+    // broken by a duplicate. build.sbt strips sbt's "[info] " prefix
+    // (StdoutOutput) and "[success]" trailer (showSuccess := false).
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(line)
-    spark.stop()
+    System.out.flush()
   }
 }
 
@@ -166,21 +175,18 @@ object Bench {
   * to stdout; full per-iteration detail to BENCH_DETAIL.json.
   */
 object BenchFormat {
-  /** Budget for the stdout line: the consumer's 2000-char tail window
-    * must hold sbt's "[info] " prefix (7), this line, a newline, and
-    * sbt's ~73-char "[success] Total time …" epilogue — so the hard
-    * cap is ~1919. BenchFormatSpec pins the CURRENT query inventory
-    * under this at worst-case value widths.
+  /** Budget for the stdout line: the consumer keeps the LAST 2000
+    * chars of output. build.sbt (StdoutOutput + showSuccess := false)
+    * and Bench's print-after-stop make this line the FINAL line of the
+    * process, so the window must hold just the line plus its newline —
+    * cap 1950, keeping ~49 chars of slack for an unexpected trailer.
+    * BenchFormatSpec pins the CURRENT query inventory under this at
+    * worst-case value widths (240 s = the per-query timeout ceiling),
+    * with 15 queries of growth headroom.
     */
-  val MaxLineChars = 1900
+  val MaxLineChars = 1950
 
   def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
-  // compact-map value formats are width-capped: ≥100 s drops decimals
-  // (a 100-second query does not need centiseconds in the summary;
-  // full precision is always in the detail file), so the worst-case
-  // per-entry width stays bounded as the inventory grows
-  private def f2(d: Double): String =
-    if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.2f"
 
   // -1 = metrics unavailable (the final iteration failed)
   private def mb2(bytes: Long): String =
@@ -206,39 +212,58 @@ object BenchFormat {
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"shuffle_mb":$shuf,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
   }
 
+  /** Compact keys: drop the uniform `q_` prefix and truncate to 10
+    * chars (102 queries outgrew the window at full width; the
+    * truncation is a documented, deterministic rule and
+    * BENCH_DETAIL.json keeps full names). Truncation collisions are
+    * disambiguated with a `~N` suffix so the JSON object never carries
+    * duplicate keys — parsers silently drop duplicates.
+    */
+  def compactKeys(names: Seq[String]): Seq[String] = {
+    val cut = names.map(_.stripPrefix("q_").take(10))
+    val dup = cut.groupBy(identity).filter(_._2.length > 1).keySet
+    val counters = scala.collection.mutable.Map.empty[String, Int]
+    cut.map { k =>
+      if (!dup(k)) k
+      else {
+        val i = counters.updateWith(k)(c => Some(c.getOrElse(0) + 1)).get
+        k.take(8) + "~" + i
+      }
+    }
+  }
+
+  /** Per-query seconds at ~2 significant figures (full 3-decimal
+    * precision stays in BENCH_DETAIL.json): bounded width keeps the
+    * whole inventory inside the tail window.
+    */
+  def fCompact(d: Double): String =
+    if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.1f"
+
+  // "/root/testdata/sf0.1" → 0.1 (numeric, per the driver contract's
+  // `"sf":…`); an unrecognized dir falls back to the quoted string
+  def sfJson(sfDir: String): String = {
+    val m = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir)
+    m.map(_.group(1).stripSuffix(".")).getOrElse("\"" + sfDir + "\"")
+  }
+
   /** The stdout line, plus a warning when the per-query map had to be
     * dropped to stay under [[MaxLineChars]] (totals still parse;
-    * detail stays in the file). Per-query keys drop the uniform `q_`
-    * prefix — 96 queries outgrew the window with it; BENCH_DETAIL.json
-    * keeps full names. `shuffleWriteBytes` (total across queries, from
-    * each query's final iteration) prints as integer MB.
+    * detail stays in the file). `shuffleWriteBytes` (total across
+    * queries, from each query's final iteration) prints as integer MB.
     */
   def compactLine(results: Seq[(String, Double)], total: Double,
                   failed: Int, sfDir: String,
                   shuffleWriteBytes: Long = 0L): (String, Option[String]) = {
     val shufMb = (shuffleWriteBytes / 1048576.0).round
-    def build(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) =>
-        s"\"" + k.stripPrefix("q_") + "\":" + fmt(v)
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"shuffle_mb":$shufMb,"queries":$qs,"sf":"$sfDir"}"""
-    }
-    def f1(d: Double): String =
-      if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.1f"
-    val line2 = build(f2)
-    if (line2.length <= MaxLineChars) (line2, None)
-    else {
-      // degrade in steps: 1-decimal values first, whole map only as a
-      // last resort (totals + failure count always parse; full
-      // precision stays in BENCH_DETAIL.json)
-      val line1 = build(f1)
-      if (line1.length <= MaxLineChars)
-        (line1, Some(s"[bench] compact line ${line2.length} chars > $MaxLineChars; " +
-          "reduced per-query values to 1 decimal (full precision in BENCH_DETAIL.json)"))
-      else
-        (s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"shuffle_mb":$shufMb,"queries":{},"sf":"$sfDir"}""",
-          Some(s"[bench] compact line ${line1.length} chars > $MaxLineChars; " +
-            "dropping per-query map from stdout (see BENCH_DETAIL.json)"))
-    }
+    val keys = compactKeys(results.map(_._1))
+    val qs = keys.zip(results).map { case (k, (_, v)) =>
+      s"\"" + k + "\":" + fCompact(v)
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"shuffle_mb":$shufMb,"queries":$qs,"sf":${sfJson(sfDir)}}"""
+    if (line.length <= MaxLineChars) (line, None)
+    else
+      (s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"shuffle_mb":$shufMb,"queries":{},"sf":${sfJson(sfDir)}}""",
+        Some(s"[bench] compact line ${line.length} chars > $MaxLineChars; " +
+          "dropping per-query map from stdout (see BENCH_DETAIL.json)"))
   }
 }

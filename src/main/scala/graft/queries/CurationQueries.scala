@@ -333,7 +333,7 @@ object CurationQueries {
         |  FROM documents)
         |GROUP BY lang, copy_idx ORDER BY lang, copy_idx""".stripMargin,
     "q_budget_cap" ->
-      """SELECT source, count(*) AS n_kept, max(cum) AS chars_used FROM (
+      """SELECT source, count(*) AS n_kept, CAST(max(cum) AS BIGINT) AS chars_used FROM (
         |  SELECT source, sum(n_chars) OVER (PARTITION BY source
         |    ORDER BY md5(text), doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

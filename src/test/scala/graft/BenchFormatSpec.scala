@@ -7,14 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * gate for "add a query, silently lose the per-query map" (or worse,
   * pre-guard: "add a query, the line truncates mid-JSON and the
   * artifact records parsed: null", which went unnoticed for five
-  * rounds).
+  * rounds). Worst-case per-query value is pinned at 240 s — the
+  * bench's own per-query timeout ceiling, so no real run can print a
+  * wider number.
   */
 class BenchFormatSpec extends AnyFunSuite {
 
+  private val worstCase = 240.0
+
   test("compact line fits the tail window for every current query at worst-case widths") {
-    // worst plausible per-query width: hundreds of seconds each, tens
-    // of GB of total shuffle
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, 999.99))
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, worstCase))
     val (line, overflow) = BenchFormat.compactLine(
       results, total = 99999.999, failed = 0, sfDir = "/root/testdata/sf0.1",
       shuffleWriteBytes = 99999L * 1048576L)
@@ -24,12 +26,81 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.length <= BenchFormat.MaxLineChars)
     assert(line.contains("\"metric\":\"total\""))
     assert(line.contains("\"shuffle_mb\":99999"))
+    assert(line.contains("\"sf\":0.1"))
   }
 
-  test("compact map drops the uniform q_ prefix; detail keeps full names") {
+  test("driver tail-window consumption: every plausible parser recovers the line") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, worstCase))
     val (line, _) = BenchFormat.compactLine(
-      Seq(("q_tpch_q1", 1.5)), total = 1.5, failed = 0, "/sf")
-    assert(line.contains("\"tpch_q1\":1.50") && !line.contains("\"q_tpch_q1\""))
+      results, total = 99999.999, failed = 0, sfDir = "/root/testdata/sf0.1",
+      shuffleWriteBytes = 99999L * 1048576L)
+    // The transcript as the consumer sees it after build.sbt's
+    // StdoutOutput (program lines raw, no "[info] " prefix) and
+    // showSuccess := false (no "[success] Total time …" trailer), with
+    // Bench printing the line once, after spark.stop(): sbt preamble,
+    // Spark log noise, then the JSON as the FINAL line.
+    val transcript = (Seq(
+      "[info] welcome to sbt",
+      "[info] compiling 1 Scala source",
+      "[info] running (fork) graft.Bench ") ++
+      (1 to 40).map(i => s"26/08/13 00:00:$i WARN TaskSetManager: noise line $i") ++
+      Seq(line)).mkString("\n") + "\n"
+    val tail = transcript.takeRight(2000)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // parser A: last non-empty line of the tail is JSON
+    val lastLine = tail.split("\n").filter(_.nonEmpty).last
+    val a = mapper.readTree(lastLine)
+    assert(a.get("metric").asText == "total" && a.get("queries").size == results.size)
+    // parser B: any line starting with '{'
+    val b = tail.split("\n").filter(_.startsWith("{"))
+    assert(b.length == 1 && mapper.readTree(b.head).get("failed").asInt == 0)
+    // parser C: substring from first '{' to last '}'
+    val c = tail.substring(tail.indexOf('{'), tail.lastIndexOf('}') + 1)
+    assert(mapper.readTree(c).get("metric").asText == "total")
+  }
+
+  test("15 more queries still carry a per-query map (headroom gate)") {
+    val padded = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, worstCase)) ++
+      (1 to 15).map(i => (f"q_future_$i%02d", worstCase))
+    val (line, overflow) = BenchFormat.compactLine(
+      padded, total = 99999.999, failed = 0, sfDir = "/root/testdata/sf0.1",
+      shuffleWriteBytes = 99999L * 1048576L)
+    assert(overflow.isEmpty && line.length <= BenchFormat.MaxLineChars,
+      s"at +15 queries the line is ${line.length} chars: " +
+        "shrink the compact format before adding the next query wave")
+    assert(!line.contains("\"queries\":{}"))
+  }
+
+  test("current inventory has collision-free 10-char compact keys") {
+    val keys = BenchFormat.compactKeys(SparkEntry.queries.keys.toSeq.sorted)
+    assert(keys.distinct.size == keys.size)
+    assert(!keys.exists(_.contains("~")),
+      "a real query name collides at 10 chars — rename it rather than " +
+        "shipping a ~N disambiguated artifact key")
+  }
+
+  test("truncation collisions disambiguate instead of emitting duplicate JSON keys") {
+    val keys = BenchFormat.compactKeys(
+      Seq("q_same_prefix_aa", "q_same_prefix_bb", "q_other"))
+    assert(keys.distinct.size == 3)
+    assert(keys.count(_.contains("~")) == 2)
+    assert(keys.contains("other"))
+  }
+
+  test("compact values: 2-sig-fig widths, failed markers stay -1") {
+    assert(BenchFormat.fCompact(0.32) == "0.3")
+    assert(BenchFormat.fCompact(12.34) == "12.3")
+    assert(BenchFormat.fCompact(239.9) == "240")
+    assert(BenchFormat.fCompact(-1.0) == "-1")
+    val (line, _) = BenchFormat.compactLine(
+      Seq(("q_a", 1.5), ("q_b", -1.0)), total = -1.0, failed = 1, "/sf")
+    assert(line.contains("\"b\":-1"))
+    assert(line.contains("\"failed\":1"))
+    assert(line.contains("\"value\":-1"))
+    assert(line.contains("\"sf\":\"/sf\""))
+  }
+
+  test("detail file keeps full names and 3-decimal precision") {
     val detail = BenchFormat.detailJson(
       Seq(("q_tpch_q1", 1.5, Seq(2.0, 1.5))), 1.5, 0, 1.0, 1.0, "32", "/sf",
       Seq(("q_tpch_q1", (2097152L, 1048576L, 0L))))
@@ -43,13 +114,5 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(overflow.isDefined)
     assert(line.contains("\"queries\":{}"))
     assert(line.length <= BenchFormat.MaxLineChars)
-  }
-
-  test("failed markers surface as -1 and never as a fast number") {
-    val (line, _) = BenchFormat.compactLine(
-      Seq(("q_a", 1.5), ("q_b", -1.0)), total = -1.0, failed = 1, "/sf")
-    assert(line.contains("\"b\":-1"))
-    assert(line.contains("\"failed\":1"))
-    assert(line.contains("\"value\":-1"))
   }
 }

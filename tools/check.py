@@ -23,6 +23,81 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def type_sig(series):
+    """Normalized type signature for a column. Integer widths collapse
+    (int32 == int64) and float widths collapse (float32 == float64),
+    but int vs float vs bool vs object are DISTINCT — the driver hashes
+    typed values, so a DuckDB HUGEINT (object/float in pandas) against a
+    Spark long must fail here the way it fails there."""
+    import pandas.api.types as pt
+    if pt.is_bool_dtype(series):
+        return "bool"
+    if pt.is_integer_dtype(series):
+        return "int"
+    if pt.is_float_dtype(series):
+        return "float"
+    if pt.is_datetime64_any_dtype(series):
+        return "timestamp"
+    # object column: classify by first non-null element
+    for v in series:
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            # python int objects: HUGEINT lands here — distinct from int64
+            return "pyint-object"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        return type(v).__name__
+    return "all-null"
+
+def compare(g, w):
+    """Strict compare of two canon()'d frames; returns None if equal or a
+    first-difference message. Types are compared per column before values."""
+    if list(g.columns) != list(w.columns):
+        return f"SCHEMA: got {list(g.columns)} want {list(w.columns)}"
+    if len(g) != len(w):
+        return f"ROWCOUNT: got {len(g)} want {len(w)}"
+    for c in g.columns:
+        gs, ws = type_sig(g[c]), type_sig(w[c])
+        if gs != ws and "all-null" not in (gs, ws):
+            return f"TYPE COL {c}: got {gs} ({g[c].dtype}) want {ws} ({w[c].dtype})"
+    for c in g.columns:
+        gv, wv = g[c].tolist(), w[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, wv)):
+            if a != b and not (pd.isna(a) and pd.isna(b)):
+                return f"COL {c} row {i}: got {a!r} want {b!r}"
+    return None
+
+def selftest():
+    """The class of bug this gate exists to catch: an un-cast DuckDB
+    HUGEINT (sum of integers) against Spark's int64. Must FAIL here."""
+    c = duckdb.connect()
+    huge = c.execute(
+        "SELECT sum(x) AS s FROM (VALUES (1),(2)) t(x)").fetchdf()
+    spark_like = pd.DataFrame({"s": pd.array([3], dtype="int64")})
+    diff = compare(canon(spark_like), canon(huge))
+    assert diff is not None and diff.startswith("TYPE"), \
+        f"selftest: HUGEINT vs int64 must be a TYPE failure, got {diff!r}"
+    ok = c.execute(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1),(2)) t(x)"
+    ).fetchdf()
+    assert compare(canon(spark_like), canon(ok)) is None, \
+        "selftest: cast BIGINT oracle must pass"
+    # float-vs-int sneaks through Python == (5 == 5.0); types must not
+    f = pd.DataFrame({"s": pd.array([3.0], dtype="float64")})
+    diff2 = compare(canon(spark_like), canon(f))
+    assert diff2 is not None and diff2.startswith("TYPE"), \
+        f"selftest: float vs int must be a TYPE failure, got {diff2!r}"
+    print("selftest OK: HUGEINT/float oracles fail against int64")
+
+if "--selftest" in sys.argv:
+    selftest()
+    sys.exit(0)
+
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -58,24 +133,8 @@ for name in sorted(declared):
     except Exception as e:
         results[name] = f"ORACLE_SQL_ERROR: {e}"
         continue
-    g, w = canon(got), canon(want)
-    if list(g.columns) != list(w.columns):
-        results[name] = f"SCHEMA: got {list(g.columns)} want {list(w.columns)}"
-        continue
-    if len(g) != len(w):
-        results[name] = f"ROWCOUNT: got {len(g)} want {len(w)}"
-        continue
-    # strict compare; show first diff
-    mismatch = None
-    for c in g.columns:
-        gv, wv = g[c].tolist(), w[c].tolist()
-        for i, (a, b) in enumerate(zip(gv, wv)):
-            if a != b and not (pd.isna(a) and pd.isna(b)):
-                mismatch = f"COL {c} row {i}: got {a!r} want {b!r}"
-                break
-        if mismatch:
-            break
-    results[name] = mismatch or f"OK({len(g)})"
+    mismatch = compare(canon(got), canon(want))
+    results[name] = mismatch or f"OK({len(got)})"
 
 bad = {k: v for k, v in results.items()
        if not (v.startswith("OK") or v.startswith("ROWS_ONLY("))}

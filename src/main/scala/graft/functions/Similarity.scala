@@ -161,4 +161,40 @@ object Similarity {
         graft.functions.EngineNeutral.r4(dot(col("vec_a"), col("vec_b"))).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** [[embeddingNearDups]] with deterministic axis-aligned blocking:
+    * bit i of the signature is the sign of coordinate i (a legitimate
+    * hyperplane family — the coordinate axes), split into two bands.
+    *
+    * Unlike random hyperplanes, the buckets are reproducible in plain
+    * SQL — signs survive normalization untouched, so bucket membership
+    * involves NO floating-point arithmetic and an external oracle
+    * computes identical buckets. The gated q_dedup_embedding uses this
+    * form so it can hash-match a DuckDB oracle; random planes (better
+    * bucket spread on sign-skewed corpora) remain available above.
+    * Same scale shape: capped in-bucket id-only pairs, exact-cosine
+    * verify on r4-rounded sims.
+    */
+  def embeddingNearDupsAxis(corpus: DataFrame, minSim: Double, planes: Int = 8,
+                            maxBucket: Int = 10000, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val half = planes / 2
+    val vecs = normalized(spread(corpus), vecCol)
+      .filter(col(vecCol).isNotNull) // zero-norm vectors have no direction
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    def bandKey(from: Int, until: Int): Column =
+      (from until until).map { i =>
+        when(element_at(col("vec"), i + 1) >= 0.0, lit(1L << (i - from)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val banded = vecs
+      .select(col("id"), posexplode(array(bandKey(0, half), bandKey(half, planes))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    Dedup.pairsFromBucketsIds(banded, maxBucket)
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.EngineNeutral.r4(dot(col("vec_a"), col("vec_b"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

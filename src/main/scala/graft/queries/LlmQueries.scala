@@ -76,21 +76,29 @@ object LlmQueries {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
-    // 31. Exact n-gram Jaccard verify on LSH candidates (rows-only).
+    // 31. Exact n-gram Jaccard verify on candidate pairs. Candidates
+    //     come from deterministic shared-shingle blocking (same
+    //     machinery and parameters as q_dedup_clusters' edges), so the
+    //     whole query is SQL-expressible and hash-oracled; the MinHash
+    //     candidate path stays gated via q_dedup_minhash.
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val cands = Dedup.sharedShingleEdges(docs, "doc_id", "text",
+        shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+        .select("id_a", "id_b")
       Dedup.ngramJaccard(docs, cands, "doc_id", "text")
         .filter(col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     }),
 
-    // 32. Embedding-cosine near-dup pairs via hyperplane LSH (rows-only).
-    //     The synthetic embeddings have no true near-dups (max pairwise
-    //     cosine ≈ 0.5), so the threshold demonstrates the operator on
-    //     the most-similar tail; production callers pass ~0.9.
+    // 32. Embedding-cosine near-dup pairs, axis-aligned sign blocking
+    //     (deterministic — hash-oracled; random-hyperplane variant
+    //     stays exercised by q_ann_lsh). The synthetic embeddings have
+    //     no true near-dups (max pairwise cosine ≈ 0.5), so the
+    //     threshold demonstrates the operator on the most-similar
+    //     tail; production callers pass ~0.9.
     "q_dedup_embedding" -> ((s, d) =>
-      Similarity.embeddingNearDups(Tables.embeddings(s, d), minSim = 0.3, planes = 8)
+      Similarity.embeddingNearDupsAxis(Tables.embeddings(s, d), minSim = 0.3, planes = 8)
         .orderBy("id_a", "id_b")),
 
     // 33. Brute-force cosine top-k ANN: query set broadcast,
@@ -282,6 +290,64 @@ object LlmQueries {
         |)
         |SELECT comp, count(*) AS n_docs, min(id) AS keep_id
         |FROM comps GROUP BY comp ORDER BY comp""".stripMargin,
+    // Shingle parity with the Spark side is at the STRING level: Spark
+    // compares xxhash64(shingle) sets, the oracle compares the shingle
+    // strings themselves — identical counts modulo 2⁻⁶⁴ collisions.
+    // Candidates replicate sharedShingleEdges (df band [2,20], ≥5
+    // shared); jaccard is a ratio of the same two integers in both
+    // engines, so the doubles are bit-identical.
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), kept AS (
+        |  SELECT id, shingle FROM (
+        |    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df BETWEEN 2 AND 20
+        |), cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |), sizes AS (
+        |  SELECT id, count(*) AS n FROM sh GROUP BY id
+        |), inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS ni
+        |  FROM cand c JOIN sh a ON a.id = c.id_a
+        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT i.id_a, i.id_b, i.ni::DOUBLE / (na.n + nb.n - i.ni) AS jaccard
+        |  FROM inter i JOIN sizes na ON na.id = i.id_a
+        |  JOIN sizes nb ON nb.id = i.id_b)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // Axis-aligned sign blocking: bucket membership is sign-only (no
+    // float arithmetic — normalization preserves sign), so buckets are
+    // engine-exact; only the r4-rounded cosine touches floats.
+    "q_dedup_embedding" ->
+      """WITH nv AS (
+        |  SELECT id, [x / nrm FOR x IN e] AS u
+        |  FROM (SELECT vec_id AS id, e, sqrt(list_sum([x*x FOR x IN e])) AS nrm
+        |        FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+        |              FROM embeddings))
+        |  WHERE nrm <> 0
+        |), sig AS (
+        |  SELECT id, u,
+        |    (CASE WHEN u[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN u[2] >= 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN u[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN u[4] >= 0 THEN 8 ELSE 0 END) AS lo,
+        |    (CASE WHEN u[5] >= 0 THEN 1 ELSE 0 END + CASE WHEN u[6] >= 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN u[7] >= 0 THEN 4 ELSE 0 END + CASE WHEN u[8] >= 0 THEN 8 ELSE 0 END) AS hi
+        |  FROM nv
+        |)
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    floor(list_dot_product(a.u, b.u) * 10000 + 0.5) / 10000.0 AS sim
+        |  FROM sig a JOIN sig b ON a.id < b.id AND (a.lo = b.lo OR a.hi = b.hi))
+        |WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT query_id, rank, neighbor_id, sim FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -23,9 +23,8 @@ class QueriesSpec extends AnyFunSuite {
     // oracle fails here until it is consciously declared rows-only.
     val rowsOnly = Set(
       "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
-      "q_approx_distinct", "q_approx_percentile", "q_dedup_embedding",
-      "q_dedup_minhash", "q_dedup_simhash", "q_fingerprint",
-      "q_ngram_jaccard")
+      "q_approx_distinct", "q_approx_percentile",
+      "q_dedup_minhash", "q_dedup_simhash", "q_fingerprint")
     val withoutOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(withoutOracle == rowsOnly,
       s"queries without oracle != declared rows-only allowlist; " +

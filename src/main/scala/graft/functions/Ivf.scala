@@ -144,21 +144,33 @@ object Ivf {
                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .repartition(1) // k rows — one tiny file
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    assignCells(corpus, vecCol, centroids)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        col("ivf_cell"))
-      .write.mode("overwrite").partitionBy("ivf_cell")
-      .parquet(s"$path/cells")
+    // both parts land inside ONE committed version (graft.operators
+    // .Versioned): a crash mid-write leaves an unresolvable orphan,
+    // never new centroids probing old cell assignments, and concurrent
+    // readers keep resolving the previous complete version mid-rebuild
+    graft.operators.Versioned.commitNew(spark, path) { v =>
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1) // k rows — one tiny file
+        .write.mode("overwrite").parquet(s"$v/centroids")
+      assignCells(corpus, vecCol, centroids)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+          col("ivf_cell"))
+        .write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(s"$v/cells")
+    }
   }
+
+  /** The committed version dir of a persisted index at `path`. */
+  private[functions] def indexDir(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): String =
+    graft.operators.Versioned.resolve(spark, path)
+      .getOrElse(sys.error(s"no committed index at $path"))
 
   /** Reload a persisted index's centroids (tiny: k × dim doubles). */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
                     path: String): Array[Array[Double]] =
-    spark.read.parquet(s"$path/centroids")
+    spark.read.parquet(s"${indexDir(spark, path)}/centroids")
       .orderBy("cell")
       .collect()
       .map(_.getSeq[Double](1).toArray)
@@ -171,8 +183,10 @@ object Ivf {
                      queries: DataFrame, k: Int, nprobe: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val centroids = readCentroids(spark, path)
-    val cells = spark.read.parquet(s"$path/cells")
+    val dir = indexDir(spark, path)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val cells = spark.read.parquet(s"$dir/cells")
     probeCells(cells, queries, k, centroids, nprobe, idCol, vecCol)
   }
 }

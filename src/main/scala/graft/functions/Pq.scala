@@ -100,42 +100,142 @@ object Pq {
     * table is the hot index (codes are ~1% of the raw vectors) and
     * raw vectors page in only for the rerank.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                centroids: Array[Array[Double]],
-                codebooks: Array[Array[Array[Double]]],
-                nprobe: Int = 4, rerankFactor: Int = 4,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    // cell-assign + PQ-encode the corpus in one pass over the scan
-    val coded = encode(Ivf.assignCells(spread, vecCol, centroids), vecCol, codebooks)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        col("ivf_cell"), col("pq_code"))
-    // per query: top-nprobe cells (like Ivf.ivfTopK) + the ADC table
+  /** Broadcast probe table for IVF+PQ queries: one row per
+    * (query, probed cell), carrying the normalized query vector and
+    * its ADC lookup table.
+    */
+  private def ivfPqProbes(queries: DataFrame,
+                          centroids: Array[Array[Double]],
+                          codebooks: Array[Array[Array[Double]]],
+                          nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     val qn = Similarity.normalized(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cd", array(centroids.map(c =>
         array_dot(col("qvec"), typedLit(c.toSeq))): _*))
       .withColumn("qt", graft.plans.PqAdcTable.pq_adc_table(col("qvec"), codebooks))
-    val probes = broadcast(qn
+    broadcast(qn
       .select(col("query_id"), col("qvec"), col("qt"),
         explode(slice(reverse(array_sort(zip_with(
           col("cd"), sequence(lit(0), lit(centroids.length - 1)),
           (d, i) => struct(d.as("d"), i.as("cell"))))), 1, nprobe)).as("probe"))
       .select(col("query_id"), col("qvec"), col("qt"),
         col("probe.cell").as("ivf_cell")))
-    val adc = (0 until m).map(s =>
+  }
+
+  /** `Σ_s qt[s][code[s]]` — unrolled ADC lookups, no HOF. */
+  private def adcSim(m: Int): Column =
+    (0 until m).map(s =>
       element_at(element_at(col("qt"), s + 1),
         element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                nprobe: Int = 4, rerankFactor: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    // cell-assign + PQ-encode the corpus in one pass over the scan
+    val coded = encode(Ivf.assignCells(spread, vecCol, centroids), vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col("ivf_cell"), col("pq_code"))
+    // per query: top-nprobe cells (like Ivf.ivfTopK) + the ADC table
+    val probes = ivfPqProbes(queries, centroids, codebooks, nprobe, idCol, vecCol)
     val scored = coded.join(probes, "ivf_cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cvec"), col("qvec"),
-        adc.as("adc_sim"))
+        adcSim(codebooks.length).as("adc_sim"))
     val shortlist = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
       Seq("adc_sim" -> true, "neighbor_id" -> false), k = rerankFactor * k)
     val exact = shortlist.select(col("query_id"), col("neighbor_id"),
       EngineNeutral.r4(array_dot(col("qvec"), col("cvec"))).as("sim"))
+    Similarity.topKPerKey(exact, "query_id", k)
+  }
+
+  /** Persist a trained IVF+PQ index under a committed version dir
+    * ([[graft.operators.Versioned]] — crash-safe, reader-safe):
+    *
+    *  - `codebooks`: (subspace, cell, centroid) — m×ksub tiny rows
+    *  - `centroids`: the coarse IVF centroids (cell, centroid)
+    *  - `codes/`  : (neighbor_id, pq_code) partitioned by `ivf_cell` —
+    *    the HOT index: ~1% of the raw vectors, what a 100 TB
+    *    deployment keeps on fast storage
+    *  - `vectors/`: (neighbor_id, cvec unit-normalized) partitioned by
+    *    `ivf_cell` — the cold rerank side, read only for shortlist
+    *    rows in probed cells
+    *
+    * One assignment+encode pass over the corpus feeds both tables.
+    */
+  def writeIndex(corpus: DataFrame, path: String,
+                 centroids: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]],
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.operators.Versioned.commitNew(spark, path) { v =>
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+      }.toSeq.toDF("subspace", "cell", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$v/codebooks")
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$v/centroids")
+      val coded = encode(Ivf.assignCells(corpus, vecCol, centroids), vecCol, codebooks)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+          col("ivf_cell"), col("pq_code"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        coded.select("neighbor_id", "pq_code", "ivf_cell")
+          .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$v/codes")
+        coded.select("neighbor_id", "cvec", "ivf_cell")
+          .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$v/vectors")
+      } finally coded.unpersist()
+    }
+  }
+
+  /** Reload a persisted index's codebooks bit-exactly. */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Array[Double]]] =
+    readCodebooksFrom(spark, Ivf.indexDir(spark, path))
+
+  private def readCodebooksFrom(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$dir/codebooks")
+      .orderBy("subspace", "cell")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2))
+      .toArray
+
+  /** IVF+PQ top-k over a prebuilt index at `path` — no training, no
+    * corpus re-encode. The codes scan prunes to probed cells; the
+    * rerank joins the tiny broadcast shortlist back to the vectors
+    * table (also cell-pruned), so raw vectors are read only where a
+    * shortlist row might live.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 4,
+                       rerankFactor: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    // resolve ONCE so centroids/codebooks/codes/vectors come from the
+    // same committed version even if a writer commits mid-query
+    val dir = Ivf.indexDir(spark, path)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val codebooks = readCodebooksFrom(spark, dir)
+    val probes = ivfPqProbes(queries, centroids, codebooks, nprobe, idCol, vecCol)
+    val scored = spark.read.parquet(s"$dir/codes").join(probes, "ivf_cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("ivf_cell"), col("query_id"), col("neighbor_id"),
+        col("qvec"), adcSim(codebooks.length).as("adc_sim"))
+    val shortlist = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq("adc_sim" -> true, "neighbor_id" -> false), k = rerankFactor * k)
+    val exact = spark.read.parquet(s"$dir/vectors")
+      .join(broadcast(shortlist), Seq("ivf_cell", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        EngineNeutral.r4(array_dot(col("qvec"), col("cvec"))).as("sim"))
     Similarity.topKPerKey(exact, "query_id", k)
   }
 
@@ -147,8 +247,6 @@ object Pq {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              codebooks: Array[Array[Array[Double]]], rerankFactor: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
     val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val coded = encode(spread, vecCol, codebooks)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("pq_code"))
@@ -156,14 +254,10 @@ object Pq {
     val qs = broadcast(Similarity.normalized(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         graft.plans.PqAdcTable.pq_adc_table(col(vecCol), codebooks).as("qt")))
-    // approx sim = Σ_s qt[s][code[s]] — unrolled lookups, no HOF
-    val adc = (0 until m).map(s =>
-      element_at(element_at(col("qt"), s + 1),
-        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
     val scored = coded.crossJoin(qs)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cvec"), col("qvec"),
-        adc.as("adc_sim"))
+        adcSim(codebooks.length).as("adc_sim"))
     val shortlist = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
       Seq("adc_sim" -> true, "neighbor_id" -> false), k = rerankFactor * k)
     val exact = shortlist.select(col("query_id"), col("neighbor_id"),

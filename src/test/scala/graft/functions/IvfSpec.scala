@@ -69,9 +69,12 @@ class IvfSpec extends AnyFunSuite {
     // centroids survive the round-trip bit-exactly
     val reloaded = Ivf.readCentroids(spark, dir)
     assert(reloaded.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
-    // cells layout is partitioned by cell id (probe-side pruning)
-    assert(new java.io.File(s"$dir/cells").listFiles()
+    // cells layout is partitioned by cell id (probe-side pruning),
+    // inside a committed Versioned dir
+    val vdir = graft.operators.Versioned.resolve(spark, dir).get
+    assert(new java.io.File(s"$vdir/cells").listFiles()
       .exists(_.getName.startsWith("ivf_cell=")))
+    assert(new java.io.File(s"$vdir/_COMMITTED").exists())
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))

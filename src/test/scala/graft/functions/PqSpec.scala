@@ -90,4 +90,48 @@ class PqSpec extends AnyFunSuite {
       assert(sim == r4, s"neighbor $n: $sim vs $r4")
     }
   }
+
+  test("index round-trip: codebooks bit-exact, indexed path equals direct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val emb = AnnTestData.clustered(spark)
+    val queries = emb.filter($"vec_id" < 20)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16)
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 64)
+    Pq.writeIndex(emb, dir, cents, cbs)
+    // codebooks survive the round-trip bit-exactly
+    val reloaded = Pq.readCodebooks(spark, dir)
+    assert(reloaded.length == cbs.length)
+    assert(reloaded.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    // hot index carries codes only; raw vectors live in the rerank table
+    val vdir = graft.operators.Versioned.resolve(spark, dir).get
+    val codeCols = spark.read.parquet(s"$vdir/codes").columns.toSet
+    assert(codeCols == Set("neighbor_id", "pq_code", "ivf_cell"))
+    assert(new java.io.File(s"$vdir/codes").listFiles()
+      .exists(_.getName.startsWith("ivf_cell=")))
+    // the indexed path returns exactly what train-and-query returns
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val direct = rows(Pq.ivfPqTopK(emb, queries, k = 10, cents, cbs,
+      nprobe = 4, rerankFactor = 8))
+    val indexed = rows(Pq.ivfPqTopKIndexed(spark, dir, queries, k = 10,
+      nprobe = 4, rerankFactor = 8))
+    assert(indexed == direct)
+  }
+
+  test("a second writeIndex commits a new version; readers never see a partial") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_v").toString
+    val emb = AnnTestData.clustered(spark, n = 300)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    Pq.writeIndex(emb, dir, cents, cbs)
+    val v1 = graft.operators.Versioned.resolve(spark, dir).get
+    Pq.writeIndex(emb, dir, cents, cbs)
+    val v2 = graft.operators.Versioned.resolve(spark, dir).get
+    assert(v1 != v2 && v2.endsWith("_v=2"))
+    // an uncommitted orphan (crash before _COMMITTED) is never resolved
+    val orphan = new java.io.File(s"$dir/_v=9"); orphan.mkdirs()
+    assert(graft.operators.Versioned.resolve(spark, dir).get == v2)
+  }
 }

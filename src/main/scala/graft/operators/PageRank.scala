@@ -35,13 +35,28 @@ object PageRank {
     * columns `id_a`/`id_b`. Each undirected edge contributes in both
     * directions; deg is the symmetric degree.
     *
+    * `redistributeDangling = true` switches to the standard random-
+    * surfer model: the rank mass parked on dangling (here: isolated)
+    * vertices is re-injected uniformly each iteration, so the rank
+    * vector stays a probability distribution (Σr = 1 exactly). The
+    * default keeps the simplified leak-and-hold form — the
+    * deterministic variant the unrolled SQL oracle reproduces.
+    *
+    * `tol > 0` adds a convergence early-stop: iteration ends when the
+    * L1 delta `Σ|rₖ₊₁ − rₖ|` drops below `tol` (power iteration
+    * contracts the L1 error by ≥ d per step, so the extra distance to
+    * the fixed point is at most `tol·d/(1−d)`). Costs one scalar
+    * aggregate per iteration; `iters` remains the hard ceiling. The
+    * default 0.0 keeps the fixed-iteration mode the oracle needs.
+    *
     * Like [[ConnectedComponents.labelPropagation]], the returned frame
     * is one materialized MEMORY_ONLY cache (edge/degree/generation
     * caches are released before returning) — call `.unpersist()` on it
     * when finished.
     */
   def run(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
-          damping: Double = 0.85): DataFrame = {
+          damping: Double = 0.85, redistributeDangling: Boolean = false,
+          tol: Double = 0.0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val n = vertices.count()
     require(n > 0, "empty vertex set")
@@ -57,26 +72,60 @@ object PageRank {
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_ONLY)
     deg.count() // materialize both caches before iterating
+    // dangling set is iteration-invariant; only its MASS changes
+    val dangling =
+      if (!redistributeDangling) null
+      else vertices.select(col("id"))
+        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_ONLY)
 
     var ranks = vertices.select(col("id"), lit(1.0 / n).as("r"))
       .persist(StorageLevel.MEMORY_ONLY)
-    for (_ <- 1 to iters) {
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < iters && (tol <= 0.0 || delta >= tol)) {
+      // dangling mass this iteration — a scalar aggregate over the
+      // (tiny) rank rows of the dangling set, spread uniformly
+      val redistribute =
+        if (!redistributeDangling) 0.0
+        else {
+          val row = ranks.join(dangling, "id").agg(sum("r")).head()
+          val mass = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+          damping * mass / n
+        }
       val contribs = sym
         .join(deg, "src")
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
-      val next = vertices.select(col("id"))
+      val stepped = vertices.select(col("id"))
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
-        .persist(StorageLevel.MEMORY_ONLY)
-      next.count() // materialize; parent safe to release
+          (lit(base + redistribute) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
+      // each generation's plan nests the previous one; a fixed 5-10
+      // iterations is fine, but a tol-run can go 50+ deep and the
+      // cumulative Catalyst plan (and AQE's explain strings) grow
+      // quadratically — cut lineage to a LogicalRDD every 10
+      // generations so plan depth stays bounded at any iteration count
+      val next =
+        (if (it % 10 == 9)
+           vertices.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
+         else stepped)
+          .persist(StorageLevel.MEMORY_ONLY)
+      if (tol > 0.0) {
+        delta = next.join(ranks.withColumnRenamed("r", "r0"), "id")
+          .agg(sum(abs(col("r") - col("r0")))).head().getDouble(0)
+      } else {
+        next.count() // materialize; parent safe to release
+      }
       ranks.unpersist()
       ranks = next
+      it += 1
     }
     sym.unpersist()
     deg.unpersist()
+    if (dangling != null) dangling.unpersist()
     ranks
   }
 }

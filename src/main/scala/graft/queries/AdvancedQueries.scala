@@ -19,10 +19,12 @@ object AdvancedQueries {
 
   // PageRank.run returns a persisted frame the caller must release;
   // a gated query lambda cannot (the driver materializes the frame
-  // after returning), so cache ONE ranks frame per sf dir for the
-  // process lifetime instead of leaking one per invocation (Bench
-  // alone invokes each query 4×) — same pattern as LlmQueries'
-  // centroidCache.
+  // after returning), so cache ONE ranks frame per (session, sf dir)
+  // for the process lifetime instead of leaking one per invocation
+  // (Bench alone invokes each query 4×) — same pattern as LlmQueries'
+  // centroidCache. Keyed by session identity too: a frame cached by a
+  // stopped session would otherwise be returned as an unusable plan
+  // to the next session in the same JVM.
   private val pagerankCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -304,7 +306,8 @@ object AdvancedQueries {
     //     central documents of the near-dup graph — the
     //     canonical-representative signal CC's min-id cannot give.
     "q_pagerank" -> ((s, d) => {
-      val pr = pagerankCache.computeIfAbsent(d, _ => {
+      val pr = pagerankCache.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d", _ => {
         val docs = Tables.documents(s, d)
         val edges = Dedup.sharedShingleEdges(docs, "doc_id", "text",
           shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)

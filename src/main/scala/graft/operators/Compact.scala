@@ -14,11 +14,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * schemas); the rewrite is one coalesce-free `repartition(n)` — a
   * round-robin shuffle that also heals skewed file sizes, where
   * `coalesce` would merely concatenate neighbors and keep hotspots.
-  * The write lands in a temp dir first and swaps in atomically-enough
-  * for a single-writer maintenance window (concurrent readers of the
-  * old listing finish against deleted-file errors — at cluster scale
-  * run compaction through a table format's transaction log instead;
-  * this operator is the format-free core).
+  *
+  * Two table layouts:
+  *  - **In-place** ([[parquetDir]]): the plain directory every
+  *    existing dataset already has. The swap renames the original
+  *    aside, promotes the rewrite, then drops the original — every
+  *    crash state leaves the table recoverable by a rename, but
+  *    readers mid-swap can still catch a missing path, so it is for
+  *    single-writer maintenance windows.
+  *  - **Versioned** ([[parquetDirVersioned]] + [[read]]/
+  *    [[writeVersioned]]): the table is a [[Versioned]] root; each
+  *    compaction commits a NEW version and readers resolving through
+  *    the pointer only ever see complete versions — safe under
+  *    concurrent readers without a table format (readers slower than
+  *    one full rebuild cycle still need a real transaction log).
   */
 object Compact {
 
@@ -47,10 +56,12 @@ object Compact {
     * The swap is defensive: the tmp dir is a SIBLING of the target
     * (never inside it — a trailing slash must not place it under the
     * directory being replaced), the rewrite is verified row-count
-    * complete BEFORE the original is touched, and every delete/rename
-    * return value is checked — a swap step that fails throws with the
-    * rewritten data still on disk in the tmp dir, it never silently
-    * drops the table.
+    * complete BEFORE the original is touched, and every rename return
+    * value is checked. The original is renamed ASIDE (-compact-old)
+    * before the rewrite is promoted, so every crash state leaves the
+    * table resolvable by a single rename: before the first rename
+    * nothing changed; between the renames both `-old` and `-tmp` are
+    * complete; a failed promotion rolls the original back in place.
     */
   def parquetDir(spark: SparkSession, path: String,
                  targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -58,6 +69,8 @@ object Compact {
     val target = new org.apache.hadoop.fs.Path(path) // normalizes trailing '/'
     val tmp = new org.apache.hadoop.fs.Path(
       target.getParent, target.getName + "-compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, target.getName + "-compact-old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = fileCount(spark, target.toString)
     val bytes = dirBytes(spark, target.toString)
@@ -71,12 +84,65 @@ object Compact {
       throw new IllegalStateException(
         s"compaction rewrite row mismatch: $rewritten != $nRows (original untouched)")
     }
-    if (!fs.delete(target, true))
+    // leftover -old from a crashed PREVIOUS run: its data was already
+    // promoted then (the only way -old exists), safe to reclaim now
+    if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(
-        s"could not delete $target (rewrite preserved at $tmp)")
-    if (!fs.rename(tmp, target))
+        s"could not reclaim stale $old (original untouched)")
+    if (!fs.rename(target, old))
       throw new java.io.IOException(
-        s"rename $tmp -> $target failed (rewrite preserved at $tmp)")
+        s"rename $target -> $old failed (original untouched)")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll the original back in place
+      throw new java.io.IOException(
+        s"promote $tmp -> $target failed (original restored)")
+    }
+    fs.delete(old, true) // best-effort; stale -old is reclaimed next run
     (before, fileCount(spark, target.toString))
+  }
+
+  /** Create/replace a versioned table at `path`: the frame lands as a
+    * new committed [[Versioned]] version that [[read]] resolves.
+    */
+  def writeVersioned(df: DataFrame, path: String): Unit =
+    Versioned.commitNew(df.sparkSession, path) { v =>
+      df.write.mode("overwrite").parquet(v)
+    }
+
+  /** The current committed version of a versioned table. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    Versioned.resolve(spark, path) match {
+      case Some(v) => spark.read.parquet(v)
+      case None => throw new java.io.FileNotFoundException(
+        s"no committed version at $path")
+    }
+
+  /** [[parquetDir]] for a versioned table: compacts the current
+    * version into a NEW committed version — concurrent [[read]]ers
+    * keep resolving the old (still on disk) version until the commit,
+    * and never observe a partial listing. Returns
+    * (filesBefore, filesAfter).
+    */
+  def parquetDirVersioned(spark: SparkSession, path: String,
+                          targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val cur = Versioned.resolve(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $path"))
+    val before = fileCount(spark, cur)
+    val bytes = dirBytes(spark, cur)
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df: DataFrame = spark.read.parquet(cur)
+    val nRows = df.count()
+    Versioned.commitNew(spark, path) { v =>
+      df.repartition(nOut).write.mode("overwrite").parquet(v)
+      val rewritten = spark.read.parquet(v).count()
+      if (rewritten != nRows)
+        // aborting here leaves an uncommitted orphan — readers never
+        // resolve it, and the next commit reclaims it
+        throw new IllegalStateException(
+          s"compaction rewrite row mismatch: $rewritten != $nRows " +
+            "(current version untouched)")
+    }
+    (before, fileCount(spark, Versioned.resolve(spark, path).get))
   }
 }

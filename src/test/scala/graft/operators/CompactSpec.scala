@@ -37,6 +37,55 @@ class CompactSpec extends AnyFunSuite {
       "rows lost through the swap — the old in-place tmp bug")
   }
 
+  test("versioned table: compaction commits a new version, rows preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_v").toString + "/t"
+    val rows = (0 until 1000).map(j => (j.toLong, s"row$j"))
+    Compact.writeVersioned(rows.toDF("id", "s").repartition(20), dir)
+    assert(Compact.read(spark, dir).count() == 1000)
+    val (b, a) = Compact.parquetDirVersioned(spark, dir, targetBytes = Long.MaxValue)
+    assert(b >= 20 && a == 1, s"expected 20+ -> 1 files, got $b -> $a")
+    assert(Compact.read(spark, dir).as[(Long, String)].collect().toSet == rows.toSet)
+    // the new version is resolved; the previous is still on disk for
+    // in-flight readers (prune keeps 2)
+    val v = Versioned.resolve(spark, dir).get
+    assert(v.endsWith("_v=2"))
+    assert(new java.io.File(dir + "/_v=1").exists())
+  }
+
+  test("concurrent readers never observe a missing file across repeated compactions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_cc").toString + "/t"
+    val rows = (0 until 2000).map(j => (j.toLong, s"row$j"))
+    Compact.writeVersioned(rows.toDF("id", "s").repartition(16), dir)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = (1 to 3).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val n = Compact.read(spark, dir).count()
+            if (n != 2000) failures.add(
+              new IllegalStateException(s"reader saw $n rows"))
+          } catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      // alternating target sizes so every compaction genuinely
+      // rewrites the layout (1 file <-> many files)
+      (0 until 4).foreach { i =>
+        val tgt = if (i % 2 == 0) Long.MaxValue else 4096L // 1 file <-> ~dozen
+        Compact.parquetDirVersioned(spark, dir, targetBytes = tgt)
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+    assert(failures.isEmpty,
+      s"concurrent reader failed: ${Option(failures.peek()).map(_.toString)}")
+    assert(Compact.read(spark, dir).count() == 2000)
+  }
+
   test("single-file target floors at one output file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact1").toString + "/t"
     (1 to 5).foreach { _ =>

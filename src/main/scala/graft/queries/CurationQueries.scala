@@ -90,16 +90,23 @@ object CurationQueries {
     //      stages stack without driver round-trips.
     "q_curate_e2e" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
+      // named one-pass Observe metrics at each funnel stage: the stage
+      // row counts ride the job (no extra scan) and QueriesSpec asserts
+      // them, so a silent filter/dedup regression fails the suite even
+      // when the final aggregate happens to still hash-match
       val scored = docs.select(col("doc_id"), col("text"),
         graft.functions.TextAnalysis.nWords(col("text")).as("n_words"),
         graft.functions.TextAnalysis.langIdScored(col("text")).as("lang_guess"))
+        .observe("curate_scored", count(lit(1)).as("rows"))
       val filtered = scored
         .filter(col("n_words") >= 10 && col("lang_guess") =!= "unk")
+        .observe("curate_filtered", count(lit(1)).as("rows"))
       val keep = filtered
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       filtered.join(keep, Seq("doc_id"), "left_semi")
+        .observe("curate_kept", count(lit(1)).as("rows"))
         .groupBy("lang_guess")
         .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_tokens"))
         .orderBy("lang_guess")

@@ -36,6 +36,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_curate_e2e funnel-stage observed counts catch silent regressions") {
+    val df = SparkEntry.queries("q_curate_e2e")(spark, sf)
+    df.collect()
+    val m = df.queryExecution.observedMetrics
+    val scored = m("curate_scored").getAs[Long]("rows")
+    val filtered = m("curate_filtered").getAs[Long]("rows")
+    val kept = m("curate_kept").getAs[Long]("rows")
+    // stage 1 sees every document; each later stage can only shrink
+    assert(scored == graft.Tables.documents(spark, sf).count())
+    assert(filtered < scored, "the quality filter stopped filtering")
+    assert(kept <= filtered && kept > 0,
+      s"funnel shape violated: $scored -> $filtered -> $kept")
+  }
+
   test("representative queries return rows at sf0.001") {
     Seq("q_tpch_q1", "q_dedup_minhash", "q_ann_bruteforce", "q_stream_window")
       .foreach { q =>

@@ -289,11 +289,16 @@ object AdvancedQueries {
     //     cross-checked against DuckDB computing the same 5-step
     //     bit-spread in pure integer SQL — bitwise ops are exact, so
     //     this hash-matches with no rounding caveats at all.
+    //     `& 4095` (not `% 4096`) on BOTH sides: bitwise AND has the
+    //     same two's-complement semantics in both engines even for
+    //     negative ids, where % would give each engine's signed
+    //     remainder feeding sign-sensitive bit spreads.
     "q_zorder" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
           graft.plans.ZOrderCode.z_order(
-            col("user_id") % 4096, col("event_id") % 4096).as("z"))
+            col("user_id").bitwiseAND(lit(4095L)),
+            col("event_id").bitwiseAND(lit(4095L))).as("z"))
         .orderBy(col("z").desc, col("event_id"))
         .limit(20)),
 
@@ -451,8 +456,8 @@ object AdvancedQueries {
         |FROM tr ORDER BY prev_type, next_type""".stripMargin,
     "q_zorder" ->
       """WITH base AS (
-        |  SELECT event_id, CAST(user_id % 4096 AS BIGINT) AS x,
-        |    CAST(event_id % 4096 AS BIGINT) AS y FROM events),
+        |  SELECT event_id, CAST(user_id & 4095 AS BIGINT) AS x,
+        |    CAST(event_id & 4095 AS BIGINT) AS y FROM events),
         |s1 AS (SELECT event_id, (x | (x << 16)) & 281470681808895 AS x,
         |  (y | (y << 16)) & 281470681808895 AS y FROM base),
         |s2 AS (SELECT event_id, (x | (x << 8)) & 71777214294589695 AS x,

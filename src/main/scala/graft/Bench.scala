@@ -14,7 +14,7 @@ import java.util.concurrent.atomic.AtomicLong
   * warm-up query runs first so JVM/codegen/parquet-footer startup
   * isn't billed to whichever query happens to run first.
   *
-  * Besides wall time, the final iteration of each query runs under a
+  * Besides wall time, the first iteration of each query runs under a
   * task-metrics listener recording shuffle read/write and spill
   * bytes: wall-clock on one box cannot see a 100 TB regression, but
   * shuffle volume can — a query whose shuffle grows from key-width to
@@ -184,16 +184,16 @@ object BenchFormat {
     * chars of output. build.sbt (StdoutOutput + showSuccess := false)
     * and Bench's print-after-stop make this line the FINAL line of the
     * process, so the window must hold just the line plus its newline —
-    * cap 1950, keeping ~49 chars of slack for an unexpected trailer.
+    * cap 1980, keeping ~19 chars of slack for an unexpected trailer.
     * BenchFormatSpec pins the CURRENT query inventory under this at
     * worst-case value widths (240 s = the per-query timeout ceiling),
     * with 15 queries of growth headroom.
     */
-  val MaxLineChars = 1950
+  val MaxLineChars = 1980
 
   def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
 
-  // -1 = metrics unavailable (the final iteration failed)
+  // -1 = metrics unavailable (the measured iteration failed)
   private def mb2(bytes: Long): String =
     if (bytes < 0) "-1" else f"${bytes / 1048576.0}%.2f"
 
@@ -209,7 +209,8 @@ object BenchFormat {
     val perIter = results.map { case (k, _, ts) =>
       s"\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // [write, read, spill] MB per query from the final iteration —
+    // [write, read, spill] MB per query from the first iteration
+    // (cache-building construction shuffles included) —
     // the scale-regression signal (see Bench scaladoc)
     val shuf = shuffle.map { case (k, (w, r, s)) =>
       s"\"" + k + "\":[" + mb2(w) + "," + mb2(r) + "," + mb2(s) + "]"
@@ -217,22 +218,22 @@ object BenchFormat {
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"shuffle_mb":$shuf,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
   }
 
-  /** Compact keys: drop the uniform `q_` prefix and truncate to 10
-    * chars (102 queries outgrew the window at full width; the
+  /** Compact keys: drop the uniform `q_` prefix and truncate to 9
+    * chars (111 queries outgrew the window at full width; the
     * truncation is a documented, deterministic rule and
     * BENCH_DETAIL.json keeps full names). Truncation collisions are
     * disambiguated with a `~N` suffix so the JSON object never carries
     * duplicate keys — parsers silently drop duplicates.
     */
   def compactKeys(names: Seq[String]): Seq[String] = {
-    val cut = names.map(_.stripPrefix("q_").take(10))
+    val cut = names.map(_.stripPrefix("q_").take(9))
     val dup = cut.groupBy(identity).filter(_._2.length > 1).keySet
     val counters = scala.collection.mutable.Map.empty[String, Int]
     cut.map { k =>
       if (!dup(k)) k
       else {
         val i = counters.updateWith(k)(c => Some(c.getOrElse(0) + 1)).get
-        k.take(8) + "~" + i
+        k.take(7) + "~" + i
       }
     }
   }
@@ -254,7 +255,7 @@ object BenchFormat {
   /** The stdout line, plus a warning when the per-query map had to be
     * dropped to stay under [[MaxLineChars]] (totals still parse;
     * detail stays in the file). `shuffleWriteBytes` (total across
-    * queries, from each query's final iteration) prints as integer MB.
+    * queries, from each query's first iteration) prints as integer MB.
     */
   def compactLine(results: Seq[(String, Double)], total: Double,
                   failed: Int, sfDir: String,

@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.AdvancedQueries.queries
+      graft.queries.AdvancedQueries.queries ++
+      graft.queries.TpchExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++
       graft.queries.ExtendedQueries.oracles ++
-      graft.queries.AdvancedQueries.oracles
+      graft.queries.AdvancedQueries.oracles ++
+      graft.queries.TpchExtraQueries.oracles
 }

@@ -159,6 +159,50 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // 93. Unigram-LM perplexity scoring: corpus token probabilities
+    //     (one map-side-combined shuffle on the token), broadcast back
+    //     to the exploded docs, mean NLL per document — the classic
+    //     cheap quality-filter signal (KenLM's shape with a unigram
+    //     model). Scale: the vocab table is tiny after aggregation and
+    //     broadcasts; the per-doc agg shuffles (doc_id, partial-sum)
+    //     pairs only. r6 floor-rounding absorbs cross-engine ln/sum
+    //     last-bit drift.
+    "q_lm_score" -> ((s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      // total tokens = Σ vocab counts: derives from the SAME aggregate
+      // subplan, so ReusedExchange computes vocab once and the corpus
+      // is scanned twice total (vocab + the scoring join), not 3×
+      val total = vocab.agg(sum("c").as("n_total"))
+      val probs = vocab.crossJoin(broadcast(total))
+        .select(col("t"),
+          (-log(col("c").cast("double") / col("n_total"))).as("nll"))
+      toks.join(broadcast(probs), "t")
+        .groupBy("doc_id")
+        .agg(graft.functions.EngineNeutral.roundHalfUp(avg("nll"), 6).as("avg_nll"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // 94. Deterministic hash-weighted subsampling: keep a document iff
+    //     md5(text)'s first 32 bits, as a uniform u ∈ [0,1), fall
+    //     under its language's sampling rate — the reproducible
+    //     Bernoulli every mixture pipeline needs (the same doc is
+    //     kept/dropped identically on every rerun and engine, unlike
+    //     rand()). Pure scan-stage filter: no shuffle at all.
+    "q_sample_weighted" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long") / lit(4294967296.0)).as("u"),
+          when(col("lang") === "en", 0.5)
+            .when(col("lang") === "zh", 0.9)
+            .otherwise(1.0).as("rate"))
+        .filter(col("u") < col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // 29b. Boilerplate detection: shingles appearing in many documents
     //      (top-50 by document count; deterministic tie-break).
     "q_boilerplate" -> ((s, d) =>
@@ -290,6 +334,24 @@ object LlmQueries {
         |)
         |SELECT comp, count(*) AS n_docs, min(id) AS keep_id
         |FROM comps GROUP BY comp ORDER BY comp""".stripMargin,
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |v AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |n AS (SELECT count(*) AS n_total FROM toks),
+        |p AS (SELECT t, -ln(c::DOUBLE / n_total) AS nll FROM v, n)
+        |SELECT doc_id, floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS avg_nll,
+        |  count(*) AS n_tokens
+        |FROM toks JOIN p USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) / 4294967296.0 AS u,
+        |    CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 ELSE 1.0 END AS rate
+        |  FROM documents)
+        |WHERE u < rate ORDER BY doc_id""".stripMargin,
     // Shingle parity with the Spark side is at the STRING level: Spark
     // compares xxhash64(shingle) sets, the oracle compares the shingle
     // strings themselves — identical counts modulo 2⁻⁶⁴ collisions.

@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fifth-wave TPC-H shapes (Q2/Q7/Q8/Q9/Q13/Q15/Q21-like). The
+  * driver's star schema has no partsupp table and no
+  * shipmode/commitdate/receiptdate lineitem columns, so the four
+  * queries that need them are adapted to the available columns — the
+  * PLAN SHAPES (correlated min-subquery join, two-nation OR join,
+  * CASE-ratio aggregation, outer-join count distribution, max-of-agg
+  * self-comparison, exists/not-exists self-joins) are the point, not
+  * the exact TPC-H business question.
+  *
+  * Scale notes: every dim table (nation/region/part/supplier/
+  * customer at TPC-H card ratios) broadcasts; the only data-sized
+  * shuffles are lineitem⋈orders on orderkey and the groupBys on
+  * already-aggregated keys. Q21's exists/not-exists are semi/anti
+  * hash joins co-partitioned on l_orderkey — an order's lines land in
+  * one partition, so the self-joins never carry the fact table twice.
+  */
+object TpchExtraQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, Q] = Map(
+    // 86. Q7 volume shipping: nation-pair trade by year, both
+    //     directions of the pair in one OR-join — nations broadcast
+    //     twice under different aliases.
+    "q_tpch_q7" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("nk1"),
+        col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("nk2"),
+        col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(volume), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // 87. Q8 market share: one nation's share of regional volume per
+    //     year — a CASE-conditional ratio of two sums, floor-rounded
+    //     (EngineNeutral) because ratios of order-dependent sums can
+    //     land on round-boundary bits.
+    "q_tpch_q8" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("nk1"),
+        col("n_regionkey").as("rk1"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("nk2"),
+        col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("nk1"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("rk1") === col("r_regionkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("nk2"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(graft.functions.EngineNeutral.roundHalfUp(
+          sum(when(col("supp_nation") === "NATION_3", volume).otherwise(0.0)) /
+            sum(volume), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // 88. Q9 product-type profit by supplier nation and year;
+    //     p_retailprice·quantity stands in for the missing
+    //     ps_supplycost. The like-filter prunes part BEFORE broadcast.
+    "q_tpch_q9" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(volume - col("p_retailprice") * col("l_quantity")), 2)
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    // 89. Q13 customer order-count distribution: LEFT join keeps
+    //     zero-order customers; the join-level filter (priority) must
+    //     stay IN the join condition, not a WHERE (which would turn
+    //     the outer join inner).
+    "q_tpch_q13" -> ((s, d) => {
+      val counts = Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // 90. Q15 top supplier: revenue per supplier in a quarter, keep
+    //     the max — the scalar-subquery self-comparison runs on the
+    //     already-aggregated (100-row) table, broadcast both ways.
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(volume), 2).as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("mx"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(mx), col("total_revenue") === col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    // 91. Q21 waiting-supplier shape: lines that are the strictly
+    //     latest shipment in a multi-supplier order — EXISTS (another
+    //     supplier in the order) as a left-semi join and NOT EXISTS
+    //     (another supplier shipping later) as a left-anti join, both
+    //     equi on l_orderkey so the self-joins stay co-partitioned.
+    "q_tpch_q21" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate")
+      val other = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val later = l.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      l.join(other, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(later, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3") && col("d3") > col("l_shipdate"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // 92. Q2 min-cost-supplier shape: per (part, supplier) unit cost
+    //     from lineitem (no partsupp table), then the correlated
+    //     "= (SELECT min ...)" realized as an equi-join against the
+    //     per-part min — both aggregates shuffle key-width rows only.
+    //     unit_cost is a single division + min (no summation), so the
+    //     doubles are bit-identical cross-engine with no rounding.
+    "q_tpch_q2" -> ((s, d) => {
+      val cost = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val best = cost.groupBy(col("l_partkey").as("bp"))
+        .agg(min("unit_cost").as("min_cost"))
+      cost
+        .join(best, col("l_partkey") === col("bp") &&
+          col("unit_cost") === col("min_cost"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_size").between(10, 20))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(20)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+        |    / sum(volume) * 1000000 + 0.5) / 1000000.0 AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount)
+        |      - p_retailprice * l_quantity AS amount
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%')
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait FROM (
+        |  SELECT s_name, l1.l_orderkey, l1.l_linenumber
+        |  FROM lineitem l1
+        |  JOIN supplier ON l1.l_suppkey = s_suppkey
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate))
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |best AS (
+        |  SELECT l_partkey AS bp, min(unit_cost) AS min_cost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+        |FROM cost
+        |JOIN best ON cost.l_partkey = bp AND unit_cost = min_cost
+        |JOIN part ON cost.l_partkey = p_partkey
+        |JOIN supplier ON cost.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size BETWEEN 10 AND 20 AND r_name = 'EUROPE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin)
+}

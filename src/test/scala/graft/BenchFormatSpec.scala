@@ -71,11 +71,11 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("\"queries\":{}"))
   }
 
-  test("current inventory has collision-free 10-char compact keys") {
+  test("current inventory has collision-free 9-char compact keys") {
     val keys = BenchFormat.compactKeys(SparkEntry.queries.keys.toSeq.sorted)
     assert(keys.distinct.size == keys.size)
     assert(!keys.exists(_.contains("~")),
-      "a real query name collides at 10 chars — rename it rather than " +
+      "a real query name collides at 9 chars — rename it rather than " +
         "shipping a ~N disambiguated artifact key")
   }
 

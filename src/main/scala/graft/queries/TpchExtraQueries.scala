@@ -148,7 +148,14 @@ object TpchExtraQueries {
     //     unit_cost is a single division + min (no summation), so the
     //     doubles are bit-identical cross-engine with no rounding.
     "q_tpch_q2" -> ((s, d) => {
+      val parts = Tables.part(s, d).filter(col("p_size").between(10, 20))
+      // push the part filter BELOW the aggregation as a broadcast
+      // semi-join: the per-part min is computed within each part's own
+      // lines, so pre-dropping ineligible parts changes nothing except
+      // the aggregation input size (~78% cut at uniform p_size 1-50)
       val cost = Tables.lineitem(s, d)
+        .join(broadcast(parts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
       val best = cost.groupBy(col("l_partkey").as("bp"))
@@ -156,8 +163,7 @@ object TpchExtraQueries {
       cost
         .join(best, col("l_partkey") === col("bp") &&
           col("unit_cost") === col("min_cost"))
-        .join(broadcast(Tables.part(s, d).filter(col("p_size").between(10, 20))),
-          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),

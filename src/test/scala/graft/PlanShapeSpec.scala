@@ -37,6 +37,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("wave-5 TPC-H shapes: dims broadcast, filters pushed, no cartesians") {
+    Seq("q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q15").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast joins:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian product")
+    }
+    // Q21's EXISTS / NOT EXISTS must stay semi/anti joins
+    val q21 = plan("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q_tpch_q21 lost its semi/anti self-join shape:\n$q21")
+    // Q2's part-size filter must prune lineitem BELOW the aggregation
+    val q2 = plan("q_tpch_q2")
+    assert(q2.contains("LeftSemi"),
+      s"q_tpch_q2 lost the pushed-down part-filter semi-join:\n$q2")
+    // Q7's nation-name OR filter reaches both nation scans as a
+    // pushed parquet filter (derived per-side by Catalyst)
+    val q7 = SparkEntry.queries("q_tpch_q7")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("EqualTo\\(n_name,NATION_[12]\\)".r.findAllIn(q7).size >= 2,
+      s"q_tpch_q7's nation filter no longer pushes into the scans:\n$q7")
+  }
+
+  test("wave-5 LLM ops: sampling filters in the scan stage, LM probs broadcast") {
+    // q_sample_weighted is a pure scan-stage filter — no exchange at all
+    val ps = plan("q_sample_weighted")
+    assert(!ps.contains("Exchange hashpartitioning"),
+      s"q_sample_weighted grew a shuffle:\n$ps")
+    // q_lm_score joins the corpus against BROADCAST token probs
+    val pl = plan("q_lm_score")
+    assert(pl.contains("BroadcastHashJoin"),
+      s"q_lm_score no longer broadcasts the vocab probs:\n$pl")
+  }
+
   test("dedup scan reads only the columns it needs") {
     val p = SparkEntry.queries("q_dedup_exact")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -61,4 +61,34 @@ class ShuffleBoundSpec extends AnyFunSuite {
     assert(bytes < rows * 4,
       s"q_tpch_q1 shuffled $bytes B — map-side combine regressed?")
   }
+
+  test("q_tpch_q2 shuffle stays key-width after the pushed part filter") {
+    val rows = Tables.lineitem(spark, sf).count()
+    SparkEntry.queries("q_tpch_q2")(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    val bytes = shuffleWrite(SparkEntry.queries("q_tpch_q2")(spark, sf))
+    // the (partkey, suppkey, unit_cost) aggregates of the ~22% of
+    // lineitem surviving the semi-join: measured 0.4 MB at sf0.01;
+    // 3× headroom. Near rows×30 would mean the part filter stopped
+    // pruning below the aggregation (21 MB at sf0.1 before the fix).
+    assert(bytes > 0 && bytes <= rows * 22,
+      s"q_tpch_q2 shuffled $bytes B for $rows input rows: " +
+        "the pushed-down part filter or map-side combine regressed")
+  }
+
+  test("q_lm_score shuffles token partials, never the exploded corpus") {
+    val docs = Tables.documents(spark, sf)
+    val corpusBytes = docs.agg(sum(length(col("text")))).head.getLong(0)
+    SparkEntry.queries("q_lm_score")(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    val bytes = shuffleWrite(SparkEntry.queries("q_lm_score")(spark, sf))
+    // what SHOULD move: the round-robin spread of compact document
+    // rows (≈ corpus bytes, twice — vocab + scoring branch) plus tiny
+    // vocab/per-doc partials; measured 1.3× corpus at sf0.01. A hash
+    // exchange carrying the exploded (doc_id, token) rows would add
+    // ≥ another corpus-worth on top — 3× is the tripwire.
+    assert(bytes > 0 && bytes < corpusBytes * 3,
+      s"q_lm_score shuffled $bytes B (corpus $corpusBytes B): " +
+        "an exchange is carrying the exploded token rows")
+  }
 }

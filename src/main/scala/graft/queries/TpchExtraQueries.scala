@@ -90,9 +90,10 @@ object TpchExtraQueries {
         .orderBy(col("nation"), col("o_year").desc)),
 
     // 89. Q13 customer order-count distribution: LEFT join keeps
-    //     zero-order customers; the join-level filter (priority) must
-    //     stay IN the join condition, not a WHERE (which would turn
-    //     the outer join inner).
+    //     zero-order customers; the priority filter applies to the
+    //     RIGHT side before the join (equivalent to the SQL ON-clause
+    //     condition) — a post-join WHERE would turn the outer join
+    //     inner and drop the zero-order bucket.
     "q_tpch_q13" -> ((s, d) => {
       val counts = Tables.customer(s, d)
         .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),

@@ -228,12 +228,19 @@ object BenchFormat {
   def compactKeys(names: Seq[String]): Seq[String] = {
     val cut = names.map(_.stripPrefix("q_").take(9))
     val dup = cut.groupBy(identity).filter(_._2.length > 1).keySet
-    val counters = scala.collection.mutable.Map.empty[String, Int]
+    // uniqueness is checked against the EMITTED keys, not the 9-char
+    // cuts: two distinct collision groups sharing a 7-char prefix
+    // would otherwise re-emit each other's ~N keys
+    val used = scala.collection.mutable.Set[String](
+      cut.filterNot(dup): _*)
     cut.map { k =>
       if (!dup(k)) k
       else {
-        val i = counters.updateWith(k)(c => Some(c.getOrElse(0) + 1)).get
-        k.take(7) + "~" + i
+        var i = 1
+        while (used(k.take(7) + "~" + i)) i += 1
+        val out = k.take(7) + "~" + i
+        used += out
+        out
       }
     }
   }
@@ -246,10 +253,19 @@ object BenchFormat {
     if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.1f"
 
   // "/root/testdata/sf0.1" → 0.1 (numeric, per the driver contract's
-  // `"sf":…`); an unrecognized dir falls back to the quoted string
+  // `"sf":…`). The captured group must round-trip as a JSON number —
+  // "sf01" (leading zero) or "sf1.2.3" would otherwise emit invalid
+  // JSON and kill the whole line. Fallback: the dir as an ESCAPED
+  // JSON string.
   def sfJson(sfDir: String): String = {
-    val m = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir)
-    m.map(_.group(1).stripSuffix(".")).getOrElse("\"" + sfDir + "\"")
+    val num = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1))
+      .flatMap(g => g.toDoubleOption.map(_ => g))
+      .filter(g => g.matches("(0|[1-9][0-9]*)(\\.[0-9]+)?"))
+    num.getOrElse {
+      val esc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+      "\"" + esc + "\""
+    }
   }
 
   /** The stdout line, plus a warning when the per-query map had to be

@@ -170,7 +170,15 @@ object Ivf {
   /** Reload a persisted index's centroids (tiny: k × dim doubles). */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
                     path: String): Array[Array[Double]] =
-    spark.read.parquet(s"${indexDir(spark, path)}/centroids")
+    readCentroidsFrom(spark, indexDir(spark, path))
+
+  /** The load from an already-resolved version dir — shared by every
+    * path that must read multiple index parts from ONE version.
+    */
+  private[functions] def readCentroidsFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids")
       .orderBy("cell")
       .collect()
       .map(_.getSeq[Double](1).toArray)
@@ -184,8 +192,7 @@ object Ivf {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val dir = indexDir(spark, path)
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val centroids = readCentroidsFrom(spark, dir)
     val cells = spark.read.parquet(s"$dir/cells")
     probeCells(cells, queries, k, centroids, nprobe, idCol, vecCol)
   }

@@ -181,7 +181,12 @@ object Pq {
         .toDF("cell", "centroid")
         .repartition(1)
         .write.mode("overwrite").parquet(s"$v/centroids")
-      val coded = encode(Ivf.assignCells(corpus, vecCol, centroids), vecCol, codebooks)
+      // spread to full parallelism like every query path does:
+      // assignCells+encode is the expensive part of index build and
+      // must not serialize on a single-row-group source
+      val spread = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism)
+      val coded = encode(Ivf.assignCells(spread, vecCol, centroids), vecCol, codebooks)
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
           col("ivf_cell"), col("pq_code"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -222,8 +227,7 @@ object Pq {
     // resolve ONCE so centroids/codebooks/codes/vectors come from the
     // same committed version even if a writer commits mid-query
     val dir = Ivf.indexDir(spark, path)
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val centroids = Ivf.readCentroidsFrom(spark, dir)
     val codebooks = readCodebooksFrom(spark, dir)
     val probes = ivfPqProbes(queries, centroids, codebooks, nprobe, idCol, vecCol)
     val scored = spark.read.parquet(s"$dir/codes").join(probes, "ivf_cell")

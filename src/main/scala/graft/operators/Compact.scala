@@ -72,6 +72,16 @@ object Compact {
     val old = new org.apache.hadoop.fs.Path(
       target.getParent, target.getName + "-compact-old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover the one crash state that leaves the table path missing
+    // (killed between the two renames: original at -old, rewrite at
+    // -tmp): roll the original back in place so the run proceeds
+    // normally instead of dying in fileCount with a bare
+    // FileNotFoundException an operator must decode by hand
+    if (!fs.exists(target) && fs.exists(old)) {
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"crash recovery: could not restore $old -> $target")
+    }
     val before = fileCount(spark, target.toString)
     val bytes = dirBytes(spark, target.toString)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -84,8 +94,10 @@ object Compact {
       throw new IllegalStateException(
         s"compaction rewrite row mismatch: $rewritten != $nRows (original untouched)")
     }
-    // leftover -old from a crashed PREVIOUS run: its data was already
-    // promoted then (the only way -old exists), safe to reclaim now
+    // leftover -old from a crashed PREVIOUS run: with the entry guard
+    // above, reaching here with both target and -old present means
+    // that run's promotion succeeded (the unpromoted crash state was
+    // already rolled back at entry), so -old is safe to reclaim
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(
         s"could not reclaim stale $old (original untouched)")

@@ -46,14 +46,15 @@ object Versioned {
 
   private def pointerVersion(f: FileSystem, root: Path): Option[Int] = {
     val p = new Path(root, Pointer)
-    if (!f.exists(p)) None
-    else {
+    // open unconditionally and treat a missing file as None: an
+    // exists() pre-check would race commitNew's delete+rename swap and
+    // crash a concurrent reader — the exact failure this layout exists
+    // to prevent (resolve() then falls back to the committed-dir scan)
+    try {
       val in = f.open(p)
-      try {
-        val s = scala.io.Source.fromInputStream(in).mkString.trim
-        s.toIntOption
-      } finally in.close()
-    }
+      try scala.io.Source.fromInputStream(in).mkString.trim.toIntOption
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** The current committed version's directory, if any. Trusts the

@@ -19,14 +19,15 @@ object AdvancedQueries {
 
   // PageRank.run returns a persisted frame the caller must release;
   // a gated query lambda cannot (the driver materializes the frame
-  // after returning), so cache ONE ranks frame per (session, sf dir)
-  // for the process lifetime instead of leaking one per invocation
-  // (Bench alone invokes each query 4×) — same pattern as LlmQueries'
-  // centroidCache. Keyed by session identity too: a frame cached by a
-  // stopped session would otherwise be returned as an unusable plan
-  // to the next session in the same JVM.
-  private val pagerankCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // after returning), so cache ONE ranks frame per sf dir instead of
+  // leaking one per invocation (Bench alone invokes each query 4×).
+  // The owning session rides along as a WeakReference and is checked
+  // with eq on every hit: a frame built by a stopped/replaced session
+  // is rebuilt, never served as a dead plan, and the map stays
+  // bounded at one entry per dir no matter how many sessions cycle
+  // through the JVM.
+  private val pagerankCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
 
   val queries: Map[String, Q] = Map(
     // 70. TPC-H Q10 shape: returned-item revenue, top 20 customers.
@@ -311,15 +312,19 @@ object AdvancedQueries {
     //     central documents of the near-dup graph — the
     //     canonical-representative signal CC's min-id cannot give.
     "q_pagerank" -> ((s, d) => {
-      val pr = pagerankCache.computeIfAbsent(
-        s"${System.identityHashCode(s)}:$d", _ => {
-        val docs = Tables.documents(s, d)
-        val edges = Dedup.sharedShingleEdges(docs, "doc_id", "text",
-          shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
-          .select("id_a", "id_b")
-        graft.operators.PageRank.run(
-          docs.select(col("doc_id").as("id")), edges, iters = 5)
-      })
+      // tuple pattern does not match a null `cur`, so a cache miss
+      // falls through to the rebuild arm
+      val pr = pagerankCache.compute(d, (_, cur) => cur match {
+        case (ref, df) if ref.get() eq s => (ref, df)
+        case _ =>
+          val docs = Tables.documents(s, d)
+          val edges = Dedup.sharedShingleEdges(docs, "doc_id", "text",
+            shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+            .select("id_a", "id_b")
+          val df = graft.operators.PageRank.run(
+            docs.select(col("doc_id").as("id")), edges, iters = 5)
+          (new java.lang.ref.WeakReference(s), df)
+      })._2
       pr.select(col("id"),
           EngineNeutral.roundHalfUp(col("r"), 6).as("rank_r6"))
         .orderBy(col("rank_r6").desc, col("id"))

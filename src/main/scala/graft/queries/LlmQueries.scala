@@ -389,7 +389,10 @@ object LlmQueries {
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     // Axis-aligned sign blocking: bucket membership is sign-only (no
     // float arithmetic — normalization preserves sign), so buckets are
-    // engine-exact; only the r4-rounded cosine touches floats.
+    // engine-exact; only the r4-rounded cosine touches floats. The
+    // per-(band,bucket) size cap mirrors pairsFromBucketsIds'
+    // maxBucket=10000 exactly, so the parity holds at ANY corpus size,
+    // not just SFs where the cap never binds.
     "q_dedup_embedding" ->
       """WITH nv AS (
         |  SELECT id, [x / nrm FOR x IN e] AS u
@@ -404,11 +407,23 @@ object LlmQueries {
         |    (CASE WHEN u[5] >= 0 THEN 1 ELSE 0 END + CASE WHEN u[6] >= 0 THEN 2 ELSE 0 END +
         |     CASE WHEN u[7] >= 0 THEN 4 ELSE 0 END + CASE WHEN u[8] >= 0 THEN 8 ELSE 0 END) AS hi
         |  FROM nv
+        |), lo_ok AS (
+        |  SELECT lo FROM sig GROUP BY lo HAVING count(*) BETWEEN 2 AND 10000
+        |), hi_ok AS (
+        |  SELECT hi FROM sig GROUP BY hi HAVING count(*) BETWEEN 2 AND 10000
+        |), cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.u AS ua, b.u AS ub
+        |  FROM sig a JOIN sig b ON a.lo = b.lo AND a.id < b.id
+        |  WHERE a.lo IN (SELECT lo FROM lo_ok)
+        |  UNION
+        |  SELECT a.id, b.id, a.u, b.u
+        |  FROM sig a JOIN sig b ON a.hi = b.hi AND a.id < b.id
+        |  WHERE a.hi IN (SELECT hi FROM hi_ok)
         |)
         |SELECT id_a, id_b, sim FROM (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    floor(list_dot_product(a.u, b.u) * 10000 + 0.5) / 10000.0 AS sim
-        |  FROM sig a JOIN sig b ON a.id < b.id AND (a.lo = b.lo OR a.hi = b.hi))
+        |  SELECT id_a, id_b,
+        |    floor(list_dot_product(ua, ub) * 10000 + 0.5) / 10000.0 AS sim
+        |  FROM cand)
         |WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT query_id, rank, neighbor_id, sim FROM (

@@ -87,6 +87,29 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(keys.contains("other"))
   }
 
+  test("two collision groups sharing a 7-char prefix still emit unique keys") {
+    // cuts 'abcdefgX1' and 'abcdefgX2' are distinct collision groups,
+    // but both would emit 'abcdefg~N' if counters were keyed by cut
+    val keys = BenchFormat.compactKeys(Seq(
+      "q_abcdefgX1a", "q_abcdefgX1b", "q_abcdefgX2a", "q_abcdefgX2b"))
+    assert(keys.distinct.size == 4, s"duplicate emitted keys: $keys")
+  }
+
+  test("sfJson only emits valid JSON numbers, escaping everything else") {
+    assert(BenchFormat.sfJson("/root/testdata/sf0.1") == "0.1")
+    assert(BenchFormat.sfJson("/data/sf0.001/") == "0.001")
+    // leading zero and double-dot would be invalid JSON numbers
+    assert(BenchFormat.sfJson("/data/sf01") == "\"/data/sf01\"")
+    assert(BenchFormat.sfJson("/data/sf1.2.3") == "\"/data/sf1.2.3\"")
+    // non-matching fallback escapes JSON-hostile characters
+    assert(BenchFormat.sfJson("""/we"ird\path""") == """"/we\"ird\\path"""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Seq("/data/sf01", """/we"ird\path""", "/root/testdata/sf0.1").foreach { d =>
+      val json = s"""{"sf":${BenchFormat.sfJson(d)}}"""
+      assert(mapper.readTree(json).has("sf"), s"unparseable: $json")
+    }
+  }
+
   test("compact values: 2-sig-fig widths, failed markers stay -1") {
     assert(BenchFormat.fCompact(0.32) == "0.3")
     assert(BenchFormat.fCompact(12.34) == "12.3")

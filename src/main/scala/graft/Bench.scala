@@ -157,6 +157,13 @@ object Bench {
       results.map { case (k, v, _, _) => (k, v) }, total, failed, sfDir,
       totalShuffleW)
     overflow.foreach(System.err.println)
+    // belt-and-braces: the same line as a file, for any consumer whose
+    // stdout tail-window parse fails (six recorded rounds of
+    // parsed:null preceded the round-7 stdout fixes)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LINE.json: ${e.getMessage}") }
     // Print the line ONCE, after spark.stop(), so it is the process's
     // final stdout line: a consumer that parses only the last line of
     // its tail window must see JSON, not Spark shutdown noise — and

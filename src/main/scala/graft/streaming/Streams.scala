@@ -225,6 +225,34 @@ object Streams {
     q
   }
 
+  /** Continuous ANN scoring: each micro-batch of embeddings is scored
+    * against a PREBUILT IVF index ([[graft.functions.Ivf.writeIndex]])
+    * and the top-k neighbors appended to `outPath` — the
+    * ingest-vs-index split every production similarity pipeline has:
+    * the index builds offline at corpus scale, the stream pays only
+    * nprobe/cells of it per batch (partition pruning on the
+    * cell-partitioned index), and [[graft.operators.Versioned]] lets
+    * an index rebuild land mid-stream without breaking in-flight
+    * batches.
+    */
+  def annScoreIngest(stream: DataFrame, indexPath: String, outPath: String,
+                     checkpoint: String, k: Int = 10,
+                     nprobe: Int = 4): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.Ivf
+            .ivfTopKIndexed(batch.sparkSession, indexPath, batch,
+              k = k, nprobe = nprobe)
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

@@ -380,4 +380,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("stream_inc").count() == 2)
     } finally q.stop()
   }
+
+  test("streamed ANN scoring against the persisted IVF index matches batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_ingest").toString
+    val emb = graft.functions.AnnTestData.clustered(spark, n = 800)
+    val cents = graft.functions.Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16)
+    graft.functions.Ivf.writeIndex(emb, s"$dir/index", cents)
+    val queryRows = emb.filter(col("vec_id") < 8)
+      .as[(Long, Array[Float])].collect()
+    val ch = Streams.Channel[(Long, Array[Float])](spark)
+    ch.send(queryRows.take(4): _*)
+    val q = Streams.annScoreIngest(
+      ch.toDS.toDF("vec_id", "embedding"), s"$dir/index", s"$dir/out",
+      s"$dir/ckpt", k = 5, nprobe = 4)
+    try {
+      ch.send(queryRows.drop(4): _*) // a second micro-batch
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val streamed = key(spark.read.parquet(s"$dir/out"))
+      val batch = key(graft.functions.Ivf.ivfTopKIndexed(
+        spark, s"$dir/index", emb.filter(col("vec_id") < 8), k = 5, nprobe = 4))
+      assert(streamed == batch,
+        s"streamed scoring diverged: ${streamed.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
 }

@@ -161,6 +161,44 @@ object Ivf {
     }
   }
 
+  /** Grow a persisted index with a new batch: the batch is assigned
+    * with the EXISTING centroids (the quantizer must not move under an
+    * index, or old cell assignments go stale) and a new version is
+    * committed holding old ∪ new cells — crash-safe and readable
+    * throughout via [[graft.operators.Versioned]], with dropDuplicates
+    * on the id making replayed micro-batches idempotent.
+    *
+    * The commit rewrites the cells table (a version dir is
+    * self-contained); that is one columnar read+write of the index —
+    * fine at the cadence index growth actually happens (hourly/daily
+    * compaction-style), and the price of swap atomicity without a
+    * table format. Re-train centroids + [[writeIndex]] instead when
+    * the corpus distribution has drifted.
+    */
+  def appendToIndex(batch: DataFrame, path: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val dir = indexDir(spark, path)
+    val centroids = readCentroidsFrom(spark, dir)
+    val old = spark.read.parquet(s"$dir/cells")
+    val add = assignCells(
+      batch.repartition(spark.sparkContext.defaultParallelism),
+      vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col("ivf_cell"))
+    val merged = old.unionByName(add).dropDuplicates("neighbor_id")
+    graft.operators.Versioned.commitNew(spark, path) { v =>
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$v/centroids")
+      merged.write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(s"$v/cells")
+    }
+  }
+
   /** The committed version dir of a persisted index at `path`. */
   private[functions] def indexDir(spark: org.apache.spark.sql.SparkSession,
                                   path: String): String =

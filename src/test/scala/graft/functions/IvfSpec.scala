@@ -85,4 +85,31 @@ class IvfSpec extends AnyFunSuite {
     val direct = pairs(Ivf.ivfTopK(emb, queries, k = 10, cents, nprobe = 4))
     assert(indexed == direct)
   }
+
+  test("appendToIndex grows the index; replayed batches are idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val emb = AnnTestData.clustered(spark)
+    val base = emb.filter($"vec_id" < 1500)
+    val batch = emb.filter($"vec_id" >= 1500)
+    val cents = Ivf.trainCentroids(base, "vec_id", "embedding", k = 16)
+    Ivf.writeIndex(base, dir, cents)
+    Ivf.appendToIndex(batch, dir)
+    // appended index answers exactly like one built from the union
+    // with the SAME centroids (quantizer does not move on append)
+    val queries = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    Ivf.writeIndex(emb, full, cents)
+    assert(pairs(Ivf.ivfTopKIndexed(spark, dir, queries, k = 10, nprobe = 4)) ==
+      pairs(Ivf.ivfTopKIndexed(spark, full, queries, k = 10, nprobe = 4)))
+    // a replayed micro-batch (at-least-once delivery) changes nothing
+    val rows = spark.read.parquet(
+      graft.operators.Versioned.resolve(spark, dir).get + "/cells").count()
+    Ivf.appendToIndex(batch, dir)
+    val rows2 = spark.read.parquet(
+      graft.operators.Versioned.resolve(spark, dir).get + "/cells").count()
+    assert(rows == rows2 && rows == 2000)
+  }
 }

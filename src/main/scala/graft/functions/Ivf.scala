@@ -126,12 +126,22 @@ object Ivf {
     Similarity.topKPerKey(scored, "query_id", k)
   }
 
-  /** Persist a trained index: `$path/centroids` (cell → vector) and
-    * `$path/cells` — the corpus with unit-normalized vectors and cell
-    * assignments, written `partitionBy(ivf_cell)` so a probe's
+  /** Persist a trained index under a committed [[graft.operators.Versioned]]
+    * version: `<version>/centroids` (cell → vector) and
+    * `<version>/cells` — the corpus with unit-normalized vectors and
+    * cell assignments, written `partitionBy(ivf_cell)` so a probe's
     * equi-join on cell id becomes PARTITION PRUNING at the scan: a
     * query touching `nprobe` of `k` cells reads ~nprobe/k of the
     * index files and the rest never leave disk.
+    *
+    * Layout contract: `path` is a Versioned ROOT — readers must
+    * resolve the committed version via [[ivfTopKIndexed]] /
+    * [[readCentroids]] (or [[graft.operators.Versioned.resolve]]),
+    * never read `path/cells` directly: the live data sits under
+    * `path/_v=N/{centroids,cells,delta_*}` and the un-resolved root
+    * also holds superseded versions and in-progress writes.
+    * [[appendToIndex]] adds `delta_N/cells` dirs inside the current
+    * version; every reader in this object unions base + deltas.
     *
     * A 100 TB corpus builds this once (one assignment pass, one
     * write) and every later query/ingest round reads it — the verdict
@@ -161,40 +171,77 @@ object Ivf {
     }
   }
 
-  /** Grow a persisted index with a new batch: the batch is assigned
-    * with the EXISTING centroids (the quantizer must not move under an
-    * index, or old cell assignments go stale) and a new version is
-    * committed holding old ∪ new cells — crash-safe and readable
-    * throughout via [[graft.operators.Versioned]], with dropDuplicates
-    * on the id making replayed micro-batches idempotent.
+  /** Grow a persisted index with a new batch in O(batch), not
+    * O(index): the batch is assigned with the EXISTING centroids (the
+    * quantizer must not move under an index, or old cell assignments
+    * go stale), already-present ids are dropped, and ONLY the new rows
+    * land as an atomically-renamed `delta_N/cells` dir (partitioned by
+    * `ivf_cell`, same pruning as the base) inside the current version
+    * — [[graft.operators.Versioned.commitDelta]]. An hourly 0.1%
+    * append costs 0.1% write, not a full-index rewrite; [[compactIndex]]
+    * periodically folds deltas back into one base.
     *
-    * The commit rewrites the cells table (a version dir is
-    * self-contained); that is one columnar read+write of the index —
-    * fine at the cadence index growth actually happens (hourly/daily
-    * compaction-style), and the price of swap atomicity without a
-    * table format. Re-train centroids + [[writeIndex]] instead when
-    * the corpus distribution has drifted.
+    * Shuffle cost is batch-proportional: the dedup is a broadcast
+    * semi-join of the (small) batch against the index's id column —
+    * the index side is a column-pruned scan that never enters an
+    * exchange (IvfSpec pins append shuffle bytes independent of index
+    * size). Replayed micro-batches are idempotent via that same
+    * anti-join: an id already in the index (base or any delta) is
+    * dropped DETERMINISTICALLY — first delivery wins. A re-delivered
+    * id carrying a CHANGED embedding is therefore ignored, never
+    * half-applied; vector updates are a rebuild/retrain
+    * ([[writeIndex]]), not an append.
+    *
+    * Single-writer like all Versioned mutations (enforced by the root
+    * `_LOCK`): don't overlap appends with a rebuild or compaction.
     */
   def appendToIndex(batch: DataFrame, path: String,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val dir = indexDir(spark, path)
     val centroids = readCentroidsFrom(spark, dir)
-    val old = spark.read.parquet(s"$dir/cells")
     val add = assignCells(
       batch.repartition(spark.sparkContext.defaultParallelism),
       vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         col("ivf_cell"))
-    val merged = old.unionByName(add).dropDuplicates("neighbor_id")
+    // ids already present: index-side column-pruned scan, batch side
+    // broadcast — the hit set is bounded by the batch, so the second
+    // (anti) join broadcasts too; the index never shuffles
+    val hits = readCellsFrom(spark, dir).select(col("neighbor_id"))
+      .join(broadcast(add.select(col("neighbor_id"))), Seq("neighbor_id"), "left_semi")
+    val fresh = add.join(broadcast(hits), Seq("neighbor_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // an all-duplicates replay appends nothing (an empty partitioned
+      // dir would also fail schema inference on read)
+      if (!fresh.isEmpty)
+        graft.operators.Versioned.commitDelta(spark, path, dir) { d =>
+          fresh.write.mode("overwrite").partitionBy("ivf_cell")
+            .parquet(s"$d/cells")
+        }
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Fold a version's base + appended deltas back into a single
+    * `cells` table in a NEW committed version — the periodic
+    * maintenance that keeps [[appendToIndex]]'s read-side union (and
+    * its per-delta file overhead) bounded. O(index) by definition;
+    * run it at compaction cadence, not per append. Readers mid-fold
+    * keep resolving the old version.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val dir = indexDir(spark, path)
+    val centroids = readCentroidsFrom(spark, dir)
+    val cells = readCellsFrom(spark, dir)
     graft.operators.Versioned.commitNew(spark, path) { v =>
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .repartition(1)
         .write.mode("overwrite").parquet(s"$v/centroids")
-      merged.write.mode("overwrite").partitionBy("ivf_cell")
+      cells.write.mode("overwrite").partitionBy("ivf_cell")
         .parquet(s"$v/cells")
     }
   }
@@ -221,9 +268,22 @@ object Ivf {
       .collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** The full cells table of a resolved version: base ∪ committed
+    * appended deltas. Filters on `ivf_cell` push through the union
+    * into every branch's scan, so partition pruning survives — each
+    * delta is partitioned by cell exactly like the base. Plan size
+    * grows linearly in delta count; [[compactIndex]] bounds it.
+    */
+  private[functions] def readCellsFrom(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.operators.Versioned.listDeltas(spark, dir)
+      .foldLeft(spark.read.parquet(s"$dir/cells")) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(s"$d/cells"))
+      }
+
   /** IVF top-k over a prebuilt index at `path` — no training, no
-    * assignment pass; the cells scan is pruned to the probed
-    * partitions.
+    * assignment pass; the cells scan (base + deltas) is pruned to the
+    * probed partitions.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nprobe: Int = 4,
@@ -231,7 +291,6 @@ object Ivf {
                      vecCol: String = "embedding"): DataFrame = {
     val dir = indexDir(spark, path)
     val centroids = readCentroidsFrom(spark, dir)
-    val cells = spark.read.parquet(s"$dir/cells")
-    probeCells(cells, queries, k, centroids, nprobe, idCol, vecCol)
+    probeCells(readCellsFrom(spark, dir), queries, k, centroids, nprobe, idCol, vecCol)
   }
 }

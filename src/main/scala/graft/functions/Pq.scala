@@ -199,6 +199,88 @@ object Pq {
     }
   }
 
+  /** Grow a persisted IVF+PQ index in O(batch): assign + encode the
+    * batch with the EXISTING centroids/codebooks, drop ids already in
+    * the index (broadcast semi/anti joins — the index's id column is
+    * scanned but never shuffled), and commit the new rows' codes AND
+    * rerank vectors under ONE atomically-renamed `delta_N` dir
+    * ([[graft.operators.Versioned.commitDelta]]), so a crash can never
+    * land codes without their rerank vectors. Replays are idempotent —
+    * first delivery of an id wins, deterministically; vector updates
+    * are a rebuild ([[writeIndex]]), not an append. Same single-writer
+    * `_LOCK` contract as every Versioned mutation.
+    */
+  def appendToIndex(batch: DataFrame, path: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val dir = Ivf.indexDir(spark, path)
+    val centroids = Ivf.readCentroidsFrom(spark, dir)
+    val codebooks = readCodebooksFrom(spark, dir)
+    val add = encode(Ivf.assignCells(
+      batch.repartition(spark.sparkContext.defaultParallelism),
+      vecCol, centroids), vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col("ivf_cell"), col("pq_code"))
+    val hits = readCodesFrom(spark, dir).select(col("neighbor_id"))
+      .join(broadcast(add.select(col("neighbor_id"))), Seq("neighbor_id"), "left_semi")
+    val fresh = add.join(broadcast(hits), Seq("neighbor_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!fresh.isEmpty)
+        graft.operators.Versioned.commitDelta(spark, path, dir) { d =>
+          fresh.select("neighbor_id", "pq_code", "ivf_cell")
+            .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$d/codes")
+          fresh.select("neighbor_id", "cvec", "ivf_cell")
+            .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$d/vectors")
+        }
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Fold base + deltas into a fresh single-base version (codes and
+    * vectors together — one commit). O(index); compaction cadence.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val dir = Ivf.indexDir(spark, path)
+    val centroids = Ivf.readCentroidsFrom(spark, dir)
+    val codebooks = readCodebooksFrom(spark, dir)
+    val codes = readCodesFrom(spark, dir)
+    val vectors = readVectorsFrom(spark, dir)
+    graft.operators.Versioned.commitNew(spark, path) { v =>
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+      }.toSeq.toDF("subspace", "cell", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$v/codebooks")
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$v/centroids")
+      codes.write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$v/codes")
+      vectors.write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$v/vectors")
+    }
+  }
+
+  /** Codes table of a resolved version: base ∪ appended deltas, cell
+    * partition pruning intact through the union (see
+    * [[Ivf.readCellsFrom]] for the shape rationale).
+    */
+  private def readCodesFrom(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame =
+    graft.operators.Versioned.listDeltas(spark, dir)
+      .foldLeft(spark.read.parquet(s"$dir/codes")) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(s"$d/codes"))
+      }
+
+  /** Rerank-vectors table of a resolved version: base ∪ deltas. */
+  private def readVectorsFrom(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame =
+    graft.operators.Versioned.listDeltas(spark, dir)
+      .foldLeft(spark.read.parquet(s"$dir/vectors")) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(s"$d/vectors"))
+      }
+
   /** Reload a persisted index's codebooks bit-exactly. */
   def readCodebooks(spark: org.apache.spark.sql.SparkSession,
                     path: String): Array[Array[Array[Double]]] =
@@ -230,13 +312,13 @@ object Pq {
     val centroids = Ivf.readCentroidsFrom(spark, dir)
     val codebooks = readCodebooksFrom(spark, dir)
     val probes = ivfPqProbes(queries, centroids, codebooks, nprobe, idCol, vecCol)
-    val scored = spark.read.parquet(s"$dir/codes").join(probes, "ivf_cell")
+    val scored = readCodesFrom(spark, dir).join(probes, "ivf_cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("ivf_cell"), col("query_id"), col("neighbor_id"),
         col("qvec"), adcSim(codebooks.length).as("adc_sim"))
     val shortlist = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
       Seq("adc_sim" -> true, "neighbor_id" -> false), k = rerankFactor * k)
-    val exact = spark.read.parquet(s"$dir/vectors")
+    val exact = readVectorsFrom(spark, dir)
       .join(broadcast(shortlist), Seq("ivf_cell", "neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         EngineNeutral.r4(array_dot(col("qvec"), col("cvec"))).as("sim"))

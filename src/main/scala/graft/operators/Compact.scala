@@ -14,6 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * schemas); the rewrite is one coalesce-free `repartition(n)` — a
   * round-robin shuffle that also heals skewed file sizes, where
   * `coalesce` would merely concatenate neighbors and keep hotspots.
+  * Hive-partitioned layouts (`col=value` dirs, e.g. an IVF index's
+  * cell-partitioned tables) are detected and compacted PER LEAF
+  * PARTITION: the dir structure — and therefore partition pruning —
+  * survives, each partition's output file count is sized from its own
+  * bytes (a skewed giant partition compacts to many files without
+  * gating the rest of the table), and partitions too large to ever
+  * need co-residence never meet in one shuffle.
   *
   * Two table layouts:
   *  - **In-place** ([[parquetDir]]): the plain directory every
@@ -50,6 +57,61 @@ object Compact {
     n
   }
 
+  /** The hive-style partition columns of the layout under `path`
+    * (e.g. `Seq("ivf_cell")` for a `partitionBy("ivf_cell")` table),
+    * empty for a flat directory — detected from the `col=value` dir
+    * names, one level per column, by walking the first child chain.
+    */
+  def partitionColumns(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    @annotation.tailrec
+    def walk(dir: org.apache.hadoop.fs.Path, acc: List[String]): List[String] = {
+      val partDirs = fs.listStatus(dir).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (partDirs.isEmpty) acc.reverse
+      else walk(partDirs.head.getPath,
+        partDirs.head.getPath.getName.split("=", 2)(0) :: acc)
+    }
+    walk(root, Nil)
+  }
+
+  /** The leaf partition directories of a hive-partitioned layout,
+    * `depth` levels below `path`, as (absolute path, path relative to
+    * root) — the units [[parquetDir]] compacts independently.
+    */
+  private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                depth: Int): Seq[(org.apache.hadoop.fs.Path, String)] = {
+    def go(dir: org.apache.hadoop.fs.Path, rel: String, d: Int): Seq[(org.apache.hadoop.fs.Path, String)] =
+      if (d == 0) Seq((dir, rel))
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .flatMap(s => go(s.getPath,
+          if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}", d - 1))
+    go(root, "", depth)
+  }
+
+  /** Rewrite every leaf partition of `src` into `dst`, preserving the
+    * `col=value` dir structure (and therefore partition pruning),
+    * sizing each partition's file count from its OWN bytes — one giant
+    * partition compacts to many files without gating the rest of the
+    * table behind a single global repartition.
+    */
+  private def rewritePartitioned(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 src: org.apache.hadoop.fs.Path, dst: String,
+                                 depth: Int, targetBytes: Long): Unit =
+    leafPartitionDirs(fs, src, depth).foreach { case (leaf, rel) =>
+      val bytes = dirBytes(spark, leaf.toString)
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(leaf.toString)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(s"$dst/$rel")
+    }
+
   /** Rewrite `path` into ceil(bytes / targetBytes) files. Returns
     * (filesBefore, filesAfter).
     *
@@ -83,11 +145,19 @@ object Compact {
           s"crash recovery: could not restore $old -> $target")
     }
     val before = fileCount(spark, target.toString)
-    val bytes = dirBytes(spark, target.toString)
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df: DataFrame = spark.read.parquet(target.toString)
-    val nRows = df.count()
-    df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    val nRows = spark.read.parquet(target.toString).count()
+    val partCols = partitionColumns(spark, target.toString)
+    if (partCols.isEmpty) {
+      val bytes = dirBytes(spark, target.toString)
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(target.toString)
+        .repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    } else
+      // partitioned layout: compact each `col=value` leaf on its own —
+      // the rewrite keeps the dir structure (pruning survives) and a
+      // flat repartition would have destroyed it (reading the root
+      // folds partition dirs into data columns; writing flat drops them)
+      rewritePartitioned(spark, fs, target, tmp.toString, partCols.size, targetBytes)
     val rewritten = spark.read.parquet(tmp.toString).count()
     if (rewritten != nRows) {
       fs.delete(tmp, true)
@@ -141,12 +211,18 @@ object Compact {
     val cur = Versioned.resolve(spark, path).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $path"))
     val before = fileCount(spark, cur)
-    val bytes = dirBytes(spark, cur)
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df: DataFrame = spark.read.parquet(cur)
-    val nRows = df.count()
+    val nRows = spark.read.parquet(cur).count()
+    val partCols = partitionColumns(spark, cur)
     Versioned.commitNew(spark, path) { v =>
-      df.repartition(nOut).write.mode("overwrite").parquet(v)
+      if (partCols.isEmpty) {
+        val bytes = dirBytes(spark, cur)
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        spark.read.parquet(cur).repartition(nOut).write.mode("overwrite").parquet(v)
+      } else {
+        val curP = new org.apache.hadoop.fs.Path(cur)
+        val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        rewritePartitioned(spark, fs, curP, v, partCols.size, targetBytes)
+      }
       val rewritten = spark.read.parquet(v).count()
       if (rewritten != nRows)
         // aborting here leaves an uncommitted orphan — readers never

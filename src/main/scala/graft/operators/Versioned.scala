@@ -30,6 +30,15 @@ import org.apache.spark.sql.SparkSession
 object Versioned {
   private val Marker = "_COMMITTED"
   private val Pointer = "_latest"
+  private val Lock = "_LOCK"
+
+  /** How long a `_LOCK` left by a crashed writer blocks the next one
+    * before being stolen. Mutations are maintenance-cadence (rebuild,
+    * append, compaction), so an hour of conservatism costs nothing;
+    * stealing too eagerly would let a slow-but-alive writer be
+    * overlapped — the corruption the lock exists to prevent.
+    */
+  private[operators] val LockTtlMs: Long = 60L * 60 * 1000
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,32 +79,133 @@ object Versioned {
       .map(v => new Path(root, s"_v=$v").toString)
   }
 
+  /** Best-effort writer mutual exclusion: create-exclusive `_LOCK`
+    * under the root so two mutators (a rebuild overlapping an append,
+    * two appends) fail fast instead of computing the same next version
+    * and silently mixing their files. A lock older than [[LockTtlMs]]
+    * is presumed abandoned by a crashed writer and stolen. Best-effort
+    * by design: object stores without atomic create-exclusive degrade
+    * to advisory — the layout is still single-writer BY CONTRACT, the
+    * lock just turns a contract violation into a loud error on
+    * filesystems that can.
+    */
+  private def acquireLock(f: FileSystem, root: Path): Path = {
+    val lock = new Path(root, Lock)
+    def tryCreate(): Boolean =
+      try { f.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age = try System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime
+                catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age < LockTtlMs)
+        throw new java.io.IOException(
+          s"$root is locked by another writer ($lock, ${age / 1000}s old); " +
+            "Versioned artifacts are single-writer — serialize mutations, " +
+            "or delete the stale lock if its writer is known dead")
+      f.delete(lock, false) // expired: presumed crashed writer
+      if (!tryCreate())
+        throw new java.io.IOException(s"lost race re-acquiring expired lock $lock")
+    }
+    lock
+  }
+
   /** Write a new version: `write` receives the fresh `path/_v=N` dir
     * to fill; on success the version is marked committed and the
     * pointer swaps to it. Returns the committed version dir. Old
     * versions beyond the previous one are pruned (never the one a
-    * concurrent reader just resolved).
+    * concurrent reader just resolved). Writers are serialized by the
+    * best-effort `_LOCK` (see [[acquireLock]]); readers never look at
+    * the lock.
     */
   def commitNew(spark: SparkSession, path: String)(write: String => Unit): String = {
     val root = new Path(path)
     val f = fs(spark, root)
     f.mkdirs(root)
-    val next = (pointerVersion(f, root).toSeq ++ committedVersions(f, root))
-      .maxOption.getOrElse(0) + 1
-    val vdir = new Path(root, s"_v=$next")
-    // a half-written orphan from a crashed previous attempt at this N
-    // would otherwise merge with ours
-    if (f.exists(vdir)) f.delete(vdir, true)
-    write(vdir.toString)
-    f.create(new Path(vdir, Marker), true).close()
-    val tmp = new Path(root, Pointer + ".tmp")
-    val out = f.create(tmp, true)
-    out.write(next.toString.getBytes("UTF-8"))
-    out.close()
-    f.delete(new Path(root, Pointer), false)
-    f.rename(tmp, new Path(root, Pointer))
-    prune(spark, path, keep = 2)
-    vdir.toString
+    val lock = acquireLock(f, root)
+    try {
+      val next = (pointerVersion(f, root).toSeq ++ committedVersions(f, root))
+        .maxOption.getOrElse(0) + 1
+      val vdir = new Path(root, s"_v=$next")
+      // a half-written orphan from a crashed previous attempt at this N
+      // would otherwise merge with ours
+      if (f.exists(vdir)) f.delete(vdir, true)
+      write(vdir.toString)
+      f.create(new Path(vdir, Marker), true).close()
+      val tmp = new Path(root, Pointer + ".tmp")
+      val out = f.create(tmp, true)
+      out.write(next.toString.getBytes("UTF-8"))
+      out.close()
+      f.delete(new Path(root, Pointer), false)
+      f.rename(tmp, new Path(root, Pointer))
+      prune(spark, path, keep = 2)
+      vdir.toString
+    } finally f.delete(lock, false)
+  }
+
+  /** Atomic APPEND inside a committed version: `write` fills a hidden
+    * tmp dir which is then renamed to `versionDir/delta_N` in one
+    * atomic step — readers either see the whole delta or none of it.
+    *
+    * This is the O(batch) counterpart of [[commitNew]]: a new version
+    * is the unit of atomic REPLACE (rebuild/compaction — pays a full
+    * rewrite by definition), a delta is the unit of atomic APPEND (pays
+    * only the new rows). Deltas deliberately live INSIDE the current
+    * version rather than as a new version: a delta-only version would
+    * either have to rewrite the base to stay self-contained (O(index)
+    * per append — the defect this exists to fix) or chain to its
+    * predecessor, and then [[prune]] deleting an old version would
+    * sever every later version's base. Readers resolve the version
+    * once and union base + renamed deltas; [[prune]]'s keep-2 window
+    * covers them across a compaction exactly as before.
+    *
+    * Takes the same root `_LOCK` as [[commitNew]], so an append racing
+    * a rebuild/compaction fails fast instead of landing a delta in a
+    * version about to be superseded (the compactor snapshotted the
+    * delta list before this append — its rows would vanish from the
+    * compacted version).
+    */
+  def commitDelta(spark: SparkSession, root: String, versionDir: String)
+                 (write: String => Unit): String = {
+    val rootP = new Path(root)
+    val vdir = new Path(versionDir)
+    val f = fs(spark, vdir)
+    require(f.exists(new Path(vdir, Marker)),
+      s"$versionDir is not a committed version — deltas append to committed versions only")
+    val lock = acquireLock(f, rootP)
+    try {
+      // reclaim tmp dirs abandoned by crashed appends (hidden names —
+      // never visible to readers, but they accumulate)
+      f.listStatus(vdir).foreach { s =>
+        if (s.getPath.getName.startsWith(".delta_tmp_")) f.delete(s.getPath, true)
+      }
+      val next = listDeltas(spark, versionDir)
+        .flatMap(d => new Path(d).getName.stripPrefix("delta_").toIntOption)
+        .maxOption.getOrElse(0) + 1
+      val tmp = new Path(vdir, s".delta_tmp_$next")
+      write(tmp.toString)
+      val target = new Path(vdir, s"delta_$next")
+      if (!f.rename(tmp, target))
+        throw new java.io.IOException(s"delta commit rename $tmp -> $target failed")
+      target.toString
+    } finally f.delete(lock, false)
+  }
+
+  /** The committed deltas of a version dir, in commit order. Only
+    * fully-renamed `delta_N` dirs appear — a crashed append's hidden
+    * tmp dir is invisible here and reclaimed by the next append.
+    */
+  def listDeltas(spark: SparkSession, versionDir: String): Seq[String] = {
+    val vdir = new Path(versionDir)
+    val f = fs(spark, vdir)
+    if (!f.exists(vdir)) Nil
+    else f.listStatus(vdir).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("delta_")) n.stripPrefix("delta_").toIntOption.map(i => (i, s.getPath.toString))
+        else None
+      }
+      .sortBy(_._1).map(_._2)
   }
 
   /** Delete all but the newest `keep` committed versions plus any

@@ -94,6 +94,12 @@ class IvfSpec extends AnyFunSuite {
     val cents = Ivf.trainCentroids(base, "vec_id", "embedding", k = 16)
     Ivf.writeIndex(base, dir, cents)
     Ivf.appendToIndex(batch, dir)
+    // the append landed as a delta INSIDE the version — O(batch), no
+    // base rewrite, no new version
+    val vdir = graft.operators.Versioned.resolve(spark, dir).get
+    assert(graft.operators.Versioned.listDeltas(spark, vdir).size == 1)
+    assert(new java.io.File(vdir).getName == "_v=1",
+      "append must not commit a new version (that would be a full rewrite)")
     // appended index answers exactly like one built from the union
     // with the SAME centroids (quantizer does not move on append)
     val queries = emb.filter($"vec_id" < 20)
@@ -102,14 +108,53 @@ class IvfSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double)].collect().toSet
     val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
     Ivf.writeIndex(emb, full, cents)
-    assert(pairs(Ivf.ivfTopKIndexed(spark, dir, queries, k = 10, nprobe = 4)) ==
-      pairs(Ivf.ivfTopKIndexed(spark, full, queries, k = 10, nprobe = 4)))
-    // a replayed micro-batch (at-least-once delivery) changes nothing
-    val rows = spark.read.parquet(
-      graft.operators.Versioned.resolve(spark, dir).get + "/cells").count()
+    val expected = pairs(Ivf.ivfTopKIndexed(spark, full, queries, k = 10, nprobe = 4))
+    assert(pairs(Ivf.ivfTopKIndexed(spark, dir, queries, k = 10, nprobe = 4)) == expected)
+    // a replayed micro-batch (at-least-once delivery) changes nothing:
+    // no rows added, and an all-duplicate batch commits no delta at all
+    def cellRows() = Ivf.readCellsFrom(spark,
+      graft.operators.Versioned.resolve(spark, dir).get).count()
+    val rows = cellRows()
     Ivf.appendToIndex(batch, dir)
-    val rows2 = spark.read.parquet(
-      graft.operators.Versioned.resolve(spark, dir).get + "/cells").count()
-    assert(rows == rows2 && rows == 2000)
+    assert(cellRows() == rows && rows == 2000)
+    assert(graft.operators.Versioned.listDeltas(spark,
+      graft.operators.Versioned.resolve(spark, dir).get).size == 1)
+    // compaction folds the delta into a single-base NEW version and
+    // answers stay identical
+    Ivf.compactIndex(spark, dir)
+    val cdir = graft.operators.Versioned.resolve(spark, dir).get
+    assert(graft.operators.Versioned.listDeltas(spark, cdir).isEmpty)
+    assert(cellRows() == 2000)
+    assert(pairs(Ivf.ivfTopKIndexed(spark, dir, queries, k = 10, nprobe = 4)) == expected)
+  }
+
+  test("append shuffle volume is batch-proportional, independent of index size") {
+    // the O(batch) claim as a failing test: the same 100-row batch
+    // appended to a 4×-bigger index must not shuffle 4× the bytes —
+    // the index side of the dedup join is a column-pruned scan that
+    // never enters an exchange. The old unionByName+dropDuplicates
+    // implementation rewrote (and shuffled) the whole cells table and
+    // fails this by construction.
+    val emb = AnnTestData.clustered(spark)
+    val batch = emb.filter($"vec_id" >= 1900) // 100 rows
+    def appendShuffle(baseN: Int): Long = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ivf_sh$baseN").toString
+      val base = emb.filter($"vec_id" < baseN)
+      val cents = Ivf.trainCentroids(base, "vec_id", "embedding", k = 16)
+      Ivf.writeIndex(base, dir, cents)
+      val l = new graft.Bench.TaskTotals
+      spark.sparkContext.addSparkListener(l)
+      try Ivf.appendToIndex(batch, dir)
+      finally {
+        org.apache.spark.sql.graftbridge.Bridge.drainListeners(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      l.shuffleWrite.get
+    }
+    val small = appendShuffle(400)
+    val large = appendShuffle(1600)
+    assert(large <= small * 2 + 64 * 1024,
+      s"append to 4x index shuffled $large B vs $small B on the small one: " +
+        "append cost is tracking index size, not batch size")
   }
 }

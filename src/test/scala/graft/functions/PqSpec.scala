@@ -120,6 +120,48 @@ class PqSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("appendToIndex lands codes+vectors as one delta; replay no-ops; compaction folds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+    val emb = AnnTestData.clustered(spark)
+    val base = emb.filter($"vec_id" < 1500)
+    val batch = emb.filter($"vec_id" >= 1500)
+    val queries = emb.filter($"vec_id" < 20)
+    val cents = Ivf.trainCentroids(base, "vec_id", "embedding", k = 16)
+    val cbs = Pq.trainCodebooks(base, "vec_id", "embedding", m = 8, ksub = 64)
+    Pq.writeIndex(base, dir, cents, cbs)
+    Pq.appendToIndex(batch, dir)
+    // one atomically-renamed delta holding BOTH tables (codes without
+    // rerank vectors would silently drop shortlist rows at the rerank
+    // join — the pair must commit together)
+    val vdir = graft.operators.Versioned.resolve(spark, dir).get
+    val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
+    assert(deltas.size == 1)
+    val deltaLocal = new org.apache.hadoop.fs.Path(deltas.head).toUri.getPath
+    assert(new java.io.File(s"$deltaLocal/codes").exists())
+    assert(new java.io.File(s"$deltaLocal/vectors").exists())
+    // appended index ≡ full build with the same centroids/codebooks
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val full = java.nio.file.Files.createTempDirectory("graft_pq_full").toString
+    Pq.writeIndex(emb, full, cents, cbs)
+    val expected = rows(Pq.ivfPqTopKIndexed(spark, full, queries, k = 10,
+      nprobe = 4, rerankFactor = 8))
+    assert(rows(Pq.ivfPqTopKIndexed(spark, dir, queries, k = 10,
+      nprobe = 4, rerankFactor = 8)) == expected)
+    // at-least-once replay: nothing added, no second delta
+    Pq.appendToIndex(batch, dir)
+    assert(graft.operators.Versioned.listDeltas(spark,
+      graft.operators.Versioned.resolve(spark, dir).get).size == 1)
+    // compaction: fresh single-base version, answers unchanged
+    Pq.compactIndex(spark, dir)
+    val cdir = graft.operators.Versioned.resolve(spark, dir).get
+    assert(graft.operators.Versioned.listDeltas(spark, cdir).isEmpty)
+    assert(spark.read.parquet(s"$cdir/codes").count() == 2000)
+    assert(rows(Pq.ivfPqTopKIndexed(spark, dir, queries, k = 10,
+      nprobe = 4, rerankFactor = 8)) == expected)
+  }
+
   test("a second writeIndex commits a new version; readers never see a partial") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_v").toString
     val emb = AnnTestData.clustered(spark, n = 300)

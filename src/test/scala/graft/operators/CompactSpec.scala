@@ -52,6 +52,48 @@ class CompactSpec extends AnyFunSuite {
     assert(new java.io.File(dir + "/_v=1").exists())
   }
 
+  test("partitioned layout: compaction preserves col=value dirs and pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p").toString + "/t"
+    val rows = (0 until 2000).map(j => (j.toLong, s"row$j", j % 8))
+    // many small files per partition — the layout an ingest loop leaves
+    rows.toDF("id", "s", "cell").repartition(25)
+      .write.partitionBy("cell").parquet(dir)
+    assert(Compact.partitionColumns(spark, dir) == Seq("cell"))
+    val (b, a) = Compact.parquetDir(spark, dir, targetBytes = Long.MaxValue)
+    assert(a == 8, s"expected one file per partition, got $b -> $a")
+    // the col=value dirs survived (a flat rewrite would fold `cell`
+    // into the data files and kill scan-time pruning)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cell=")))
+    val back = spark.read.parquet(dir)
+    assert(back.select("id", "s", "cell").as[(Long, String, Int)].collect().toSet
+      == rows.toSet)
+    // pruning still prunes: the scan carries a partition filter
+    val scan = back.filter($"cell" === 3).queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+    assert(back.filter($"cell" === 3).count() == 250)
+  }
+
+  test("a second writer fails fast on _LOCK; an expired lock is stolen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString + "/t"
+    val df = (0 until 10).map(j => (j.toLong, s"r$j")).toDF("id", "s")
+    Compact.writeVersioned(df, dir)
+    // a live writer's lock: the next mutation must fail fast, not
+    // compute the same next version and mix files with it
+    val lock = new java.io.File(s"$dir/_LOCK")
+    assert(lock.createNewFile())
+    val e = intercept[java.io.IOException] { Compact.writeVersioned(df, dir) }
+    assert(e.getMessage.contains("locked"))
+    // readers never look at the lock
+    assert(Compact.read(spark, dir).count() == 10)
+    // a lock past the TTL is presumed abandoned by a crashed writer
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - Versioned.LockTtlMs - 60000))
+    Compact.writeVersioned(df, dir)
+    assert(Versioned.resolve(spark, dir).get.endsWith("_v=2"))
+    // the steal cleaned up after itself
+    assert(!lock.exists())
+  }
+
   test("concurrent readers never observe a missing file across repeated compactions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_cc").toString + "/t"
     val rows = (0 until 2000).map(j => (j.toLong, s"row$j"))

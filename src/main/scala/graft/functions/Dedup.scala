@@ -138,7 +138,7 @@ object Dedup {
     // id-only pairs in buckets (a pair found in several bands would
     // otherwise materialize its two 64-long signatures once per band);
     // signatures join back once per distinct pair
-    pairsFromBucketsIds(banded, maxBucket)
+    pairsFromBucketsIds(banded, maxBucket, "lsh_drops_minhash")
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -153,12 +153,41 @@ object Dedup {
     * (codegen'd join vs interpreted array copies inside the HOF —
     * much cheaper when payloads are wide, and a pair found in several
     * bands is materialized once, not once per band).
+    *
+    * The `maxBucket` cap is the standard quadratic-blowup guard, but a
+    * silent cap hides recall loss — a mis-sized `planes`/`bands`
+    * parameterization would just quietly miss duplicates. So the drop
+    * is OBSERVED: metrics named `observeName` ride the same job
+    * (`Dataset.observe` — accumulator-backed, no second scan) and
+    * surface `dropped_buckets` / `dropped_ids` / `candidate_buckets`
+    * (all multi-member buckets, dropped included) in
+    * `df.queryExecution.observedMetrics` (batch) or per micro-batch
+    * progress (streams). Nonzero `dropped_ids` is the signal to
+    * re-size the banding, cf. the planes-sizing formula on
+    * [[graft.functions.Similarity.embeddingNearDupsAxis]].
+    *
+    * Known Spark quirk (pinned in DedupSpec): if EVERY bucket is
+    * dropped, AQE's empty-relation propagation replaces the downstream
+    * subtree with `EmptyRelation` in the final adaptive plan, and
+    * `observedMetrics` — which walks that final plan — comes back
+    * empty even though the stage ran and paid for the metric. The
+    * degenerate all-dropped case is thus only observable with AQE off
+    * (or from the candidate count being 0, which IS loud); the
+    * partial-drop case every mis-sized production run hits reports
+    * fine under AQE.
     */
-  private[functions] def pairsFromBucketsIds(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private[functions] def pairsFromBucketsIds(banded: DataFrame, maxBucket: Int,
+                                             observeName: String): DataFrame = {
     val buckets = banded
       .groupBy("band", "bkey")
       .agg(collect_list(col("id")).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
+      .filter(size(col("ms")) >= 2)
+      .observe(observeName,
+        sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(size(col("ms")) > maxBucket, size(col("ms")).cast("long"))
+          .otherwise(0L)).as("dropped_ids"),
+        count(lit(1)).as("candidate_buckets"))
+      .filter(size(col("ms")) <= maxBucket)
     buckets
       .select(explode(flatten(transform(col("ms"), a =>
         transform(filter(col("ms"), b => b > a),

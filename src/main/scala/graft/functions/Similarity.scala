@@ -154,7 +154,7 @@ object Similarity {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     // id-only pairs inside capped buckets, then codegen'd joins pull
     // the (wide) vectors back in for the exact-cosine verify
-    Dedup.pairsFromBucketsIds(banded, maxBucket)
+    Dedup.pairsFromBucketsIds(banded, maxBucket, "lsh_drops_embedding")
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -190,7 +190,7 @@ object Similarity {
     val banded = vecs
       .select(col("id"), posexplode(array(bandKey(0, half), bandKey(half, planes))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    Dedup.pairsFromBucketsIds(banded, maxBucket)
+    Dedup.pairsFromBucketsIds(banded, maxBucket, "lsh_drops_embedding_axis")
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),

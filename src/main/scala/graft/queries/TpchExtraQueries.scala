@@ -107,17 +107,31 @@ object TpchExtraQueries {
     // 90. Q15 top supplier: revenue per supplier in a quarter, keep
     //     the max — the scalar-subquery self-comparison runs on the
     //     already-aggregated (100-row) table, broadcast both ways.
+    //     The max is derived from the SAME frame and compared on the
+    //     UNROUNDED sum: a rounded equi-join can flip which supplier
+    //     matches when a sum lands within an ulp of a half-cent
+    //     boundary (order-dependent summation), and recomputing rev on
+    //     both branches would double the lineitem scan unless
+    //     exchange-reuse luck holds (PlanShapeSpec pins the reuse).
+    //     Rounding happens once, on output.
     "q_tpch_q15" -> ((s, d) => {
+      // the explicit isNotNull mirrors what the join branch would have
+      // inferred anyway — WITHOUT it the two rev consumers canonicalize
+      // differently (only the join side gets the inferred null filter)
+      // and the lineitem scan + suppkey shuffle run twice instead of
+      // the exchange being reused
       val rev = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        .filter(col("l_suppkey").isNotNull &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(round(sum(volume), 2).as("total_revenue"))
-      val mx = rev.agg(max("total_revenue").as("mx"))
+        .agg(sum(volume).as("rev_raw"))
+      val mx = rev.agg(max("rev_raw").as("mx"))
       Tables.supplier(s, d)
         .join(rev, col("s_suppkey") === col("supplier_no"))
-        .join(broadcast(mx), col("total_revenue") === col("mx"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .join(broadcast(mx), col("rev_raw") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_raw"), 2).as("total_revenue"))
         .orderBy("s_suppkey")
     }),
 
@@ -233,14 +247,14 @@ object TpchExtraQueries {
     "q_tpch_q15" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |    sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_revenue
+        |SELECT s_suppkey, s_name, round(rev_raw, 2) AS total_revenue
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |WHERE rev_raw = (SELECT max(rev_raw) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
     "q_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait FROM (

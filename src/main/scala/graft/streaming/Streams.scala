@@ -234,18 +234,70 @@ object Streams {
     * cell-partitioned index), and [[graft.operators.Versioned]] lets
     * an index rebuild land mid-stream without breaking in-flight
     * batches.
+    *
+    * Exactly-once to the sink: a blind `append` would duplicate a
+    * batch replayed after a crash between write and checkpoint commit
+    * (foreachBatch is at-least-once). Each batch instead OVERWRITES
+    * its own `batch_id=N` partition (dynamic partition overwrite), so
+    * a replay rewrites the same rows in place. The batch id rides
+    * along as a provenance column; readers who don't want it drop it.
     */
   def annScoreIngest(stream: DataFrame, indexPath: String, outPath: String,
                      checkpoint: String, k: Int = 10,
                      nprobe: Int = 4): StreamingQuery = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.functions.Ivf
             .ivfTopKIndexed(batch.sparkSession, indexPath, batch,
               k = k, nprobe = nprobe)
-            .write.mode("append").parquet(outPath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** The full streaming corpus-curation loop over a persisted ANN
+    * index: every micro-batch is (1) DEDUPED against the index —
+    * id-level, deterministic first-delivery-wins, the anti-join inside
+    * [[graft.functions.Ivf.appendToIndex]]; (2) APPENDED — survivors
+    * land as an O(batch) delta inside the current index version; and
+    * (3) SCORED — the batch's top-k neighbors against the just-grown
+    * index go to `outPath`, overwriting their own `batch_id=N`
+    * partition (same exactly-once shape as [[annScoreIngest]]).
+    *
+    * Crash/replay semantics: a replayed batch appends nothing (its ids
+    * are already indexed — self-healing at-least-once) and rescores
+    * against whatever the index holds by then, which may include later
+    * batches — scores are at-least-as-current as the original attempt,
+    * never lost. The index stays single-writer ([[graft.operators
+    * .Versioned]] `_LOCK`): one ingest stream per index, and pause it
+    * around [[graft.functions.Ivf.compactIndex]] maintenance.
+    */
+  def indexGrowIngest(stream: DataFrame, indexPath: String, outPath: String,
+                      checkpoint: String, k: Int = 10, nprobe: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.Ivf.appendToIndex(batch, indexPath, idCol, vecCol)
+          graft.functions.Ivf
+            .ivfTopKIndexed(batch.sparkSession, indexPath, batch,
+              k = k, nprobe = nprobe, idCol = idCol, vecCol = vecCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
         }
       }
       .start()

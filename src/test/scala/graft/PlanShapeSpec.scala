@@ -59,6 +59,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_tpch_q7's nation filter no longer pushes into the scans:\n$q7")
   }
 
+  test("q_tpch_q15 reuses the rev aggregate: lineitem scanned once, not per consumer") {
+    // rev feeds both the supplier join and its own max — if the two
+    // consumers stop canonicalizing identically (e.g. an inferred
+    // isnotnull lands on only one branch again) AQE re-runs the scan
+    // + suppkey shuffle per consumer. Execute and check the FINAL
+    // adaptive plan: one lineitem FileScan, with a reuse marker.
+    val df = SparkEntry.queries("q_tpch_q15")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet \\[l_".r.findAllIn(finalPlan).size
+    assert(scans == 1,
+      s"q_tpch_q15 scans lineitem $scans times in the final plan — exchange reuse lost:\n$finalPlan")
+    assert(finalPlan.contains("ReusedQueryStage") || finalPlan.contains("ReusedExchange"),
+      "q_tpch_q15's rev exchange is no longer reused")
+  }
+
   test("wave-5 LLM ops: sampling filters in the scan stage, LM probs broadcast") {
     // q_sample_weighted is a pure scan-stage filter — no exchange at all
     val ps = plan("q_sample_weighted")

@@ -87,4 +87,57 @@ class DedupSpec extends AnyFunSuite {
     val uncapped = Dedup.minhashCandidates(boiler, "doc_id", "text", maxBucket = 100)
     assert(uncapped.count() == 20L * 19L / 2)
   }
+
+  test("oversized-bucket drops are observed, not silent") {
+    // the no-silent-caps rule as a test: a deliberately undersized cap
+    // must SHOW UP as a nonzero dropped-bucket/dropped-id metric riding
+    // the same job, so a mis-sized banding is a number on a dashboard
+    // instead of quietly missing duplicates
+    val boiler = (1L to 25L).map(i =>
+      (i, if (i <= 20) "same boilerplate text repeated everywhere ok"
+          else s"unique document number $i with its own words entirely"))
+      .toDF("doc_id", "text")
+    // cap of 5 drops the 20-doc boilerplate bucket in every band but
+    // keeps the query non-degenerate (pair (21..25 near-dups absent —
+    // the point is the DROP metric, not the pairs)
+    val capped = Dedup.minhashCandidates(boiler, "doc_id", "text", maxBucket = 5)
+    // collect() (not count()) — metrics live on THIS Dataset's
+    // QueryExecution; count() would execute a derived one
+    capped.collect()
+    val m = capped.queryExecution.observedMetrics("lsh_drops_minhash")
+    // 16 bands × one all-boilerplate bucket each, 20 ids per bucket
+    assert(m.getAs[Long]("dropped_buckets") == 16L)
+    assert(m.getAs[Long]("dropped_ids") == 16L * 20)
+    // a well-sized cap reports zero drops on the same data
+    val ok = Dedup.minhashCandidates(boiler, "doc_id", "text", maxBucket = 100)
+    ok.collect()
+    val m2 = ok.queryExecution.observedMetrics("lsh_drops_minhash")
+    assert(m2.getAs[Long]("dropped_buckets") == 0L)
+    assert(m2.getAs[Long]("dropped_ids") == 0L)
+  }
+
+  test("all-buckets-dropped degenerate case is observable with AQE off (Spark quirk)") {
+    // when EVERY bucket is dropped AQE propagates the empty relation
+    // over the CollectMetrics node, so the final adaptive plan no
+    // longer carries it and observedMetrics comes back empty — the
+    // accumulator ran, the collection path lost it. Pin the quirk (and
+    // that the metric is correct with AQE off) so a Spark upgrade that
+    // fixes collection shows up as this test failing.
+    val boiler = (1L to 20L).map(i => (i, "same boilerplate text repeated everywhere ok"))
+      .toDF("doc_id", "text")
+    val aqeCase = Dedup.minhashCandidates(boiler, "doc_id", "text", maxBucket = 5)
+    assert(aqeCase.collect().isEmpty)
+    assert(!aqeCase.queryExecution.observedMetrics.contains("lsh_drops_minhash"),
+      "AQE now preserves CollectMetrics under empty-relation propagation — " +
+        "drop the AQE-off workaround in this test and celebrate")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val capped = Dedup.minhashCandidates(boiler, "doc_id", "text", maxBucket = 5)
+      assert(capped.collect().isEmpty)
+      val m = capped.queryExecution.observedMetrics("lsh_drops_minhash")
+      assert(m.getAs[Long]("dropped_buckets") == 16L)
+      assert(m.getAs[Long]("dropped_ids") == 16L * 20)
+      assert(m.getAs[Long]("candidate_buckets") == 16L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -406,4 +406,51 @@ class StreamingSpec extends AnyFunSuite {
         s"streamed scoring diverged: ${streamed.size} vs ${batch.size} rows")
     } finally q.stop()
   }
+
+  test("indexGrowIngest: dedup → append → score across micro-batches with a replay") {
+    // the full streaming curation loop: the index grows by three
+    // micro-batches (one of them RE-DELIVERED, at-least-once style)
+    // and must end up identical to a batch-built index over the same
+    // corpus with the same quantizer
+    val dir = java.nio.file.Files.createTempDirectory("graft_grow").toString
+    val emb = graft.functions.AnnTestData.clustered(spark, n = 1200)
+    val base = emb.filter(col("vec_id") < 600)
+    val cents = graft.functions.Ivf.trainCentroids(base, "vec_id", "embedding", k = 16)
+    graft.functions.Ivf.writeIndex(base, s"$dir/index", cents)
+    val rows = emb.filter(col("vec_id") >= 600)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (b1, rest) = rows.splitAt(200)
+    val (b2, b3) = rest.splitAt(200)
+    val ch = Streams.Channel[(Long, Array[Float])](spark)
+    ch.send(b1: _*)
+    val q = Streams.indexGrowIngest(
+      ch.toDS.toDF("vec_id", "embedding"), s"$dir/index", s"$dir/out",
+      s"$dir/ckpt", k = 5, nprobe = 4)
+    try {
+      ch.send(b2: _*); q.processAllAvailable()
+      ch.send(b2: _*) // crash/replay stand-in: the same rows delivered again
+      q.processAllAvailable()
+      ch.send(b3: _*); q.processAllAvailable()
+      // the replayed delivery appended nothing: 600 base + 600 streamed
+      val vdir = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+      val cellRows = spark.read.parquet(s"$vdir/cells").count() +
+        graft.operators.Versioned.listDeltas(spark, vdir)
+          .map(d => spark.read.parquet(s"$d/cells").count()).sum
+      assert(cellRows == 1200)
+      // grown index ≡ batch-built index over the same corpus+quantizer
+      val queries = emb.filter(col("vec_id") < 8)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val full = java.nio.file.Files.createTempDirectory("graft_grow_full").toString
+      graft.functions.Ivf.writeIndex(emb, full, cents)
+      assert(pairs(graft.functions.Ivf.ivfTopKIndexed(
+        spark, s"$dir/index", queries, k = 5, nprobe = 4)) ==
+        pairs(graft.functions.Ivf.ivfTopKIndexed(spark, full, queries, k = 5, nprobe = 4)))
+      // every streamed row got scored (3 logical batches, k each)
+      val scored = spark.read.parquet(s"$dir/out")
+        .select("query_id").distinct().count()
+      assert(scored == 600)
+    } finally q.stop()
+  }
 }

@@ -225,30 +225,23 @@ object BenchFormat {
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"shuffle_mb":$shuf,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
   }
 
-  /** Compact keys: drop the uniform `q_` prefix and truncate to 9
-    * chars (111 queries outgrew the window at full width; the
-    * truncation is a documented, deterministic rule and
-    * BENCH_DETAIL.json keeps full names). Truncation collisions are
-    * disambiguated with a `~N` suffix so the JSON object never carries
-    * duplicate keys — parsers silently drop duplicates.
+  /** Compact keys: the SHORTEST prefix (≥5 chars after stripping the
+    * uniform `q_`) unique within the current inventory — 111 queries
+    * outgrew the window at full names, and fixed 9-char truncation
+    * outgrew it again at 115 (the +15-headroom gate tripped). Unique
+    * by construction: a name that is a strict prefix of another emits
+    * in full while the longer one extends one char past it, so the
+    * JSON object can never carry duplicate keys. Keys are
+    * inventory-DEPENDENT (adding q_ann_bx next round lengthens
+    * q_ann_b's key) — cross-round per-query comparison belongs on
+    * BENCH_DETAIL.json, which keeps full names.
     */
   def compactKeys(names: Seq[String]): Seq[String] = {
-    val cut = names.map(_.stripPrefix("q_").take(9))
-    val dup = cut.groupBy(identity).filter(_._2.length > 1).keySet
-    // uniqueness is checked against the EMITTED keys, not the 9-char
-    // cuts: two distinct collision groups sharing a 7-char prefix
-    // would otherwise re-emit each other's ~N keys
-    val used = scala.collection.mutable.Set[String](
-      cut.filterNot(dup): _*)
-    cut.map { k =>
-      if (!dup(k)) k
-      else {
-        var i = 1
-        while (used(k.take(7) + "~" + i)) i += 1
-        val out = k.take(7) + "~" + i
-        used += out
-        out
-      }
+    val stripped = names.map(_.stripPrefix("q_"))
+    stripped.map { n =>
+      (5 to n.length).map(n.take)
+        .find(p => stripped.count(_.startsWith(p)) == 1)
+        .getOrElse(n)
     }
   }
 

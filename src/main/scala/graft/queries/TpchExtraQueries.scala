@@ -4,14 +4,17 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Fifth-wave TPC-H shapes (Q2/Q7/Q8/Q9/Q13/Q15/Q21-like). The
-  * driver's star schema has no partsupp table and no
-  * shipmode/commitdate/receiptdate lineitem columns, so the four
-  * queries that need them are adapted to the available columns — the
-  * PLAN SHAPES (correlated min-subquery join, two-nation OR join,
-  * CASE-ratio aggregation, outer-join count distribution, max-of-agg
-  * self-comparison, exists/not-exists self-joins) are the point, not
-  * the exact TPC-H business question.
+/** TPC-H plan shapes beyond the first waves
+  * (Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q20/Q21-like) — with these, 22 of
+  * the 22 TPC-H plan shapes are gated across the suite. The driver's
+  * star schema has no partsupp table and no shipmode/commitdate/
+  * receiptdate lineitem columns, so queries that need them are
+  * adapted to the available columns — the PLAN SHAPES (correlated
+  * min-subquery join, pure scan-range aggregate, two-nation OR join,
+  * CASE-ratio aggregation, group-agg vs global-scalar HAVING,
+  * two-arm conditional count, outer-join count distribution,
+  * max-of-agg self-comparison, nested semi chain, exists/not-exists
+  * self-joins) are the point, not the exact TPC-H business question.
   *
   * Scale notes: every dim table (nation/region/part/supplier/
   * customer at TPC-H card ratios) broadcasts; the only data-sized
@@ -156,6 +159,87 @@ object TpchExtraQueries {
         .limit(20)
     }),
 
+    // 95. Q6 forecasting-revenue: the PURE SCAN-RANGE AGGREGATE — no
+    //     join, no grouping; the whole query is predicate pushdown +
+    //     a one-row map-side-combined sum. The pushdown smoke test:
+    //     every filter must reach the parquet scan (PlanShapeSpec
+    //     asserts PushedFilters) and shuffle is one partial-agg row
+    //     per partition.
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
+    // 96. Q11 important-stock shape: group-aggregate vs a GLOBAL
+    //     scalar in the HAVING — parts whose stock value (price ×
+    //     quantity over one region's suppliers, standing in for the
+    //     missing partsupp) exceeds 1.5× the mean part value. The
+    //     threshold derives from the SAME aggregated frame (exchange
+    //     reuse, not a second lineitem scan — same trick as q15) and
+    //     is mean-relative so the shape is scale-invariant where
+    //     TPC-H's literal 0.0001/SF fraction is not.
+    "q_tpch_q11" -> ((s, d) => {
+      val byPart = Tables.lineitem(s, d)
+        .filter(col("l_partkey").isNotNull)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice") * col("l_quantity")).as("value_raw"))
+      val thr = byPart.agg(
+        (sum("value_raw") / count(lit(1)) * 1.5).as("thr"))
+      byPart.crossJoin(broadcast(thr))
+        .filter(col("value_raw") > col("thr"))
+        .select(col("l_partkey"), round(col("value_raw"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // 97. Q12 shipping-priority shape: the TWO-ARM CONDITIONAL COUNT —
+    //     late lines (shipped after the order date, standing in for
+    //     the missing commit/receipt dates) per linestatus (standing
+    //     in for shipmode), split into high- vs low-priority orders in
+    //     one pass with sum(CASE). One fact-fact equi-join on
+    //     orderkey, map-side-combined counts.
+    "q_tpch_q12" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // 98. Q20 potential-promotion shape: the NESTED SEMI CHAIN —
+    //     suppliers (in one region) who shipped > 30 units of some
+    //     red-named part: part-name filter as an inner broadcast
+    //     semi-join, a (suppkey, partkey) HAVING aggregate, then the
+    //     supplier-level semi-join. No fact rows survive past the
+    //     aggregate; both semi joins carry keys only.
+    "q_tpch_q20" -> ((s, d) => {
+      val shippers = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum("l_quantity").as("qty"))
+        .filter(col("qty") > 30)
+      Tables.supplier(s, d)
+        .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
+
     // 92. Q2 min-cost-supplier shape: per (part, supplier) unit cost
     //     from lineitem (no partsupp table), then the correlated
     //     "= (SELECT min ...)" realized as an equi-join against the
@@ -269,6 +353,48 @@ object TpchExtraQueries {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > l1.l_shipdate))
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH byPart AS (
+        |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value_raw
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, round(value_raw, 2) AS value
+        |FROM byPart
+        |WHERE value_raw > (SELECT 1.5 * sum(value_raw) / count(*) FROM byPart)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 30)
+        |ORDER BY s_name""".stripMargin,
     "q_tpch_q2" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost

@@ -71,28 +71,31 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("\"queries\":{}"))
   }
 
-  test("current inventory has collision-free 9-char compact keys") {
+  test("current inventory emits collision-free unique-prefix compact keys") {
     val keys = BenchFormat.compactKeys(SparkEntry.queries.keys.toSeq.sorted)
     assert(keys.distinct.size == keys.size)
-    assert(!keys.exists(_.contains("~")),
-      "a real query name collides at 9 chars — rename it rather than " +
-        "shipping a ~N disambiguated artifact key")
+    // bounded on both sides: ≥5 chars (or the full stripped name when
+    // shorter), and never longer than the name itself
+    SparkEntry.queries.keys.toSeq.sorted.zip(keys).foreach { case (n, k) =>
+      val s = n.stripPrefix("q_")
+      assert(s.startsWith(k), s"$k is not a prefix of $s")
+      assert(k.length >= math.min(5, s.length))
+    }
   }
 
-  test("truncation collisions disambiguate instead of emitting duplicate JSON keys") {
+  test("unique-prefix keys extend past shared prefixes instead of colliding") {
     val keys = BenchFormat.compactKeys(
       Seq("q_same_prefix_aa", "q_same_prefix_bb", "q_other"))
-    assert(keys.distinct.size == 3)
-    assert(keys.count(_.contains("~")) == 2)
-    assert(keys.contains("other"))
+    assert(keys == Seq("same_prefix_a", "same_prefix_b", "other"))
   }
 
-  test("two collision groups sharing a 7-char prefix still emit unique keys") {
-    // cuts 'abcdefgX1' and 'abcdefgX2' are distinct collision groups,
-    // but both would emit 'abcdefg~N' if counters were keyed by cut
-    val keys = BenchFormat.compactKeys(Seq(
-      "q_abcdefgX1a", "q_abcdefgX1b", "q_abcdefgX2a", "q_abcdefgX2b"))
-    assert(keys.distinct.size == 4, s"duplicate emitted keys: $keys")
+  test("a name that is a strict prefix of another emits in full, uniquely") {
+    // 'distinct' can never be unique-prefixed against 'distinct_count';
+    // it must fall back to the full name while the longer one extends
+    // one char past it
+    val keys = BenchFormat.compactKeys(Seq("q_distinct", "q_distinct_count"))
+    assert(keys == Seq("distinct", "distinct_"))
+    assert(keys.distinct.size == 2)
   }
 
   test("sfJson only emits valid JSON numbers, escaping everything else") {

@@ -59,6 +59,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_tpch_q7's nation filter no longer pushes into the scans:\n$q7")
   }
 
+  test("wave-6 TPC-H shapes: q6 pure pushdown scan, q11/q20 broadcast + semi chains") {
+    // Q6 is THE pushdown smoke test: no join, every filter reaches the
+    // parquet scan, aggregation is partial→final
+    val q6 = SparkEntry.queries("q_tpch_q6")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q_tpch_q6's filters no longer push into the scan:\n$q6")
+    // the PushedFilters list truncates in toString, so assert the
+    // range predicates via the Filter node (same DataFilters set)
+    assert("l_shipdate#\\d+ >= 1995-01-01".r.findFirstIn(q6).isDefined &&
+      "l_quantity#\\d+ < 24".r.findFirstIn(q6).isDefined,
+      s"q_tpch_q6 lost a range filter:\n$q6")
+    assert(q6.contains("partial_sum"), "q_tpch_q6 lost map-side combine")
+    val q11 = plan("q_tpch_q11")
+    assert(q11.contains("BroadcastHashJoin"), s"q_tpch_q11 lost its broadcasts:\n$q11")
+    val q12 = plan("q_tpch_q12")
+    assert(q12.contains("partial_sum"), "q_tpch_q12 lost map-side combine")
+    val q20 = plan("q_tpch_q20")
+    assert("LeftSemi".r.findAllIn(q20).size >= 2,
+      s"q_tpch_q20 lost its nested semi-join chain:\n$q20")
+    assert(!q20.contains("CartesianProduct"))
+  }
+
   test("q_tpch_q15 reuses the rev aggregate: lineitem scanned once, not per consumer") {
     // rev feeds both the supplier join and its own max — if the two
     // consumers stop canonicalizing identically (e.g. an inferred

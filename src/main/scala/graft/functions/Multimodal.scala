@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video payloads as opaque
   * `binary` columns with typed metadata travelling beside them.
   *
-  * The Spark-side plumbing here is real and tested — schema, batch
-  * shape (one decoder init per partition, rows streamed through it),
+  * The Spark-side plumbing is real and tested — schema, batch shape
+  * (one decoder init per partition, rows streamed through it),
   * partitioning, column pruning (metadata queries never touch
-  * payload bytes thanks to parquet column projection). The decode
-  * itself is a clearly-marked deterministic STUB because no media
-  * codecs ship in this container; swap `decodeOne` for a real codec
-  * and nothing else changes.
+  * payload bytes thanks to parquet column projection). IMAGE header
+  * decode is REAL: PNG IHDR and JPEG SOFn frame headers are parsed
+  * byte-wise in pure JVM (no codec needed for dimensions — see
+  * [[parseImageHeader]]), exercised end-to-end through the
+  * q_multimodal_meta oracle on genuinely-wrapped PNG/JPEG payloads.
+  * Audio/video decode and pixel-level ops remain clearly-marked
+  * deterministic STUBS (no media codecs ship in this container);
+  * swap the stub bodies for a real codec and nothing else changes.
   */
 object Multimodal {
 
@@ -23,33 +27,143 @@ object Multimodal {
   final case class DecodedMeta(doc_id: Long, media_type: String,
                                payload_bytes: Long, width: Int, height: Int, n_frames: Int)
 
-  /** Build a media table from any source column; payload bytes are the
-    * UTF-8 encoding here (stand-in for real image/audio blobs).
+  /** Build a media table from any source column. Image rows
+    * (doc_id % 3 == 0) are wrapped in a REAL container: a valid PNG
+    * (signature + CRC-correct IHDR/tEXt/IEND chunks) for even halves,
+    * a JPEG marker stream (SOI + SOF0 + EOI) for the rest — with
+    * dimensions derived deterministically from the content length, so
+    * the SQL oracle can predict what [[parseImageHeader]] must read
+    * back. Audio/video rows carry the raw UTF-8 bytes (stand-ins for
+    * real blobs).
     */
   def attachPayload(df: DataFrame, idCol: String, contentCol: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(
-        col(idCol).cast("long").as("doc_id"),
-        when(col(idCol) % 3 === 0, "image")
-          .when(col(idCol) % 3 === 1, "audio")
-          .otherwise("video").as("media_type"),
-        col(contentCol).cast("binary").as("payload"))
-      .as[MediaRecord]
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(contentCol).cast("string").as("content"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, content) =>
+        val raw = content.getBytes("UTF-8")
+        val n = raw.length
+        id % 3 match {
+          case 0 =>
+            val w = 1 + n % 509
+            val h = 1 + n % 389
+            val bytes = if (id % 6 == 0) pngWrap(raw, w, h) else jpegWrap(raw, w, h)
+            MediaRecord(id, "image", bytes)
+          case 1 => MediaRecord(id, "audio", raw)
+          case _ => MediaRecord(id, "video", raw)
+        }
+      })
   }
 
-  // ======================== DECODE STUB ========================
-  // Deterministic fake decode: derives "dimensions" from payload
-  // length. A real implementation would parse the container format
-  // here (JPEG/FLAC/MP4); the function signature, batching, and
-  // schema would not change.
-  private def decodeOne(r: MediaRecord): DecodedMeta = {
-    val n = r.payload.length.toLong
-    DecodedMeta(r.doc_id, r.media_type, n,
-      width = (64L + n % 577L).toInt,
-      height = (64L + n % 433L).toInt,
-      n_frames = (1L + n % 30L).toInt)
+  /** Pure-JVM image header parse — the REAL decode step for the one
+    * modality whose dimensions need no codec: returns
+    * (format, width, height) for PNG and JPEG payloads, None
+    * otherwise.
+    *
+    *  - PNG (W3C PNG spec §5.2, §11.2.1): 8-byte signature, then the
+    *    first chunk must be IHDR — width/height are the first two
+    *    big-endian u32 of its data.
+    *  - JPEG (ISO/IEC 10918-1 §B.1-B.2): SOI, then a marker scan
+    *    skipping segments by their big-endian length until a frame
+    *    header SOFn (0xC0-0xCF minus DHT/JPG/DAC = C4/C8/CC), which
+    *    carries precision(1), height(2), width(2). Handles fill
+    *    bytes and standalone markers; bails at SOS/EOI (a frame
+    *    header always precedes the scan data).
+    */
+  private[functions] def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (b.length >= 24 && (0 until 8).forall(i => u8(i) == pngSig(i))) {
+      if (u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+        Some(("png", be32(16), be32(20)))
+      else None
+    } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(i) != 0xFF) return None // marker desync: not a JPEG stream
+        val m = u8(i + 1)
+        if (m == 0xFF) i += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2 // standalone
+        else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS: no frame header seen
+        else {
+          val len = be16(i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            if (len < 7) return None
+            return Some(("jpeg", be16(i + 7), be16(i + 5)))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
   }
+
+  private def be32Bytes(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** A VALID minimal PNG carrying `data` in a tEXt chunk: signature +
+    * CRC-correct IHDR(w, h, 8-bit grayscale) + tEXt + IEND. Total
+    * size is exactly data.length + 57 (8 sig + 25 IHDR + 12+n tEXt +
+    * 12 IEND) — the oracle's payload_bytes formula.
+    */
+  private[functions] def pngWrap(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length + 57)
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(payload)
+      bos.write(be32Bytes(payload.length), 0, 4)
+      bos.write(tb, 0, 4)
+      bos.write(payload, 0, payload.length)
+      bos.write(be32Bytes(crc.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", be32Bytes(w) ++ be32Bytes(h) ++ Array[Byte](8, 0, 0, 0, 0))
+    chunk("tEXt", data)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** A JPEG marker stream (SOI + single-component SOF0 + EOI) with
+    * `data` appended after EOI. Total size is exactly
+    * data.length + 17 — the oracle's payload_bytes formula.
+    */
+  private[functions] def jpegWrap(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length + 17)
+    val head = Array(
+      0xFF, 0xD8, // SOI
+      0xFF, 0xC0, 0x00, 0x0B, // SOF0, length 11
+      0x08, (h >>> 8) & 0xFF, h & 0xFF, (w >>> 8) & 0xFF, w & 0xFF, // precision, dims
+      0x01, 0x01, 0x11, 0x00, // 1 component: id, 1x1 sampling, qtable 0
+      0xFF, 0xD9 // EOI
+    ).map(_.toByte)
+    bos.write(head, 0, head.length)
+    bos.write(data, 0, data.length)
+    bos.toByteArray
+  }
+
+  // ======================= DECODE =========================
+  // Image dimensions are parsed for REAL from PNG/JPEG headers; a
+  // parsed image is one frame. Payloads with no recognizable image
+  // container (audio/video stand-ins) fall back to the deterministic
+  // STUB that derives fake dimensions from the length — a real
+  // audio/video codec (FLAC/MP4) would replace only that branch.
+  private def decodeOne(r: MediaRecord): DecodedMeta =
+    parseImageHeader(r.payload) match {
+      case Some((_, w, h)) =>
+        DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong, w, h, n_frames = 1)
+      case None =>
+        val n = r.payload.length.toLong
+        DecodedMeta(r.doc_id, r.media_type, n,
+          width = (64L + n % 577L).toInt,
+          height = (64L + n % 433L).toInt,
+          n_frames = (1L + n % 30L).toInt)
+    }
   // =============================================================
 
   /** Batched decode: one "decoder" per partition, rows streamed

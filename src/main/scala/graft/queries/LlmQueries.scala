@@ -500,14 +500,24 @@ object LlmQueries {
         |    regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM stamped ORDER BY doc_id""".stripMargin,
+    // image rows carry REAL PNG/JPEG containers (+57/+17 wrapper
+    // bytes) whose headers the engine must parse back; the oracle
+    // recomputes the embedded dimensions from the content length, so
+    // a broken header parser hash-mismatches. Audio/video rows stay
+    // on the documented stub formulas.
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  octet_length(encode(text)) AS payload_bytes,
-        |  (64 + octet_length(encode(text)) % 577)::INT AS width,
-        |  (64 + octet_length(encode(text)) % 433)::INT AS height,
-        |  (1 + octet_length(encode(text)) % 30)::INT AS n_frames
+        |  CASE WHEN doc_id % 6 = 0 THEN octet_length(encode(text)) + 57
+        |       WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) + 17
+        |       ELSE octet_length(encode(text)) END AS payload_bytes,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 509
+        |        ELSE 64 + octet_length(encode(text)) % 577 END)::INT AS width,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 389
+        |        ELSE 64 + octet_length(encode(text)) % 433 END)::INT AS height,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 1
+        |        ELSE 1 + octet_length(encode(text)) % 30 END)::INT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -15,7 +15,9 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("feature extraction: unit-norm fixed-dim embeddings feed Similarity ops") {
-    val df = Seq((0L, "hello world"), (1L, "hello worlq"), (2L, "zzzzzz")).toDF("doc_id", "text")
+    // all audio ids (%3 == 1): raw payloads, so byte-fold similarity
+    // tracks text similarity (image rows now carry container wrappers)
+    val df = Seq((1L, "hello world"), (4L, "hello worlq"), (7L, "zzzzzz")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.attachPayload(df, "doc_id", "text"), dim = 8)
     val rows = feats.collect()
     assert(rows.forall(_.embedding.length == 8))
@@ -26,18 +28,18 @@ class MultimodalSpec extends AnyFunSuite {
     // plumbing compatibility: features are a valid Similarity corpus
     val corpus = feats.toDF().withColumnRenamed("doc_id", "vec_id")
     val top = Similarity.bruteForceTopK(corpus,
-      corpus.filter(org.apache.spark.sql.functions.col("vec_id") === 0L), k = 2)
+      corpus.filter(org.apache.spark.sql.functions.col("vec_id") === 1L), k = 2)
       .as[(Long, Int, Long, Double)].collect()
-    assert(top.head._3 == 1L) // near-identical payload ranks first
+    assert(top.head._3 == 4L) // near-identical payload ranks first
   }
 
   test("resize stub: payload reshaped to w*h bytes, metadata type preserved") {
-    val df = Seq((0L, "abcdef")).toDF("doc_id", "text")
+    val df = Seq((1L, "abcdef")).toDF("doc_id", "text") // audio: raw payload
     val resized = Multimodal.resize(Multimodal.attachPayload(df, "doc_id", "text"), 4, 3)
       .collect().head
     assert(resized.payload.length == 12)
     assert(new String(resized.payload.take(6), "UTF-8") == "abcdef") // cycled content
-    assert(resized.media_type == "image")
+    assert(resized.media_type == "audio")
   }
 
   test("frame sampling: one row explodes to n evenly spaced frames") {
@@ -50,13 +52,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3, 4))
   }
 
-  test("batched decode stub: deterministic dims from payload length") {
-    val df = Seq((0L, "abc")).toDF("doc_id", "text")
+  test("decode: image rows parse REAL container headers, others use the stub") {
+    // 0 → PNG-wrapped, 3 → JPEG-wrapped, 1 → audio (raw, stub dims)
+    val df = Seq((0L, "abc"), (3L, "abcde"), (1L, "xyzw")).toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(spark, df, "doc_id", "text")
-      .as[Multimodal.DecodedMeta].head()
-    assert(meta.payload_bytes == 3L)
-    assert(meta.width == 64 + 3 % 577)
-    assert(meta.height == 64 + 3 % 433)
-    assert(meta.n_frames == 1 + 3 % 30)
+      .as[Multimodal.DecodedMeta].collect().map(m => m.doc_id -> m).toMap
+    val png = meta(0L)
+    assert(png.payload_bytes == 3L + 57)
+    assert(png.width == 1 + 3 % 509 && png.height == 1 + 3 % 389 && png.n_frames == 1)
+    val jpg = meta(3L)
+    assert(jpg.payload_bytes == 5L + 17)
+    assert(jpg.width == 1 + 5 % 509 && jpg.height == 1 + 5 % 389 && jpg.n_frames == 1)
+    val raw = meta(1L)
+    assert(raw.payload_bytes == 4L)
+    assert(raw.width == 64 + 4 % 577 && raw.height == 64 + 4 % 433)
+    assert(raw.n_frames == 1 + 4 % 30)
+  }
+
+  test("parseImageHeader reads a genuine 1x1 PNG (external file, correct CRCs)") {
+    // a real 67-byte 1x1 grayscale PNG (the kind any png encoder
+    // emits), not one of our own pngWrap products
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    assert(Multimodal.parseImageHeader(png).contains(("png", 1, 1)))
+  }
+
+  test("parseImageHeader walks real JPEG marker streams") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // APP0(JFIF) + comment before a baseline SOF0 of 640x480 — the
+    // scan must SKIP variable-length segments by their length fields
+    val jfif = bytes(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0,
+      0xFF, 0xFE, 0x00, 0x05, 'h', 'i', '!',
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x01, 0xE0, 0x02, 0x80, 0x01, 0x01, 0x11, 0x00,
+      0xFF, 0xD9)
+    assert(Multimodal.parseImageHeader(jfif).contains(("jpeg", 640, 480)))
+    // progressive JPEGs carry SOF2 instead of SOF0
+    val prog = bytes(0xFF, 0xD8,
+      0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x64, 0x00, 0xC8, 0x01, 0x01, 0x11, 0x00,
+      0xFF, 0xD9)
+    assert(Multimodal.parseImageHeader(prog).contains(("jpeg", 200, 100)))
+    // DHT (C4) is NOT a frame header and must be skipped, not parsed
+    val withDht = bytes(0xFF, 0xD8,
+      0xFF, 0xC4, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x02, 0x00, 0x03, 0x01, 0x01, 0x11, 0x00,
+      0xFF, 0xD9)
+    assert(Multimodal.parseImageHeader(withDht).contains(("jpeg", 3, 2)))
+    // garbage, truncation, and scan-data-before-SOF all refuse cleanly
+    assert(Multimodal.parseImageHeader("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseImageHeader(bytes(0xFF, 0xD8, 0xFF, 0xC0, 0x00)).isEmpty)
+    assert(Multimodal.parseImageHeader(bytes(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 1, 2)).isEmpty)
+  }
+
+  test("wrapped payloads round-trip: pngWrap/jpegWrap dims parse back exactly") {
+    val data = "payload text of arbitrary length".getBytes("UTF-8")
+    val png = Multimodal.pngWrap(data, 321, 123)
+    assert(png.length == data.length + 57)
+    assert(Multimodal.parseImageHeader(png).contains(("png", 321, 123)))
+    val jpg = Multimodal.jpegWrap(data, 65535, 1)
+    assert(jpg.length == data.length + 17)
+    assert(Multimodal.parseImageHeader(jpg).contains(("jpeg", 65535, 1)))
   }
 }

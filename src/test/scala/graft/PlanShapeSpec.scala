@@ -88,15 +88,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // isnotnull lands on only one branch again) AQE re-runs the scan
     // + suppkey shuffle per consumer. Execute and check the FINAL
     // adaptive plan: one lineitem FileScan, with a reuse marker.
-    val df = SparkEntry.queries("q_tpch_q15")(spark, "/root/testdata/sf0.001")
-    df.collect()
-    val finalPlan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    val scans = "FileScan parquet \\[l_".r.findAllIn(finalPlan).size
-    assert(scans == 1,
-      s"q_tpch_q15 scans lineitem $scans times in the final plan — exchange reuse lost:\n$finalPlan")
-    assert(finalPlan.contains("ReusedQueryStage") || finalPlan.contains("ReusedExchange"),
-      "q_tpch_q15's rev exchange is no longer reused")
+    Seq("q_tpch_q15", "q_tpch_q11").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "FileScan parquet \\[l_".r.findAllIn(finalPlan).size
+      assert(scans == 1,
+        s"$q scans lineitem $scans times in the final plan — exchange reuse lost:\n$finalPlan")
+      assert(finalPlan.contains("ReusedQueryStage") || finalPlan.contains("ReusedExchange"),
+        s"$q's shared aggregate exchange is no longer reused")
+    }
   }
 
   test("wave-5 LLM ops: sampling filters in the scan stage, LM probs broadcast") {

@@ -16,12 +16,25 @@ import org.apache.spark.sql.functions._
   * payload 10×. Two columns get per-copy perturbation because copies
   * must not be CONTENT-identical:
   *
-  *  - `documents.text`: words deterministically permuted by
-  *    xxhash64(word, copy) — unigram statistics (token counts,
-  *    language id, quality ratios) are preserved while shingle-based
-  *    near-dup signatures diverge, so dedup candidate volume grows
-  *    linearly like real fresh documents instead of quadratically
-  *    like 10 verbatim copies of the corpus would.
+  *  - `documents.text`: copy c > 0 suffixes every word with the copy
+  *    number ("table" → "table3") — fresh data brings fresh
+  *    vocabulary, so each copy's token/shingle/minhash distributions
+  *    MIRROR the original's (same word order, same per-copy df
+  *    histogram, shingle space disjoint across copies) and dedup
+  *    candidate volume scales exactly linearly, the way 10× genuine
+  *    documents would. Rewriting within the ORIGINAL vocabulary
+  *    cannot achieve this on this corpus, measured both ways: the
+  *    closed ~50-word vocab means a per-copy word sort glues
+  *    shared-vocab documents into near-dups (5.6e9 over-cap
+  *    candidate pairs at sf1), and a per-doc random position
+  *    permutation makes every triple corpus-common (expected df
+  *    ≈ n_docs·L/|vocab|³ ≈ 130 — boilerplate soup, 1.2e8 over-cap
+  *    pairs).
+  *  - `customer.c_name` / `supplier.s_name`: regenerated from the
+  *    sharded key (TPC-H derives names from keys), so copies don't
+  *    carry 10 verbatim duplicates of every name — which would both
+  *    explode linkage output quadratically (675k dist-0 pairs at
+  *    sf1) and merge per-name aggregation groups.
   *  - `embeddings.embedding`: components cyclically rotated by copy —
   *    norms and coordinate distributions preserved, cross-copy cosine
   *    decorrelated, so ANN/near-dup pair counts scale linearly.
@@ -77,24 +90,24 @@ object ScaleUp {
 
     write(tbl("region"), "region")
     write(tbl("nation"), "nation")
-    write(shard(tbl("customer"), Map("c_custkey" -> bc)), "customer")
-    write(shard(tbl("supplier"), Map("s_suppkey" -> bs)), "supplier")
+    write(shard(tbl("customer"), Map("c_custkey" -> bc))
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))), "customer")
+    write(shard(tbl("supplier"), Map("s_suppkey" -> bs))
+      .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey"))), "supplier")
     write(shard(tbl("part"), Map("p_partkey" -> bp)), "part")
     write(shard(tbl("orders"), Map("o_orderkey" -> bo, "o_custkey" -> bc)), "orders")
     write(shard(tbl("lineitem"),
       Map("l_orderkey" -> bo, "l_partkey" -> bp, "l_suppkey" -> bs)), "lineitem")
     write(shard(tbl("events"), Map("event_id" -> be, "user_id" -> bu)), "events")
 
-    // documents: keys sharded + per-copy deterministic word permutation
+    // documents: keys sharded + per-copy vocabulary tagging
     // (copy 0 byte-identical to the source)
     val docs = shard(tbl("documents"), Map("doc_id" -> bd))
       .withColumn("_copy", (col("doc_id") / lit(bd)).cast("long"))
     val permuted = docs.withColumn("text",
         when(col("_copy") === 0, col("text")).otherwise(
-          array_join(transform(
-            array_sort(transform(split(col("text"), " "),
-              w => struct(xxhash64(w, col("_copy")).as("k"), w.as("w")))),
-            s => s.getField("w")), " ")))
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, col("_copy"))), " ")))
       .withColumn("n_chars",
         when(col("_copy") === 0, col("n_chars"))
           .otherwise(length(col("text")).cast("long")))

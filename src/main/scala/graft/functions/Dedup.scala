@@ -176,8 +176,8 @@ object Dedup {
     * partial-drop case every mis-sized production run hits reports
     * fine under AQE.
     */
-  private[functions] def pairsFromBucketsIds(banded: DataFrame, maxBucket: Int,
-                                             observeName: String): DataFrame = {
+  private[graft] def pairsFromBucketsIds(banded: DataFrame, maxBucket: Int,
+                                         observeName: String): DataFrame = {
     val buckets = banded
       .groupBy("band", "bkey")
       .agg(collect_list(col("id")).as("ms"))

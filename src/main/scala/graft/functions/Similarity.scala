@@ -162,6 +162,40 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Smallest band width h (≥ 2) whose bucket count 2^h brings the
+    * mean bucket below `targetBucket`: min h with 2^h·targetBucket ≥ n,
+    * capped at `maxHalf` (each of the two bands consumes `half`
+    * leading vector coordinates, so 2·maxHalf must stay ≤ dim).
+    * Integer-only on purpose — an external SQL oracle reproduces it
+    * exactly (`min h from range where (1<<h)*target >= n`), with no
+    * float log2/ceil rounding to disagree about.
+    *
+    * This is the planes ≈ 2·log2(n/targetBucket) sizing formula made
+    * self-applying: in-bucket pair generation is quadratic in bucket
+    * size, so a FIXED planes value turns linear corpus growth into
+    * quadratic candidate growth (measured at the 10× checkpoint:
+    * 65× shuffle on 10× rows with planes=8) — the bucket count has
+    * to grow with n to hold mean bucket size, and so candidate
+    * volume, proportional to n.
+    */
+  def adaptiveHalf(n: Long, targetBucket: Int = 125, maxHalf: Int = 16): Int =
+    (2 to maxHalf).find(h => (1L << h) * targetBucket >= n).getOrElse(maxHalf)
+
+  /** [[embeddingNearDupsAxis]] with the band width sized from the
+    * corpus via [[adaptiveHalf]] — the form the gated query uses.
+    * Costs one count() job up front (index-build shape); vectors with
+    * zero norm are excluded from the count exactly as the blocking
+    * excludes them.
+    */
+  def embeddingNearDupsAxisAuto(corpus: DataFrame, minSim: Double,
+                                targetBucket: Int = 125, maxBucket: Int = 10000,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val n = normalized(corpus, vecCol).filter(col(vecCol).isNotNull).count()
+    val half = adaptiveHalf(n, targetBucket)
+    embeddingNearDupsAxis(corpus, minSim, planes = 2 * half, maxBucket, idCol, vecCol)
+  }
+
   /** [[embeddingNearDups]] with deterministic axis-aligned blocking:
     * bit i of the signature is the sign of coordinate i (a legitimate
     * hyperplane family — the coordinate axes), split into two bands.
@@ -173,7 +207,9 @@ object Similarity {
     * form so it can hash-match a DuckDB oracle; random planes (better
     * bucket spread on sign-skewed corpora) remain available above.
     * Same scale shape: capped in-bucket id-only pairs, exact-cosine
-    * verify on r4-rounded sims.
+    * verify on r4-rounded sims. Size `planes` with [[adaptiveHalf]]
+    * (or call [[embeddingNearDupsAxisAuto]]) — a fixed value goes
+    * quadratic as the corpus outgrows it.
     */
   def embeddingNearDupsAxis(corpus: DataFrame, minSim: Double, planes: Int = 8,
                             maxBucket: Int = 10000, idCol: String = "vec_id",

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join: all pairs of rows whose `nameCol` values
+  * are within Levenshtein distance `maxDist` (and that agree on
+  * `blockCols`), without ever forming the quadratic in-block cross
+  * product.
+  *
+  * A plain blocked linkage join — equi-join on (blockCols), verify
+  * every in-block pair — is quadratic in block size: with a FIXED
+  * number of blocks (the reference-shaped nation×segment key, 125
+  * blocks), 10× the rows means 100× the Levenshtein calls and pair
+  * shuffle (measured at the 10× checkpoint: 48× wall, 51× shuffle).
+  * Blocks whose count doesn't grow with the data can't bound
+  * anything at 100 TB.
+  *
+  * This operator instead blocks on the DELETION NEIGHBORHOOD of the
+  * name (the FastSS / SymSpell family of public algorithms): each
+  * name emits every variant obtainable by deleting ≤ `maxDist`
+  * characters, hashed to 64 bits. Exactness for maxDist = τ: an
+  * optimal alignment of a and b charges each of the ≤ τ edits one
+  * character on each side, so LCS(a,b) ≥ |a| − τ and ≥ |b| − τ —
+  * the LCS itself is a ≤ τ-deletion variant of BOTH, so every true
+  * pair shares a bucket. Candidate volume is therefore proportional
+  * to genuinely-near pairs (plus ed ≤ 2τ collisions the verify step
+  * discards), not to block size; the key explosion is the fixed
+  * (1 + L + C(L,2))-per-row constant, linear in rows.
+  *
+  * Pairs are generated id-only inside capped buckets (the shared
+  * [[graft.functions.Dedup.pairsFromBucketsIds]] machinery, with its
+  * observed-drop counters); payloads re-join by id, then the exact
+  * Levenshtein filter AND an exact blockCols equality check run per
+  * candidate — the 64-bit bucket hash can collide in principle, so
+  * nothing correctness-bearing rides the hash.
+  *
+  * Mirrors reference semantics at pippin's linkage surface (see
+  * q_linkage); the oracle stays the declarative in-block self-join —
+  * this is a plan optimization, not a semantics change.
+  */
+object EditDistanceJoin {
+
+  /** All ≤2-deletion variants of `s` (distinct): the string itself,
+    * every single-character deletion, every two-character deletion.
+    * Built with higher-order functions so arbitrary runtime lengths
+    * work without unrolling C(L,2) expressions at plan time.
+    */
+  private def deletionVariants(s: Column): Column = {
+    val L = length(s)
+    // greatest(·, 1) floors the sequence bounds: Spark's sequence(1, 0)
+    // counts DOWN, which would fabricate an i=0 deletion position on
+    // empty strings
+    val d1 = transform(sequence(lit(1), greatest(L, lit(1))),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, L)))
+    val d2 = flatten(transform(sequence(lit(1), greatest(L - 1, lit(1))),
+      i => transform(sequence(i + 1, greatest(L, i + 1)),
+        j => concat(s.substr(lit(1), i - 1), s.substr(i + 1, j - i - 1),
+          s.substr(j + 1, L)))))
+    array_distinct(concat(array(s), d1, d2))
+  }
+
+  /** Self-join `df` on Levenshtein(nameCol) ≤ maxDist within equal
+    * blockCols. Returns (id_a, id_b, dist) with id_a < id_b.
+    *
+    * maxDist must be ≤ 2 (the deletion neighborhood enumerated here);
+    * smaller values just tighten the verify filter — the candidate
+    * set for τ=2 is a superset of the τ<2 one.
+    */
+  def selfJoin(df: DataFrame, idCol: String, nameCol: String,
+               blockCols: Seq[String], maxDist: Int = 2,
+               maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2, "deletion neighborhood enumerates tau <= 2")
+    val spread = graft.Tables.spread(df)
+    val keyed = spread
+      .select(col(idCol).as("id"), explode(deletionVariants(col(nameCol))).as("v"))
+      .select(col("id"), lit(0).as("band"), xxhash64(col("v")).as("bkey"))
+    val pairs = graft.functions.Dedup.pairsFromBucketsIds(
+      keyed, maxBucket, "edit_join_drops")
+    val payload = Seq(nameCol) ++ blockCols
+    val a = df.select(col(idCol).as("id_a") +: payload.map(c => col(c).as(s"_a_$c")): _*)
+    val b = df.select(col(idCol).as("id_b") +: payload.map(c => col(c).as(s"_b_$c")): _*)
+    val blockEq = blockCols.map(c => col(s"_a_$c") === col(s"_b_$c"))
+      .foldLeft(lit(true))(_ && _)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .filter(blockEq)
+      .withColumn("dist", levenshtein(col(s"_a_$nameCol"), col(s"_b_$nameCol")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

@@ -60,17 +60,15 @@ object ExtendedQueries {
     "q_linkage" -> ((s, d) => {
       val c = Tables.customer(s, d)
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-      // spread the PROBE side: the single-row-group test scan would
-      // otherwise stream the whole table — and run every in-block
-      // levenshtein — in one task under the broadcast join
-      Tables.spread(c).as("a").join(c.as("b"),
-          col("a.c_nationkey") === col("b.c_nationkey") &&
-          col("a.c_mktsegment") === col("b.c_mktsegment") &&
-          col("a.c_custkey") < col("b.c_custkey"))
-        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
-        .filter(col("dist") <= 2)
-        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
-          col("dist"))
+      // deletion-neighborhood blocking (EditDistanceJoin): the naive
+      // in-block self-join is quadratic in block size under the FIXED
+      // nation×segment block count — candidates here are near-pair-
+      // proportional instead, and the oracle keeps the declarative
+      // in-block form (same result set, proven exact for dist ≤ 2)
+      graft.operators.EditDistanceJoin.selfJoin(
+          c, idCol = "c_custkey", nameCol = "c_name",
+          blockCols = Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy("id_a", "id_b")
     }),
 

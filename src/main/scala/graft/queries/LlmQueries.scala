@@ -93,12 +93,15 @@ object LlmQueries {
 
     // 32. Embedding-cosine near-dup pairs, axis-aligned sign blocking
     //     (deterministic — hash-oracled; random-hyperplane variant
-    //     stays exercised by q_ann_lsh). The synthetic embeddings have
-    //     no true near-dups (max pairwise cosine ≈ 0.5), so the
-    //     threshold demonstrates the operator on the most-similar
-    //     tail; production callers pass ~0.9.
+    //     stays exercised by q_ann_lsh). Band width self-sizes from
+    //     the corpus (Similarity.adaptiveHalf — integer logic the
+    //     oracle mirrors), holding mean bucket ~125 at any SF so
+    //     candidate volume stays linear in rows. The synthetic
+    //     embeddings have no true near-dups (max pairwise cosine
+    //     ≈ 0.5), so the threshold demonstrates the operator on the
+    //     most-similar tail; production callers pass ~0.9.
     "q_dedup_embedding" -> ((s, d) =>
-      Similarity.embeddingNearDupsAxis(Tables.embeddings(s, d), minSim = 0.3, planes = 8)
+      Similarity.embeddingNearDupsAxisAuto(Tables.embeddings(s, d), minSim = 0.3)
         .orderBy("id_a", "id_b")),
 
     // 33. Brute-force cosine top-k ANN: query set broadcast,
@@ -391,8 +394,10 @@ object LlmQueries {
     // float arithmetic — normalization preserves sign), so buckets are
     // engine-exact; only the r4-rounded cosine touches floats. The
     // per-(band,bucket) size cap mirrors pairsFromBucketsIds'
-    // maxBucket=10000 exactly, so the parity holds at ANY corpus size,
-    // not just SFs where the cap never binds.
+    // maxBucket=10000 exactly, and the band width `half` mirrors
+    // Similarity.adaptiveHalf's integer sizing (min h ≥ 2 with
+    // 2^h·125 ≥ n), so the parity holds at ANY corpus size, not just
+    // SFs where the cap never binds or a fixed width fits.
     "q_dedup_embedding" ->
       """WITH nv AS (
         |  SELECT id, [x / nrm FOR x IN e] AS u
@@ -400,13 +405,16 @@ object LlmQueries {
         |        FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
         |              FROM embeddings))
         |  WHERE nrm <> 0
+        |), hp AS (
+        |  SELECT min(h)::INT AS half FROM range(2, 17) t(h)
+        |  WHERE (1::BIGINT << h) * 125 >= (SELECT count(*) FROM nv)
         |), sig AS (
         |  SELECT id, u,
-        |    (CASE WHEN u[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN u[2] >= 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN u[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN u[4] >= 0 THEN 8 ELSE 0 END) AS lo,
-        |    (CASE WHEN u[5] >= 0 THEN 1 ELSE 0 END + CASE WHEN u[6] >= 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN u[7] >= 0 THEN 4 ELSE 0 END + CASE WHEN u[8] >= 0 THEN 8 ELSE 0 END) AS hi
-        |  FROM nv
+        |    list_sum([CASE WHEN u[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END
+        |              FOR i IN range(1, half + 1)]) AS lo,
+        |    list_sum([CASE WHEN u[half + i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END
+        |              FOR i IN range(1, half + 1)]) AS hi
+        |  FROM nv, hp
         |), lo_ok AS (
         |  SELECT lo FROM sig GROUP BY lo HAVING count(*) BETWEEN 2 AND 10000
         |), hi_ok AS (

@@ -41,9 +41,14 @@ class ScaleGrowthSpec extends AnyFunSuite {
   // run-order-dependent) and minus the two candidate-pair pipelines
   // (separate invariant below) — these are the queries where a
   // superlinear regression would cost the most at 100 TB
+  // q_dedup_embedding earns its slot here by the adaptive banding:
+  // with a FIXED planes value its shuffle grew 65× across this jump
+  // (the round-8 sf1 checkpoint's headline catch); adaptiveHalf holds
+  // mean bucket size flat so in-bucket pair volume tracks rows
   private val heavy = Seq(
     "q_map", "q_map_error_mapper", "q_first_last", "q_resample",
-    "q_sessionize", "q_percentile", "q_boilerplate", "q_tpch_q2")
+    "q_sessionize", "q_percentile", "q_boilerplate", "q_tpch_q2",
+    "q_dedup_embedding")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

@@ -134,4 +134,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.sortBy(_._2).map(_._4).toSeq.reverse.sorted.reverse ==
       res.sortBy(_._2).map(_._4).toSeq)
   }
+
+  test("adaptiveHalf holds mean bucket size flat as the corpus grows") {
+    // min h with 2^h·target ≥ n — integer-exact, so the oracle's
+    // range-scan reproduces it
+    assert(Similarity.adaptiveHalf(500) == 2)    // sf0.01
+    assert(Similarity.adaptiveHalf(2000) == 4)   // sf0.1 → planes 8, the old fixed value
+    assert(Similarity.adaptiveHalf(20000) == 8)  // sf1
+    assert(Similarity.adaptiveHalf(1999) == 4)
+    assert(Similarity.adaptiveHalf(2001) == 5)
+    // bucket count scales with n: mean bucket n/2^half stays in
+    // (target/2, target] whenever 2^half isn't floored/capped
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+      val mean = n.toDouble / (1L << Similarity.adaptiveHalf(n))
+      assert(mean <= 125.0 && mean > 62.0, s"n=$n mean bucket $mean")
+    }
+    // cap: never consumes more sign bits than maxHalf allows
+    assert(Similarity.adaptiveHalf(Long.MaxValue, maxHalf = 16) == 16)
+  }
+
+  test("embeddingNearDupsAxisAuto equals the explicit-planes form at its size") {
+    val emb = AnnTestData.clustered(spark, n = 600)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    // n=600 → half 3 → planes 6; the auto path must be a pure sizing
+    // wrapper, nothing else
+    val auto = pairs(Similarity.embeddingNearDupsAxisAuto(emb, minSim = 0.8))
+    val explicit = pairs(Similarity.embeddingNearDupsAxis(emb, minSim = 0.8, planes = 6))
+    assert(auto == explicit)
+    assert(auto.nonEmpty, "clustered corpus should contain near-dups")
+  }
 }

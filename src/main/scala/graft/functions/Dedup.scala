@@ -188,7 +188,17 @@ object Dedup {
           .otherwise(0L)).as("dropped_ids"),
         count(lit(1)).as("candidate_buckets"))
       .filter(size(col("ms")) <= maxBucket)
+    // round-robin repartition before the pair explode: the bucket
+    // rows are BYTES-small, so AQE coalesces the groupBy exchange to
+    // one partition — and then the quadratic in-bucket explode
+    // amplifies inside a single task (profiled: 1.8 s/1 task for
+    // 1.56 M pairs at sf1). Round-robin with an explicit count is
+    // exempt from AQE coalescing AND can't be elided as redundant by
+    // EnsureRequirements (hashing on (band, bkey) again would be,
+    // since the groupBy exchange already provides that exact
+    // distribution); the extra exchange carries only the id arrays.
     buckets
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(col("ms"), a =>
         transform(filter(col("ms"), b => b > a),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
@@ -315,7 +325,11 @@ object Dedup {
       .groupBy("band", "bkey")
       .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucket))
+    // round-robin repartition pre-explode: see pairsFromBucketsIds —
+    // AQE coalesces the bytes-small bucket exchange into one task and
+    // the quadratic explode amplifies inside it
     buckets
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(col("ms"), a =>
         transform(
           filter(col("ms"), b => b("id") > a("id") &&

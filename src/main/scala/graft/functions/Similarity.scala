@@ -44,15 +44,8 @@ object Similarity {
     * and drop out of top-k / threshold comparisons explicitly instead
     * of as silent NaN propagation.
     */
-  private[functions] def normalized(df: DataFrame, vecCol: String): DataFrame = {
-    val vd = transform(col(vecCol), x => x.cast("double"))
-    df.withColumn("_vd", vd)
-      .withColumn("_norm", sqrt(dot(col("_vd"), col("_vd"))))
-      .withColumn(vecCol,
-        when(col("_norm") === 0.0, lit(null))
-          .otherwise(transform(col("_vd"), x => x / col("_norm"))))
-      .drop("_vd", "_norm")
-  }
+  private[functions] def normalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, graft.plans.ArrayUnit.array_unit(col(vecCol)))
 
   /** Brute-force top-k cosine neighbors for each query vector.
     *

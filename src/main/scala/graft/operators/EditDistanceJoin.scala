@@ -72,9 +72,15 @@ object EditDistanceJoin {
                maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2, "deletion neighborhood enumerates tau <= 2")
     val spread = graft.Tables.spread(df)
+    // the block columns are part of the bucket key: candidates must be
+    // generated in-block (a variant shared across blocks is not a
+    // candidate), and the exact blockEq re-check below keeps hash
+    // collisions from smuggling a cross-block pair in
     val keyed = spread
-      .select(col(idCol).as("id"), explode(deletionVariants(col(nameCol))).as("v"))
-      .select(col("id"), lit(0).as("band"), xxhash64(col("v")).as("bkey"))
+      .select((col(idCol).as("id") +: blockCols.map(col)) :+
+        explode(deletionVariants(col(nameCol))).as("v"): _*)
+      .select(col("id"), lit(0).as("band"),
+        xxhash64(blockCols.map(col) :+ col("v"): _*).as("bkey"))
     val pairs = graft.functions.Dedup.pairsFromBucketsIds(
       keyed, maxBucket, "edit_join_drops")
     val payload = Seq(nameCol) ++ blockCols

@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.AdvancedQueries.queries ++
-      graft.queries.TpchExtraQueries.queries
+      graft.queries.TpchExtraQueries.queries ++
+      graft.queries.GovernanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracles ++
       graft.queries.ExtendedQueries.oracles ++
       graft.queries.AdvancedQueries.oracles ++
-      graft.queries.TpchExtraQueries.oracles
+      graft.queries.TpchExtraQueries.oracles ++
+      graft.queries.GovernanceQueries.oracles
 }

@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.EngineNeutral
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sixth query wave: corpus-governance and reporting shapes — the
+  * recurring "what changed / how dirty / how skewed is the corpus"
+  * jobs a training-data pipeline runs between ingests. Each is a
+  * plan shape the earlier waves lack as a compound:
+  *
+  *  - snapshot diff: full-outer reconciliation of two crawls where
+  *    the shuffle carries (id, 16-byte content hash), never text —
+  *    the only way a 100 TB-vs-100 TB diff is feasible;
+  *  - dup-rate report: per-source two-phase distinct on the content
+  *    hash (partial distinct map-side, exact global count);
+  *  - degree distribution: the power-law sanity check — two chained
+  *    map-side-combinable aggregations, output bounded by distinct
+  *    degree values;
+  *  - grouped regression: single-pass sufficient statistics
+  *    (n, Σx, Σy, Σxy, Σx²) — the textbook distributed OLS form, one
+  *    shuffle of five doubles per group;
+  *  - MAD outliers: robust dispersion via two exact-median passes
+  *    with the tiny per-group stats broadcast back (at >memory group
+  *    cardinality swap `percentile` for `approx_percentile` — MAD
+  *    tolerates quantile error; exact here so DuckDB reproduces it).
+  */
+object GovernanceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 16-byte content fingerprint; hashing before any join/groupBy is
+    * what keeps every shuffle in this wave text-free.
+    */
+  private def contentHash = md5(col("text").cast("binary"))
+
+  val queries: Map[String, Q] = Map(
+    // 100. Corpus snapshot diff: reconcile two crawl snapshots into
+    //     added/removed/changed/unchanged counts. The two snapshots
+    //     are deterministic slices of `documents` (disjoint 10% drop
+    //     each side; every 7th doc "re-crawled" with edited content)
+    //     so DuckDB reproduces them exactly. Text is reduced to md5
+    //     in the scan stage — the full-outer join and everything
+    //     after it moves 24-byte rows.
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), contentHash.as("hash_a"))
+      val b = docs.filter(col("doc_id") % 10 =!= 1)
+        .select(col("doc_id"),
+          md5(concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit("~edit")).otherwise(lit("")))
+            .cast("binary")).as("hash_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(when(col("hash_a").isNull, lit("added"))
+          .when(col("hash_b").isNull, lit("removed"))
+          .when(col("hash_a") =!= col("hash_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
+    // 101. Duplication-rate report per source: the corpus-health
+    //     number dedup decisions are made from. count(distinct md5)
+    //     is a two-phase aggregate (map-side partial distinct), so
+    //     the shuffle is unique-hash-proportional, not row-
+    //     proportional.
+    "q_dup_rate" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), contentHash.as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_unique"))
+        .withColumn("dup_rate",
+          EngineNeutral.r4((col("n_docs") - col("n_unique")) / col("n_docs")))
+        .orderBy("source")
+    }),
+
+    // 102. Degree distribution of the user->event interaction graph:
+    //     degree per user, then users per degree. Both aggregations
+    //     map-side combine; the second one's input is already one row
+    //     per user. The shape that catches power-law skew before a
+    //     per-user join explodes on the head vertices.
+    "q_degree_dist" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_users"))
+        .orderBy("degree")
+    }),
+
+    // 103. Grouped linear regression (value vs hour-of-day per event
+    //     type) from single-pass sufficient statistics — n, Σx, Σy,
+    //     Σxy, Σx² combine associatively, so one map-side-combined
+    //     shuffle of five doubles per group covers any data size.
+    //     Slope/intercept are derived AFTER aggregation from the same
+    //     frame; EngineNeutral rounding because sums of doubles are
+    //     order-dependent across engines.
+    "q_group_regress" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        hour(col("ts")).cast("double").as("x"), col("value").as("y"))
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      stats.select(col("event_type"),
+        EngineNeutral.r4(slope).as("slope"),
+        EngineNeutral.r4((col("sy") - slope * col("sx")) / col("n")).as("icept"))
+        .orderBy("event_type")
+    }),
+
+    // 104. Robust outlier counts per language: median + MAD (median
+    //     absolute deviation), |x - med| > 1.5·MAD (the test corpus'
+    //     n_chars is near-uniform, so the usual 3·MAD can never fire
+    //     — 1.5 keeps the gate sensitive to both tails). Two exact-median
+    //     passes; the per-group (med, mad) table is a handful of rows
+    //     and broadcasts back, so the big side never re-shuffles.
+    //     Exact `percentile` is used so the oracle can reproduce it;
+    //     at larger group cardinality approx_percentile is the
+    //     drop-in scale path (MAD tolerates quantile error).
+    "q_mad_outlier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("double").as("x"))
+      val med = docs.groupBy("lang").agg(expr("percentile(x, 0.5)").as("med"))
+      val stats = docs.join(broadcast(med), Seq("lang"))
+        .select(col("lang"), col("med"), abs(col("x") - col("med")).as("adev"))
+        .groupBy("lang").agg(max("med").as("med"),
+          expr("percentile(adev, 0.5)").as("mad"))
+      docs.join(broadcast(stats), Seq("lang"))
+        .groupBy(col("lang"), col("med"), col("mad"))
+        .agg(count(when(abs(col("x") - col("med")) > lit(1.5) * col("mad"),
+          lit(1))).as("n_outliers"))
+        .orderBy("lang")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS hash_a FROM documents WHERE doc_id % 10 <> 0),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(text || CASE WHEN doc_id % 7 = 0 THEN '~edit' ELSE '' END) AS hash_b
+        |  FROM documents WHERE doc_id % 10 <> 1)
+        |SELECT CASE WHEN hash_a IS NULL THEN 'added'
+        |            WHEN hash_b IS NULL THEN 'removed'
+        |            WHEN hash_a <> hash_b THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  count(*) AS n
+        |FROM a FULL OUTER JOIN b USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dup_rate" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT md5(text)) AS n_unique,
+         |  ${EngineNeutral.sql(
+            "(count(*) - count(DISTINCT md5(text))) / count(*)", 4)} AS dup_rate
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_degree_dist" ->
+      """SELECT degree, count(*) AS n_users FROM (
+        |  SELECT user_id, count(*) AS degree FROM events GROUP BY user_id)
+        |GROUP BY degree ORDER BY degree""".stripMargin,
+    "q_group_regress" -> {
+      val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+      s"""WITH stats AS (
+         |  SELECT event_type, count(*) * 1.0 AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+         |  FROM (SELECT event_type, hour(ts) * 1.0 AS x, value AS y FROM events)
+         |  GROUP BY event_type)
+         |SELECT event_type,
+         |  ${EngineNeutral.sql(slope, 4)} AS slope,
+         |  ${EngineNeutral.sql(s"(sy - ($slope) * sx) / n", 4)} AS icept
+         |FROM stats ORDER BY event_type""".stripMargin
+    },
+    "q_mad_outlier" ->
+      """WITH docs AS (SELECT lang, n_chars * 1.0 AS x FROM documents),
+        |med AS (SELECT lang, quantile_cont(x, 0.5) AS med FROM docs GROUP BY lang),
+        |stats AS (
+        |  SELECT d.lang, max(m.med) AS med,
+        |    quantile_cont(abs(d.x - m.med), 0.5) AS mad
+        |  FROM docs d JOIN med m ON d.lang = m.lang GROUP BY d.lang)
+        |SELECT s.lang, s.med, s.mad,
+        |  count(CASE WHEN abs(d.x - s.med) > 1.5 * s.mad THEN 1 END) AS n_outliers
+        |FROM docs d JOIN stats s ON d.lang = s.lang
+        |GROUP BY s.lang, s.med, s.mad
+        |ORDER BY s.lang""".stripMargin)
+}

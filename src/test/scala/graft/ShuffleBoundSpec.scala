@@ -50,6 +50,27 @@ class ShuffleBoundSpec extends AnyFunSuite {
       s"corpus too small for the ceiling to mean anything ($corpusBytes B)")
   }
 
+  test("q_snapshot_diff shuffles (id, hash) rows, never crawl text") {
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.count()
+    val corpusBytes = docs.agg(sum(length(col("text")))).head.getLong(0)
+    SparkEntry.queries("q_snapshot_diff")(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    val bytes = shuffleWrite(SparkEntry.queries("q_snapshot_diff")(spark, sf))
+    // both snapshot sides + the full-outer join + the final (status,
+    // count) partial agg move (long id, 32-char hex) rows — 200 B per
+    // doc across ALL exchanges is generous, and the text volume the
+    // diff must NOT carry already exceeds it at this SF (at two
+    // 100 TB crawls they diverge by orders of magnitude)
+    val ceiling = rows * 200
+    assert(bytes > 0, "expected shuffles — plan shape changed?")
+    assert(bytes <= ceiling,
+      s"q_snapshot_diff shuffled $bytes B for $rows docs (> $ceiling): " +
+        "an exchange is carrying crawl text instead of content hashes")
+    assert(corpusBytes > ceiling,
+      s"corpus too small for the ceiling to bind ($corpusBytes B)")
+  }
+
   test("q_tpch_q1 shuffles only the partial-aggregate rows") {
     val rows = Tables.lineitem(spark, sf).count()
     SparkEntry.queries("q_tpch_q1")(spark, sf)

@@ -165,4 +165,76 @@ object ScaleGuard {
       else None
     }
   }
+
+  /** Audit: a `Generate` (explode / posexplode / sequence-explode)
+    * inside a broadcast build side.
+    *
+    * Catalyst's size-only stats estimate a Generate at roughly its
+    * CHILD's size — a grid explode above a tiny aggregate looks
+    * broadcastable while physically materializing millions of rows in
+    * ONE build task and shipping them to every executor (and, at real
+    * scale, OOMing the driver during the broadcast collect). Found
+    * live: q_resample's old grid⋈hourly join broadcast a 15 k-row agg
+    * that exploded to ~10 M rows — a single 6.6 s build task at sf1.
+    *
+    * An explicitly hinted broadcast of a Generate is exempt when
+    * `exemptHinted` (the caller opted in knowing the multiplier, e.g.
+    * a bounded per-row top-k explode of a small query set); unhinted
+    * planner-chosen ones are always findings. Audits the pre-AQE
+    * physical plan, side-effect free.
+    */
+  def auditBroadcastGenerate(df: org.apache.spark.sql.DataFrame,
+                             exemptHinted: Boolean = true): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // the pre-AQE sparkPlan has no exchanges yet (EnsureRequirements
+    // inserts them later), so inspect the BUILD child of each
+    // broadcast join directly
+    // by physical planning ResolvedHint nodes are eliminated; the
+    // opt-in survives as a JoinHint on the logical Join itself
+    def hinted(j: SparkPlan, buildLeft: Boolean): Boolean =
+      j.logicalLink.exists {
+        case lj: Join =>
+          (if (buildLeft) lj.hint.leftHint else lj.hint.rightHint)
+            .exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast")))
+        case _ => false
+      }
+    // explode over a FOLDABLE array (e.g. a salt replication via
+    // sequence(lit(0), lit(k-1))) multiplies by a compile-time
+    // constant — the size estimate is off by exactly that factor,
+    // which is bounded and known, not arbitrarily wrong
+    def constantMultiplier(g: org.apache.spark.sql.execution.GenerateExec): Option[Long] =
+      g.generator match {
+        case e: org.apache.spark.sql.catalyst.expressions.ExplodeBase
+            if e.child.foldable =>
+          Option(e.child.eval(null)).collect {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.numElements().toLong
+          }
+        case _ => None
+      }
+    def check(kind: String, build: SparkPlan): Option[String] = {
+      val gens = build.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec
+            if !constantMultiplier(g).exists(_ <= 1024) => g
+      }
+      if (gens.nonEmpty)
+        Some(s"$kind build side contains ${gens.size} Generate node(s) — " +
+          "size-only stats do not model the explode multiplier, so the " +
+          "broadcast build can be arbitrarily larger than estimated; " +
+          "restructure so the explode runs after the exchange, or hint " +
+          "the broadcast explicitly if the multiplier is provably bounded")
+      else None
+    }
+    df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if !(exemptHinted && hinted(j, j.buildSide == BuildLeft)) =>
+        check("BroadcastHashJoin",
+          if (j.buildSide == BuildLeft) j.left else j.right)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if !(exemptHinted && hinted(j, j.buildSide == BuildLeft)) =>
+        check("BroadcastNestedLoopJoin",
+          if (j.buildSide == BuildLeft) j.left else j.right)
+    }.flatten
+  }
 }

@@ -194,31 +194,37 @@ object ExtendedQueries {
     }),
 
     // 69. Time-series resample: per-user hourly grid from first to
-    //     last purchase (sequence explode — no driver loop), hourly
-    //     sums left-joined on, gaps forward-filled with
-    //     last(ignoreNulls) over a user-partitioned running frame.
-    //     Grid generation multiplies rows inside the stage; the only
-    //     shuffles are the hourly agg and the user-partitioned window.
+    //     last purchase with gaps forward-filled. Formulated WITHOUT a
+    //     grid⋈hourly join: each hourly row explodes across its own
+    //     gap span (hl .. lead(hl)−1, epoch-hour longs), so gap hours
+    //     inherit the origin row's value — exactly what
+    //     last(v, ignoreNulls) over a running frame produces, since v
+    //     is non-null on every hourly row. The explode runs AFTER the
+    //     key shuffle in the final stage (the earlier join form let
+    //     AQE broadcast the exploded grid from its tiny pre-explode
+    //     size estimate: a single 6.6 s build task at sf1 and a
+    //     driver OOM at scale), and long sequences replace per-element
+    //     calendar-interval arithmetic.
     "q_resample" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val hourly = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+        .select(col("user_id"),
+          (date_trunc("hour", col("ts")).cast("long") / 3600).cast("long").as("hl"),
           col("value"))
-      val hourly = ev.groupBy("user_id", "hr")
+        .groupBy("user_id", "hl")
         .agg(round(sum("value"), 2).as("v"), count(lit(1)).as("n"))
-      val grid = ev.groupBy("user_id")
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("hr")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .partitionBy("user_id").orderBy("hl")
+      hourly
+        .withColumn("next_hl", lead(col("hl"), 1).over(w))
+        .select(col("user_id"), col("n"), col("v"), col("hl").as("h0"),
+          explode(sequence(col("hl"),
+            coalesce(col("next_hl") - 1, col("hl")))).as("ghl"))
         .select(col("user_id"),
-          date_format(col("hr"), "yyyy-MM-dd HH:mm").as("hr"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          last(col("v"), ignoreNulls = true).over(w).as("ff_value"))
+          date_format(timestamp_seconds(col("ghl") * 3600),
+            "yyyy-MM-dd HH:mm").as("hr"),
+          when(col("ghl") === col("h0"), col("n")).otherwise(lit(0L)).as("n"),
+          col("v").as("ff_value"))
         .orderBy("user_id", "hr")
     }),
 

@@ -34,4 +34,39 @@ class ScaleGuardSweepSpec extends AnyFunSuite {
       graft.plans.ScaleGuard.unregister(spark)
     }
   }
+
+  test("no NEW gated query broadcasts an unhinted Generate (explode) build side") {
+    // size-only stats don't model the explode multiplier, so a
+    // planner-chosen broadcast of an exploded subtree can materialize
+    // arbitrarily more than estimated in one build task (q_resample's
+    // old grid join did exactly this: ~10 M rows in a single 6.6 s
+    // task at sf1 — fixed by restructuring). Hinted broadcasts and
+    // constant-multiplier explodes (salt replication) are exempt in
+    // the audit itself.
+    //
+    // The queries below are KNOWN to trip at tiny SF and are accepted
+    // deliberately: each is a candidate-pair / shingle pipeline whose
+    // exploded side is bucket-cap-bounded (maxBucket² pairs per
+    // bucket; shingles per doc bounded by doc length), and whose size
+    // estimate grows with the corpus — at production scale the
+    // estimate exceeds the broadcast threshold and the join reverts
+    // to a key shuffle (the sf1 run measures exactly that: linear
+    // shuffles, no broadcast builds). The pin is a tripwire for NEW
+    // queries introducing the pattern, not an endorsement of it.
+    val accepted = Set(
+      "q_cooccur", "q_dedup_embedding", "q_dedup_minhash",
+      "q_inverted_index", "q_linkage", "q_ngram_jaccard",
+      "q_repetition", "q_tfidf")
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val fs = graft.plans.ScaleGuard
+        .auditBroadcastGenerate(SparkEntry.queries(name)(spark, sf))
+      if (fs.isEmpty) None else Some(name)
+    }.toSet
+    val fresh = flagged -- accepted
+    assert(fresh.isEmpty,
+      s"new broadcast-of-explode build sides (restructure or hint): $fresh")
+    val stale = accepted -- flagged
+    assert(stale.isEmpty,
+      s"accepted list is stale — these no longer trip, remove them: $stale")
+  }
 }

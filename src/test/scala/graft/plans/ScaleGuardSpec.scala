@@ -166,6 +166,26 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(ScaleGuard.auditPhysical(df, broadcastableBytes = 10L * 1024 * 1024).isEmpty)
   }
 
+  test("auditBroadcastGenerate flags an exploded build side, exempts hinted ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fact = (1L to 20000L).map(i => (i % 500, i)).toDF("k", "x")
+    // a tiny agg whose explode multiplies it ~1000x: stats see the
+    // pre-explode size, so the planner broadcasts the exploded side
+    val grid = fact.groupBy("k").agg(min("x").as("lo"))
+      .select($"k", explode(sequence($"lo", $"lo" + 999)).as("g"))
+    val joined = fact.join(grid, Seq("k"))
+    val findings = ScaleGuard.auditBroadcastGenerate(joined)
+    assert(findings.nonEmpty, joined.queryExecution.sparkPlan.toString)
+    assert(findings.head.contains("Generate"))
+    // the same shape explicitly hinted is a conscious opt-in
+    val hintedJoin = fact.join(broadcast(grid), Seq("k"))
+    assert(ScaleGuard.auditBroadcastGenerate(hintedJoin).isEmpty,
+      hintedJoin.queryExecution.sparkPlan.toString)
+    // but exemptHinted=false still reports it
+    assert(ScaleGuard.auditBroadcastGenerate(hintedJoin, exemptHinted = false).nonEmpty)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -23,17 +23,25 @@ object Multimodal {
   /** An opaque media row: payload + minimal typed metadata. */
   final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Decoder output: metadata extracted from the payload. */
+  /** Decoder output: metadata extracted from the payload. Image rows
+    * carry width/height (parsed); audio rows carry
+    * sample_rate/channels/duration_ms (parsed) with null dimensions;
+    * video stand-ins keep the documented stub fields.
+    */
   final case class DecodedMeta(doc_id: Long, media_type: String,
-                               payload_bytes: Long, width: Int, height: Int, n_frames: Int)
+                               payload_bytes: Long, width: Option[Int], height: Option[Int],
+                               n_frames: Int, sample_rate: Option[Int],
+                               channels: Option[Int], duration_ms: Option[Long])
 
   /** Build a media table from any source column. Image rows
     * (doc_id % 3 == 0) are wrapped in a REAL container: a valid PNG
     * (signature + CRC-correct IHDR/tEXt/IEND chunks) for even halves,
-    * a JPEG marker stream (SOI + SOF0 + EOI) for the rest — with
-    * dimensions derived deterministically from the content length, so
-    * the SQL oracle can predict what [[parseImageHeader]] must read
-    * back. Audio/video rows carry the raw UTF-8 bytes (stand-ins for
+    * a JPEG marker stream (SOI + SOF0 + EOI) for the rest. Audio rows
+    * (doc_id % 3 == 1) are wrapped in a REAL RIFF/WAVE container
+    * (fmt + data chunks, 16-bit PCM) whose rate/channels derive
+    * deterministically from the content length — so the SQL oracle
+    * can predict what [[parseImageHeader]]/[[parseWavHeader]] must
+    * read back. Video rows carry the raw UTF-8 bytes (stand-ins for
     * real blobs).
     */
   def attachPayload(df: DataFrame, idCol: String, contentCol: String): Dataset[MediaRecord] = {
@@ -51,7 +59,9 @@ object Multimodal {
             val h = 1 + n % 389
             val bytes = if (id % 6 == 0) pngWrap(raw, w, h) else jpegWrap(raw, w, h)
             MediaRecord(id, "image", bytes)
-          case 1 => MediaRecord(id, "audio", raw)
+          case 1 =>
+            MediaRecord(id, "audio",
+              wavWrap(raw, 8000 + (n % 8) * 4000, 1 + n % 2))
           case _ => MediaRecord(id, "video", raw)
         }
       })
@@ -147,22 +157,99 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Parsed WAV metadata: rate (Hz), channel count, bits per sample,
+    * sample frames in the data chunk.
+    */
+  final case class WavMeta(sampleRate: Int, channels: Int, bits: Int, nSamples: Long)
+
+  /** Pure-JVM RIFF/WAVE header parse (RIFF spec; fmt layout per
+    * WAVEFORMAT / RFC 2361): "RIFF" + le32 size + "WAVE", then a
+    * chunk walk — each chunk is a 4-byte id + le32 size + payload,
+    * padded to word alignment. Handles chunks in any order and skips
+    * unknown ones (LIST/INFO, fact, cue). Requires a "fmt " chunk
+    * (≥16 bytes: format, channels, rate, byte-rate, block-align,
+    * bits) and a "data" chunk; sample frames = data length ÷
+    * block-align. Returns None on anything malformed.
+    */
+  private[functions] def parseWavHeader(b: Array[Byte]): Option[WavMeta] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+    var dataLen: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+      val id = tag(i)
+      val len = le32(i + 4)
+      if (len < 0 || i + 8 + len > b.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 20), le16(i + 22)))
+      } else if (id == "data") {
+        dataLen = Some(len)
+      }
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    for {
+      (ch, rate, blockAlign, bits) <- fmt
+      dl <- dataLen
+      if ch > 0 && rate > 0 && blockAlign > 0
+    } yield WavMeta(rate, ch, bits, dl / blockAlign)
+  }
+
+  /** A VALID minimal 16-bit PCM WAV carrying `data` as its data
+    * chunk: RIFF(12) + fmt(24) + data header(8) + data + one pad byte
+    * when data.length is odd. Total size is exactly
+    * data.length + 44 + (data.length & 1) — the oracle's
+    * payload_bytes formula.
+    */
+  private[functions] def wavWrap(data: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+    val pad = data.length & 1
+    val out = new Array[Byte](44 + data.length + pad)
+    def leS(i: Int, s: String): Unit = { val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, out, i, 4) }
+    def le32(i: Int, v: Long): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte }
+    val blockAlign = channels * 2
+    leS(0, "RIFF"); le32(4, 36L + data.length + pad); leS(8, "WAVE")
+    leS(12, "fmt "); le32(16, 16L)
+    le16(20, 1) // PCM
+    le16(22, channels); le32(24, sampleRate.toLong)
+    le32(28, sampleRate.toLong * blockAlign); le16(32, blockAlign); le16(34, 16)
+    leS(36, "data"); le32(40, data.length.toLong)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
   // ======================= DECODE =========================
-  // Image dimensions are parsed for REAL from PNG/JPEG headers; a
-  // parsed image is one frame. Payloads with no recognizable image
-  // container (audio/video stand-ins) fall back to the deterministic
-  // STUB that derives fake dimensions from the length — a real
-  // audio/video codec (FLAC/MP4) would replace only that branch.
+  // Image dimensions are parsed for REAL from PNG/JPEG headers and
+  // audio metadata for REAL from RIFF/WAVE headers; a parsed image or
+  // audio stream is one frame. Payloads with no recognizable
+  // container (video stand-ins) fall back to the deterministic STUB
+  // that derives fake dimensions from the length — a real video
+  // codec (MP4) would replace only that branch.
   private def decodeOne(r: MediaRecord): DecodedMeta =
     parseImageHeader(r.payload) match {
       case Some((_, w, h)) =>
-        DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong, w, h, n_frames = 1)
-      case None =>
-        val n = r.payload.length.toLong
-        DecodedMeta(r.doc_id, r.media_type, n,
-          width = (64L + n % 577L).toInt,
-          height = (64L + n % 433L).toInt,
-          n_frames = (1L + n % 30L).toInt)
+        DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong,
+          Some(w), Some(h), n_frames = 1, None, None, None)
+      case None => parseWavHeader(r.payload) match {
+        case Some(wm) =>
+          DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong,
+            None, None, n_frames = 1, Some(wm.sampleRate), Some(wm.channels),
+            Some(wm.nSamples * 1000L / wm.sampleRate))
+        case None =>
+          val n = r.payload.length.toLong
+          DecodedMeta(r.doc_id, r.media_type, n,
+            width = Some((64L + n % 577L).toInt),
+            height = Some((64L + n % 433L).toInt),
+            n_frames = (1L + n % 30L).toInt, None, None, None)
+      }
     }
   // =============================================================
 

@@ -279,12 +279,15 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     // 39. Multimodal: binary payload + typed metadata through the
-    //     batched decode-stub pipeline (real mapPartitions plumbing;
-    //     oracle mirrors the stub's deterministic arithmetic).
+    //     batched decode pipeline (real mapPartitions plumbing; PNG/
+    //     JPEG dimensions and WAV rate/channels/duration are parsed
+    //     from genuine containers, video stays on the documented
+    //     stub; oracle recomputes everything from content length).
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s, Tables.spread(Tables.documents(s, d)), "doc_id", "text")
         .select(col("doc_id"), col("media_type"), col("payload_bytes"),
-          col("width"), col("height"), col("n_frames"))
+          col("width"), col("height"), col("n_frames"),
+          col("sample_rate"), col("channels"), col("duration_ms"))
         .orderBy("doc_id"))
   )
 
@@ -509,23 +512,35 @@ object LlmQueries {
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM stamped ORDER BY doc_id""".stripMargin,
     // image rows carry REAL PNG/JPEG containers (+57/+17 wrapper
-    // bytes) whose headers the engine must parse back; the oracle
-    // recomputes the embedded dimensions from the content length, so
-    // a broken header parser hash-mismatches. Audio/video rows stay
-    // on the documented stub formulas.
+    // bytes) and audio rows REAL RIFF/WAVE containers (+44 + odd-pad)
+    // whose headers the engine must parse back; the oracle recomputes
+    // the embedded dimensions / rate / channels / duration from the
+    // content length, so a broken header parser hash-mismatches.
+    // Video rows stay on the documented stub formulas. Audio duration:
+    // samples = data_len ÷ block_align (16-bit PCM → 2·channels),
+    // duration_ms = samples·1000 ÷ rate, all integer division.
     "q_multimodal_meta" ->
-      """SELECT doc_id,
+      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CASE WHEN doc_id % 6 = 0 THEN octet_length(encode(text)) + 57
-        |       WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) + 17
-        |       ELSE octet_length(encode(text)) END AS payload_bytes,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 509
-        |        ELSE 64 + octet_length(encode(text)) % 577 END)::INT AS width,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 389
-        |        ELSE 64 + octet_length(encode(text)) % 433 END)::INT AS height,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 1
-        |        ELSE 1 + octet_length(encode(text)) % 30 END)::INT AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |  CASE WHEN doc_id % 6 = 0 THEN n + 57
+        |       WHEN doc_id % 3 = 0 THEN n + 17
+        |       WHEN doc_id % 3 = 1 THEN n + 44 + n % 2
+        |       ELSE n END AS payload_bytes,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 1 + n % 509
+        |        WHEN doc_id % 3 = 1 THEN NULL
+        |        ELSE 64 + n % 577 END)::INT AS width,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 1 + n % 389
+        |        WHEN doc_id % 3 = 1 THEN NULL
+        |        ELSE 64 + n % 433 END)::INT AS height,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 1 + n % 30 ELSE 1 END)::INT AS n_frames,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 8000 + (n % 8) * 4000
+        |        ELSE NULL END)::INT AS sample_rate,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 1 + n % 2 ELSE NULL END)::INT AS channels,
+        |  (CASE WHEN doc_id % 3 = 1 THEN
+        |          ((n // ((1 + n % 2) * 2)) * 1000) // (8000 + (n % 8) * 4000)
+        |        ELSE NULL END)::BIGINT AS duration_ms
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -11,7 +11,11 @@ class MultimodalSpec extends AnyFunSuite {
     val df = Seq((0L, "abc"), (1L, "defgh"), (2L, "ij")).toDF("doc_id", "text")
     val media = Multimodal.attachPayload(df, "doc_id", "text").collect()
     assert(media.map(_.media_type).sorted.toSeq == Seq("audio", "image", "video"))
-    assert(media.find(_.doc_id == 1L).get.payload.toSeq == "defgh".getBytes("UTF-8").toSeq)
+    // audio rows are genuine RIFF/WAVE containers carrying the data
+    val wav = media.find(_.doc_id == 1L).get.payload
+    assert(wav.length == 5 + 44 + 1) // 5 data bytes, odd -> 1 pad byte
+    assert(new String(wav.slice(44, 49), "UTF-8") == "defgh")
+    assert(media.find(_.doc_id == 2L).get.payload.toSeq == "ij".getBytes("UTF-8").toSeq)
   }
 
   test("feature extraction: unit-norm fixed-dim embeddings feed Similarity ops") {
@@ -34,12 +38,12 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resize stub: payload reshaped to w*h bytes, metadata type preserved") {
-    val df = Seq((1L, "abcdef")).toDF("doc_id", "text") // audio: raw payload
+    val df = Seq((2L, "abcdef")).toDF("doc_id", "text") // video: raw payload
     val resized = Multimodal.resize(Multimodal.attachPayload(df, "doc_id", "text"), 4, 3)
       .collect().head
     assert(resized.payload.length == 12)
     assert(new String(resized.payload.take(6), "UTF-8") == "abcdef") // cycled content
-    assert(resized.media_type == "audio")
+    assert(resized.media_type == "video")
   }
 
   test("frame sampling: one row explodes to n evenly spaced frames") {
@@ -52,21 +56,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3, 4))
   }
 
-  test("decode: image rows parse REAL container headers, others use the stub") {
-    // 0 → PNG-wrapped, 3 → JPEG-wrapped, 1 → audio (raw, stub dims)
-    val df = Seq((0L, "abc"), (3L, "abcde"), (1L, "xyzw")).toDF("doc_id", "text")
+  test("decode: image and audio rows parse REAL container headers, video uses the stub") {
+    // 0 → PNG-wrapped, 3 → JPEG-wrapped, 1 → WAV-wrapped, 2 → video stub
+    val df = Seq((0L, "abc"), (3L, "abcde"), (1L, "xyzw"), (2L, "qrs"))
+      .toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(spark, df, "doc_id", "text")
       .as[Multimodal.DecodedMeta].collect().map(m => m.doc_id -> m).toMap
     val png = meta(0L)
     assert(png.payload_bytes == 3L + 57)
-    assert(png.width == 1 + 3 % 509 && png.height == 1 + 3 % 389 && png.n_frames == 1)
+    assert(png.width.contains(1 + 3 % 509) && png.height.contains(1 + 3 % 389) && png.n_frames == 1)
+    assert(png.sample_rate.isEmpty && png.duration_ms.isEmpty)
     val jpg = meta(3L)
     assert(jpg.payload_bytes == 5L + 17)
-    assert(jpg.width == 1 + 5 % 509 && jpg.height == 1 + 5 % 389 && jpg.n_frames == 1)
-    val raw = meta(1L)
-    assert(raw.payload_bytes == 4L)
-    assert(raw.width == 64 + 4 % 577 && raw.height == 64 + 4 % 433)
-    assert(raw.n_frames == 1 + 4 % 30)
+    assert(jpg.width.contains(1 + 5 % 509) && jpg.height.contains(1 + 5 % 389) && jpg.n_frames == 1)
+    val wav = meta(1L)
+    assert(wav.payload_bytes == 4L + 44) // even data length: no pad
+    assert(wav.width.isEmpty && wav.height.isEmpty && wav.n_frames == 1)
+    assert(wav.sample_rate.contains(8000 + (4 % 8) * 4000)) // 24 kHz
+    assert(wav.channels.contains(1 + 4 % 2)) // mono
+    // 4 data bytes / block-align 2 = 2 samples -> 2000/24000 ms -> 0
+    assert(wav.duration_ms.contains(0L))
+    val vid = meta(2L)
+    assert(vid.payload_bytes == 3L)
+    assert(vid.width.contains(64 + 3 % 577) && vid.height.contains(64 + 3 % 433))
+    assert(vid.n_frames == 1 + 3 % 30)
+    assert(vid.sample_rate.isEmpty)
+  }
+
+  test("parseWavHeader walks real RIFF chunk streams") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // out-of-order chunks with an unknown LIST chunk (odd length,
+    // word-aligned) BEFORE fmt — the walk must skip by chunk length
+    val data = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val canonical = Multimodal.wavWrap(data, 44100, 2)
+    assert(Multimodal.parseWavHeader(canonical)
+      .contains(Multimodal.WavMeta(44100, 2, 16, 2))) // 8 bytes / block 4
+    val reordered = bytes('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'L', 'I', 'S', 'T', 3, 0, 0, 0, 'x', 'y', 'z', 0, // odd len + pad
+      'd', 'a', 't', 'a', 6, 0, 0, 0, 9, 9, 9, 9, 9, 9,
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 1, 0, 0x40, 0x1F, 0, 0, 0x80, 0x3E, 0, 0, 2, 0, 16, 0)
+    assert(Multimodal.parseWavHeader(reordered)
+      .contains(Multimodal.WavMeta(8000, 1, 16, 3)))
+    // truncation, bad magic, zero block-align all refuse cleanly
+    assert(Multimodal.parseWavHeader(canonical.take(30)).isEmpty)
+    assert(Multimodal.parseWavHeader("RIFFxxxxFLAC".getBytes("US-ASCII")).isEmpty)
+    val zeroAlign = canonical.clone(); zeroAlign(32) = 0; zeroAlign(33) = 0
+    assert(Multimodal.parseWavHeader(zeroAlign).isEmpty)
+  }
+
+  test("wavWrap round-trips and pads odd data lengths to word alignment") {
+    val odd = "12345".getBytes("UTF-8")
+    val wav = Multimodal.wavWrap(odd, 16000, 1)
+    assert(wav.length == odd.length + 44 + 1)
+    assert(Multimodal.parseWavHeader(wav)
+      .contains(Multimodal.WavMeta(16000, 1, 16, 2))) // 5 / 2 = 2 samples
   }
 
   test("parseImageHeader reads a genuine 1x1 PNG (external file, correct CRCs)") {

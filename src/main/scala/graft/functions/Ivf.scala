@@ -80,13 +80,24 @@ object Ivf {
     * column so argmax doesn't evaluate the k dot products twice
     * (array_position + array_max would each re-evaluate a shared
     * subtree).
+    *
+    * Zero-norm vectors get cell −1 (no direction → never matches a
+    * probe; probes themselves are 0..k−1). The `coalesce` is
+    * ALSO a load-bearing plan property: it makes `ivf_cell`
+    * non-nullable, so the `IsNotNull(ivf_cell)` an equi-join on the
+    * cell infers constant-folds away instead of being pushed below
+    * the spread exchange — pushed, it re-computes this whole argmax
+    * (with the normalization inlined per dot, ~2k FLOPs × k) per row
+    * inside the often single-task scan stage of a small source file:
+    * measured 14 s of the old 15.8 s q_ann_ivf total at sf1.
     */
   def assignCells(df: DataFrame, vecCol: String,
                   centroids: Array[Array[Double]]): DataFrame =
     Similarity.normalized(df, vecCol)
       .withColumn("_dots", centroidDots(col(vecCol), centroids))
       .withColumn("ivf_cell",
-        (array_position(col("_dots"), array_max(col("_dots"))) - 1).cast("int"))
+        coalesce((array_position(col("_dots"), array_max(col("_dots"))) - 1)
+          .cast("int"), lit(-1)))
       .drop("_dots")
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, rerank

@@ -120,6 +120,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("n_chars"), s"q_dedup_exact reads pruned-away columns:\n$p")
   }
 
+  test("ivf cell assignment is never recomputed by a pushed-down join null filter") {
+    // the probe equi-join infers IsNotNull(ivf_cell); if the cell id
+    // is nullable that predicate gets pushed below the spread
+    // exchange and re-evaluates the whole argmax assignment (with
+    // normalization inlined per dot) per row in the single-task scan
+    // stage — 14 s of q_ann_ivf's 15.8 s at sf1. assignCells makes
+    // the cell non-nullable so the inferred filter constant-folds.
+    Seq("q_ann_ivf", "q_ann_ivfpq").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+      assert(!p.matches("(?s).*isnotnull\\([^\\n]*array_position.*"),
+        s"$q re-computes the cell argmax in a pushed null filter:\n${p.take(2000)}")
+    }
+  }
+
   test("no static broadcast miss across headline queries (auditPhysical)") {
     // every sort-merge/shuffled-hash join in the gated headliners must
     // have both sides genuinely above the broadcast threshold

@@ -132,6 +132,19 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.matches("(?s).*isnotnull\\([^\\n]*array_position.*"),
         s"$q re-computes the cell argmax in a pushed null filter:\n${p.take(2000)}")
     }
+    // the same trap generalized: NO gated query may carry a null
+    // filter that re-evaluates a composite quantizer/signature
+    // expression (a plain array_unit in an explicit isNotNull guard
+    // is one cheap pass; argmax / PQ encode / hyperplane signatures
+    // inlined into an inferred IsNotNull multiply the work)
+    val composite = Seq("array_position", "pq_encode", "hyperplane_sig")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+      composite.foreach { e =>
+        assert(!p.matches(s"(?s).*isnotnull\\([^\\n]*$e.*"),
+          s"$q re-computes $e inside a null filter:\n${p.take(2000)}")
+      }
+    }
   }
 
   test("no static broadcast miss across headline queries (auditPhysical)") {

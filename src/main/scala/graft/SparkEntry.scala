@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.AdvancedQueries.queries ++
       graft.queries.TpchExtraQueries.queries ++
-      graft.queries.GovernanceQueries.queries
+      graft.queries.GovernanceQueries.queries ++
+      graft.queries.SpanQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.ExtendedQueries.oracles ++
       graft.queries.AdvancedQueries.oracles ++
       graft.queries.TpchExtraQueries.oracles ++
-      graft.queries.GovernanceQueries.oracles
+      graft.queries.GovernanceQueries.oracles ++
+      graft.queries.SpanQueries.oracles
 }

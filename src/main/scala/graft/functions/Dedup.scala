@@ -62,6 +62,24 @@ object Dedup {
         .otherwise(array(concat_ws(" ", ts))))
   }
 
+  /** All k-word spans of a document as md5 hex digests (empty array
+    * for documents shorter than k words — span-level dedup has no
+    * meaningful fallback for short docs, unlike [[shingles]]). md5
+    * rather than [[shingleHashes]]'s xxhash64 because span-dedup
+    * OUTPUTS the span identity (the hash is a result column the
+    * DuckDB oracle must reproduce, not just grouping plumbing); the
+    * whole expression stays in whole-stage codegen either way. At
+    * 100 TB the shuffle carries 32-byte hex + a doc id per span —
+    * never the span text.
+    */
+  def spanHashesMd5(textCol: Column, k: Int): Column = {
+    val ts = tokens(textCol)
+    when(size(ts) >= k,
+      transform(sequence(lit(0), size(ts) - k),
+        i => md5(concat_ws(" ", slice(ts, i + 1, lit(k))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** One row per k-token shingle, carrying only the shingle's 64-bit
     * hash: tokens are exploded and hashed together with their k-1
     * successors via window `lead` — no shingle string is ever built,
@@ -269,6 +287,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Asymmetric n-gram containment on candidate pairs:
+    * cont_a = |A∩B| / |A| and cont_b = |A∩B| / |B|. Containment is
+    * the quote/subset detector Jaccard structurally misses — a short
+    * doc fully embedded in a long one has cont_short = 1.0 but a
+    * Jaccard near |short|/|long|. Same hashed-shingle-set mechanics
+    * as [[ngramJaccard]] (set ops compare longs, not strings); both
+    * ratios divide the same integers in any engine, so the doubles
+    * are bit-identical to a SQL oracle's.
+    */
+  def ngramContainment(df: DataFrame, candidates: DataFrame, idCol: String,
+                       textCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, shingleK)
+      .groupBy("id").agg(collect_set(col("h")).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter / size(col("sh_a"))).as("cont_a"),
+        (inter / size(col("sh_b"))).as("cont_b"))
   }
 
   /** 64-bit SimHash per doc: explode tokens, hash each once, then 64

@@ -57,6 +57,34 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j((1L, 2L)) - 10.0 / 12.0) < 1e-9)
   }
 
+  test("ngram containment: subset doc scores 1.0 toward its superset") {
+    // doc 6 is a strict prefix of doc 5 → every shingle of 6 is in 5:
+    // cont(6→5) = 1.0 while Jaccard is only |6|/|5| — the relation
+    // Jaccard under-scores and containment is built to catch.
+    val d = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (6L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val cands = Seq((5L, 6L)).toDF("id_a", "id_b")
+    val r = Dedup.ngramContainment(d, cands, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    // A=doc5 (6 shingles), B=doc6 (3 shingles), all of B's in A
+    assert(r == ((5L, 6L, 3.0 / 6.0, 1.0)))
+  }
+
+  test("spanHashesMd5: one hash per k-window; short docs yield none") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b")).toDF("id", "text")
+      .select(col("id"), Dedup.spanHashesMd5(col("text"), 4).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(d(1L).length == 2 && d(1L).forall(_.length == 32))
+    assert(d(2L).isEmpty)
+    // identical windows hash identically across docs
+    val shared = Seq((1L, "x y z w"), (2L, "x y z w")).toDF("id", "text")
+      .select(Dedup.spanHashesMd5(col("text"), 4).as("s"))
+      .as[Seq[String]].collect()
+    assert(shared(0) == shared(1))
+  }
+
   test("simhash: identical docs get identical hashes; hamming pairs found") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Long)].collect()

@@ -144,6 +144,66 @@ object Curation {
         countDistinct("bench_id").as("n_bench_docs"))
   }
 
+  /** Benchmark-set decontamination: for each corpus document, the
+    * fraction of its distinct k-word grams that appear anywhere in the
+    * benchmark/eval set — the train-test leakage scan run before any
+    * data release (cf. the n-gram overlap decontamination used for
+    * GPT-3/Gopher-style corpora; 13-gram at web scale). Reports EVERY
+    * corpus doc, including 0-overlap ones, so release gates can
+    * threshold on `overlap_frac` downstream.
+    *
+    * `bench` is an explicit separate table — eval suites are megabytes
+    * against a 100 TB corpus, so its distinct gram set is
+    * hint-broadcast BY CONSTRUCTION (the bound is structural, not a
+    * planner estimate) and the corpus side streams through a map-side
+    * hash probe: one pass over the corpus tokens, grams reduced to
+    * 64-bit xxhash64 in the scan stage (counts identical to string
+    * semantics modulo 2⁻⁶⁴ collisions), corpus text never shuffles,
+    * and the only exchange is the per-doc aggregation — which reuses
+    * [[Dedup.spanRows]]' doc-id partitioning, so nothing re-shuffles.
+    *
+    * Returns (idCol, n_grams, n_hit, overlap_frac); docs shorter than
+    * k words have no grams and are absent (nothing to leak).
+    */
+  def decontamOverlap(corpus: DataFrame, bench: DataFrame,
+                      idCol: String, textCol: String, k: Int): DataFrame =
+    decontamOverlapGrams(corpus,
+      Dedup.spanRows(bench, idCol, textCol, k).select(col("h")).distinct(),
+      idCol, textCol, k)
+
+  /** [[decontamOverlap]]'s probe half against an ALREADY-DISTINCT gram
+    * hash table `benchGrams` (column `h`) — the persisted-index face:
+    * build the gram set once with [[writeDecontamIndex]], then score
+    * any corpus (or any micro-batch: [[graft.streaming.Streams
+    * .decontamIngest]]) against it without re-shingling the benchmark.
+    */
+  def decontamOverlapGrams(corpus: DataFrame, benchGrams: DataFrame,
+                           idCol: String, textCol: String, k: Int): DataFrame = {
+    val bg = benchGrams.select(col("h")).withColumn("hit", lit(1))
+    Dedup.spanRows(corpus, idCol, textCol, k)
+      .dropDuplicates("id", "h")
+      .join(broadcast(bg), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit") / col("n_grams")).as("overlap_frac"))
+  }
+
+  /** Build (or atomically refresh) the persisted benchmark gram index
+    * [[decontamOverlapGrams]] probes: the distinct 64-bit gram hashes
+    * of the benchmark set, under a [[graft.operators.Versioned]] root
+    * so a refresh (new eval suite version) lands atomically while
+    * scoring continues against the previous version. Returns the
+    * committed version dir.
+    */
+  def writeDecontamIndex(bench: DataFrame, idCol: String, textCol: String,
+                         k: Int, indexPath: String): String =
+    graft.operators.Versioned.commitNew(bench.sparkSession, indexPath) { dir =>
+      Dedup.spanRows(bench, idCol, textCol, k)
+        .select(col("h")).distinct()
+        .write.parquet(dir)
+    }
+
   /** First hex digit of the content md5 — the deterministic bucketing
     * primitive behind [[sampleFlag]] and [[splitAssign]]. Content-keyed
     * (not id-keyed) so exact duplicates always land in one bucket and

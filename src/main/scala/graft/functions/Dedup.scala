@@ -62,23 +62,52 @@ object Dedup {
         .otherwise(array(concat_ws(" ", ts))))
   }
 
-  /** All k-word spans of a document as md5 hex digests (empty array
-    * for documents shorter than k words — span-level dedup has no
-    * meaningful fallback for short docs, unlike [[shingles]]). md5
-    * rather than [[shingleHashes]]'s xxhash64 because span-dedup
-    * OUTPUTS the span identity (the hash is a result column the
-    * DuckDB oracle must reproduce, not just grouping plumbing); the
-    * whole expression stays in whole-stage codegen either way. At
-    * 100 TB the shuffle carries 32-byte hex + a doc id per span —
-    * never the span text.
+  /** Shared span-row machinery: one row per k-word span occurrence,
+    * tokens exploded once and each span's k tokens assembled via
+    * window `lead` — the same codegen'd construction as
+    * [[shingleHashes]] (Spark's array higher-order functions are
+    * interpreted; a per-doc `transform` building span strings costs
+    * 3-5× this shape). Documents shorter than k words contribute
+    * NOTHING — span-level dedup has no short-doc fallback, unlike
+    * [[shingles]]. `hash` turns the k token columns into the span key.
     */
-  def spanHashesMd5(textCol: Column, k: Int): Column = {
-    val ts = tokens(textCol)
-    when(size(ts) >= k,
-      transform(sequence(lit(0), size(ts) - k),
-        i => md5(concat_ws(" ", slice(ts, i + 1, lit(k))).cast("binary"))))
-      .otherwise(array().cast("array<string>"))
+  private def spanRowsBy(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, hash: Seq[Column] => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = tokens(col(textCol))
+    // pre-partition by doc id: parallelizes tokenize/explode out of a
+    // single row group; the window and downstream per-doc aggregations
+    // reuse this partitioning (no re-shuffle)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val long = spread
+      .filter(size(ts) >= k)
+      .select(col(idCol).as("id"), posexplode(ts))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("col") +: (1 until k).map(j => lead(col("col"), j).over(w))
+    long
+      .select(col("id"), hash(parts).as("h"), parts.last.isNotNull.as("full"))
+      .filter(col("full")).drop("full")
   }
+
+  /** (id, h) rows, one per k-word span occurrence, h = 64-bit
+    * xxhash64 of the span's token sequence — the PLUMBING form for
+    * span-level dedup/decontamination where the hash is only a
+    * join/group key (8-byte shuffle keys, counts identical to
+    * string-span semantics modulo 2⁻⁶⁴ collisions). Use
+    * [[spanRowsMd5]] when the span hash is itself an output column.
+    */
+  def spanRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    spanRowsBy(df, idCol, textCol, k, ps => xxhash64(ps: _*))
+
+  /** (id, hb) rows, one per k-word span occurrence, hb = 16-byte
+    * BINARY md5 of the space-joined span — for span-level dedup whose
+    * OUTPUT is the span identity (a result column a SQL oracle must
+    * reproduce). Binary halves the shuffle width of 32-char hex;
+    * render with `lower(hex(hb))` only at the output projection.
+    */
+  def spanRowsMd5(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    spanRowsBy(df, idCol, textCol, k,
+      ps => unhex(md5(concat_ws(" ", ps: _*).cast("binary"))))
 
   /** One row per k-token shingle, carrying only the shingle's 64-bit
     * hash: tokens are exploded and hashed together with their k-1
@@ -264,7 +293,15 @@ object Dedup {
       .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("_df").between(minDf, maxDf))
       .drop("_df")
+    // merge-hinted: both sides are explode-derived and size-only stats
+    // don't model the explode multiplier, so an unhinted plan lets the
+    // planner broadcast one side at small estimates — a build that can
+    // be arbitrarily larger than estimated (ScaleGuard's
+    // auditBroadcastGenerate). The self-join shuffles by h either way
+    // at corpus scale; pinning sort-merge just makes the small-SF plan
+    // the same safe shape.
     kept.select(col("h"), col("id").as("id_a"))
+      .hint("merge")
       .join(kept.select(col("h"), col("id").as("id_b")), "h")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
@@ -281,9 +318,13 @@ object Dedup {
                    textCol: String, shingleK: Int = 3): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, shingleK)
       .groupBy("id").agg(collect_set(col("h")).as("sh"))
+    // merge-hinted: the sh side carries collect_set arrays built from
+    // an explode — letting the planner broadcast it on size-only
+    // stats risks an arbitrarily-underestimated build (see
+    // sharedShingleEdges); both joins key-shuffle by id instead
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge"), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -303,9 +344,11 @@ object Dedup {
     val sh = shingleHashes(df, idCol, textCol, shingleK)
       .groupBy("id").agg(collect_set(col("h")).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    // merge-hinted for the same reason as ngramJaccard: never let the
+    // planner broadcast a collect_set-of-explode build side
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge"), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         (inter / size(col("sh_a"))).as("cont_a"),
         (inter / size(col("sh_b"))).as("cont_b"))

@@ -158,11 +158,15 @@ object Versioned {
     * once and union base + renamed deltas; [[prune]]'s keep-2 window
     * covers them across a compaction exactly as before.
     *
-    * Takes the same root `_LOCK` as [[commitNew]], so an append racing
-    * a rebuild/compaction fails fast instead of landing a delta in a
-    * version about to be superseded (the compactor snapshotted the
-    * delta list before this append — its rows would vanish from the
-    * compacted version).
+    * Takes the same root `_LOCK` as [[commitNew]], AND re-resolves the
+    * root under that lock requiring `versionDir` to still be the
+    * current version — so an append racing a rebuild/compaction fails
+    * fast even when the caller resolved (and computed its delta
+    * against) `versionDir` before the lock was taken. Without the
+    * re-check a compaction landing in that window leaves `versionDir`
+    * committed-but-superseded (prune's keep-2 retains it for readers)
+    * and the delta's rows would silently vanish from every subsequent
+    * read.
     */
   def commitDelta(spark: SparkSession, root: String, versionDir: String)
                  (write: String => Unit): String = {
@@ -173,6 +177,18 @@ object Versioned {
       s"$versionDir is not a committed version — deltas append to committed versions only")
     val lock = acquireLock(f, rootP)
     try {
+      // re-resolve under the lock: the caller resolved versionDir (and
+      // typically computed its delta against it) BEFORE we serialized,
+      // so a rebuild/compaction landing in that window would leave
+      // versionDir committed-but-superseded (prune keeps it for
+      // readers) — appending there silently drops the rows from every
+      // subsequent read. The _COMMITTED check above can't see this;
+      // only comparing against the CURRENT pointer can.
+      val current = resolve(spark, root)
+      if (!current.map(new Path(_)).contains(vdir))
+        throw new java.io.IOException(
+          s"$versionDir was superseded (current: ${current.getOrElse("none")}) " +
+            "while this append was being prepared — re-resolve the index and retry")
       // reclaim tmp dirs abandoned by crashed appends (hidden names —
       // never visible to readers, but they accumulate)
       f.listStatus(vdir).foreach { s =>

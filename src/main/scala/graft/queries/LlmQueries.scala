@@ -409,7 +409,7 @@ object LlmQueries {
         |              FROM embeddings))
         |  WHERE nrm <> 0
         |), hp AS (
-        |  SELECT min(h)::INT AS half FROM range(2, 17) t(h)
+        |  SELECT coalesce(min(h), 16)::INT AS half FROM range(2, 17) t(h)
         |  WHERE (1::BIGINT << h) * 125 >= (SELECT count(*) FROM nv)
         |), sig AS (
         |  SELECT id, u,

@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Dedup
+import graft.functions.{Curation, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Eighth query wave: span-level dedup and decontamination — the
@@ -11,19 +12,22 @@ import org.apache.spark.sql.functions._
   * "deduplicating training data" line of work, e.g. exact-substring
   * dedup via suffix structures; here re-expressed as fixed-k span
   * hashing, the shape that distributes). Everything shuffles hashes
-  * and ids, never text:
+  * and ids, never text — and the plumbing hashes are 8-byte xxhash64
+  * (16-byte binary md5 only where the span identity is itself an
+  * output column):
   *
   *  - span dedup: which exact k-word passages repeat across
   *    documents (boilerplate, licence blocks, templated intros);
   *  - per-doc duplicated-span fraction: how much of each document is
   *    made of corpus-repeated passages — the keep/trim/drop signal
-  *    span-level dedup acts on;
-  *  - decontamination overlap: fraction of a doc's k-grams present
-  *    in a benchmark/eval gram set — the train-test leakage scan run
-  *    before any release (benchmark side is distinct-hashed and
-  *    broadcast: eval suites are MBs against a 100 TB corpus);
+  *    span-level dedup acts on (joinless: a window over the span
+  *    hash, so there is no build side for a planner to broadcast);
+  *  - decontamination overlap: [[Curation.decontamOverlap]] against
+  *    an explicit benchmark table (source 'src0' stands in for an
+  *    eval suite) — bench grams are hint-broadcast by construction;
   *  - containment: asymmetric |A∩B|/|A| on blocked candidate pairs —
-  *    catches subset/quote relations whole-doc Jaccard misses.
+  *    catches subset/quote relations whole-doc Jaccard misses
+  *    (merge-hinted joins inside [[Dedup.ngramContainment]]).
   */
 object SpanQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -41,66 +45,58 @@ object SpanQueries {
   val queries: Map[String, Q] = Map(
     // 105. Cross-document repeated spans: every k-word passage
     //      appearing in ≥2 distinct documents, with its reach and
-    //      first holder. Spans are reduced to md5 in the scan stage —
-    //      the groupBy shuffles (32-byte hex, doc_id) pairs with
-    //      map-side partial aggregation, and output is bounded by the
-    //      number of *repeated* spans, not corpus size.
+    //      first holder. Spans are reduced to BINARY md5 in the scan
+    //      stage (16-byte keys; hex rendered only at the output
+    //      projection) — the groupBy shuffles (hash, doc_id) pairs
+    //      with map-side partial aggregation, and output is bounded by
+    //      the number of *repeated* spans, not corpus size.
     "q_span_dedup" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(Dedup.spanHashesMd5(col("text"), SpanK)).as("span_hash"))
-        .groupBy("span_hash")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          min(col("doc_id")).as("first_doc"))
+      Dedup.spanRowsMd5(Tables.documents(s, d), "doc_id", "text", SpanK)
+        .groupBy("h")
+        .agg(countDistinct(col("id")).as("n_docs"),
+          min(col("id")).as("first_doc"))
         .filter(col("n_docs") >= 2)
+        .select(lower(hex(col("h"))).as("span_hash"),
+          col("n_docs"), col("first_doc"))
         .orderBy("span_hash")),
 
     // 106. Per-document duplicated-span fraction: of a doc's distinct
     //      k-word spans, how many also occur in some other document.
     //      This is the number a span-level dedup pass trims on (docs
-    //      near 1.0 are pure boilerplate; near 0.0 are original). Two
-    //      hash-keyed aggregations, then a hash-keyed join back —
-    //      every shuffle carries (hash, id) pairs. The dup-span side
-    //      is output-bounded (only repeated spans), so the join's
-    //      build side shrinks with corpus quality, not size.
-    "q_span_dup_frac" -> ((s, d) => {
-      val spans = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(Dedup.spanHashesMd5(col("text"), SpanK)))
-            .as("span_hash"))
-      val dup = spans.groupBy("span_hash")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .select(col("span_hash"), lit(1).as("dup"))
-      spans.join(dup, Seq("span_hash"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"), count(col("dup")).as("n_dup"))
-        .withColumn("dup_frac", col("n_dup") / col("n_spans"))
-        .orderBy("doc_id")
-    }),
+    //      near 1.0 are pure boilerplate; near 0.0 are original).
+    //      JOINLESS: rows are distinct per (doc, span), so a count
+    //      window over the span hash IS each span's document
+    //      frequency — no dup-side table, so no build side exists for
+    //      the planner to broadcast (the repeated-span set is
+    //      unbounded in exactly the duplicate-heavy corpora this
+    //      query exists for). Two hash shuffles: by span hash
+    //      (8-byte xxhash64), then by doc id.
+    "q_span_dup_frac" -> ((s, d) =>
+      Dedup.spanRows(Tables.documents(s, d), "doc_id", "text", SpanK)
+        .dropDuplicates("id", "h")
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("nd") >= 2, 1)).as("n_dup"))
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_dup"),
+          (col("n_dup") / col("n_spans")).as("dup_frac"))
+        .orderBy("doc_id")),
 
     // 107. Decontamination scan: fraction of each corpus doc's
-    //      distinct k-grams that appear in the benchmark set (here:
-    //      source 'src0' stands in for an eval suite). The benchmark
-    //      gram set is distinct-hashed then BROADCAST — eval suites
-    //      are megabytes against a 100 TB corpus, so the scan is one
-    //      shuffle (per-doc agg) with a map-side hash probe; corpus
-    //      text never moves. Reports every non-benchmark doc so the
-    //      0-overlap baseline is visible (release gates threshold on
-    //      overlap_frac downstream).
+    //      distinct k-grams that appear in the benchmark set (source
+    //      'src0' stands in for an eval suite — passed to the
+    //      operator as an EXPLICIT separate table, the way a release
+    //      gate would call it). The two source filters partition the
+    //      documents scan, so the corpus is tokenized ONCE total;
+    //      gram keys are 8-byte xxhash64 end to end (nothing in the
+    //      output is a hash), and the bench side is hint-broadcast by
+    //      construction. See Curation.decontamOverlap for the shape.
     "q_decontam_overlap" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(Dedup.spanHashesMd5(col("text"), DecontamK)))
-            .as("g"))
-      val bench = grams.filter(col("source") === "src0")
-        .select(col("g")).distinct()
-        .withColumn("hit", lit(1))
-      grams.filter(col("source") =!= "src0")
-        .join(broadcast(bench), Seq("g"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
-        .withColumn("overlap_frac", col("n_hit") / col("n_grams"))
+      val docs = Tables.documents(s, d)
+      Curation.decontamOverlap(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", DecontamK)
         .orderBy("doc_id")
     }),
 
@@ -110,7 +106,10 @@ object SpanQueries {
     //      cont_a = |A∩B|/|A| flags quote/subset relations that
     //      Jaccard structurally under-scores. `relation` classifies
     //      the direction at 0.8 — the actionable split (drop the
-    //      contained doc vs. cluster the overlap).
+    //      contained doc vs. cluster the overlap). All joins inside
+    //      the two operators are merge-hinted key shuffles — the
+    //      collect_set-of-shingles side never rides a planner
+    //      broadcast.
     "q_containment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val cands = Dedup.sharedShingleEdges(docs, "doc_id", "text",
@@ -141,6 +140,9 @@ object SpanQueries {
          |  min(doc_id) AS first_doc
          |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_hash""".stripMargin,
+    // span identity never leaves this query (counts only), so the
+    // oracle counts the span STRINGS themselves — the Spark side's
+    // xxhash64 keys give identical counts modulo 2⁻⁶⁴ collisions
     "q_span_dup_frac" ->
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -148,18 +150,17 @@ object SpanQueries {
          |  FROM documents
          |), s AS (
          |  SELECT doc_id, unnest(list_distinct(
-         |    [md5(array_to_string(toks[i+1:i+$SpanK], ' '))
-         |     FOR i IN range(0, len(toks) - ${SpanK - 1})])) AS span_hash
+         |    [array_to_string(toks[i+1:i+$SpanK], ' ')
+         |     FOR i IN range(0, len(toks) - ${SpanK - 1})])) AS span
          |  FROM t WHERE len(toks) >= $SpanK
-         |), dup AS (
-         |  SELECT span_hash FROM (
-         |    SELECT span_hash, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1)
-         |  WHERE nd >= 2
+         |), nd AS (
+         |  SELECT doc_id, span, count(*) OVER (PARTITION BY span) AS nd
+         |  FROM s
          |)
-         |SELECT s.doc_id, count(*) AS n_spans, count(dup.span_hash) AS n_dup,
-         |  count(dup.span_hash)::DOUBLE / count(*) AS dup_frac
-         |FROM s LEFT JOIN dup ON s.span_hash = dup.span_hash
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |SELECT doc_id, count(*) AS n_spans,
+         |  count(CASE WHEN nd >= 2 THEN 1 END) AS n_dup,
+         |  count(CASE WHEN nd >= 2 THEN 1 END)::DOUBLE / count(*) AS dup_frac
+         |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_decontam_overlap" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,
@@ -167,7 +168,7 @@ object SpanQueries {
          |  FROM documents
          |), s AS (
          |  SELECT doc_id, source, unnest(list_distinct(
-         |    [md5(array_to_string(toks[i+1:i+$DecontamK], ' '))
+         |    [array_to_string(toks[i+1:i+$DecontamK], ' ')
          |     FOR i IN range(0, len(toks) - ${DecontamK - 1})])) AS g
          |  FROM t WHERE len(toks) >= $DecontamK
          |), bench AS (

@@ -190,8 +190,11 @@ object TpchExtraQueries {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice") * col("l_quantity")).as("value_raw"))
+      // association order mirrors the oracle's `1.5 * sum / count`
+      // exactly — a different double association ((sum/count)*1.5) can
+      // differ by an ulp and flip the strict > gate on a boundary part
       val thr = byPart.agg(
-        (sum("value_raw") / count(lit(1)) * 1.5).as("thr"))
+        (lit(1.5) * sum("value_raw") / count(lit(1))).as("thr"))
       byPart.crossJoin(broadcast(thr))
         .filter(col("value_raw") > col("thr"))
         .select(col("l_partkey"), round(col("value_raw"), 2).as("value"))

@@ -53,9 +53,13 @@ class ScaleGuardSweepSpec extends AnyFunSuite {
     // to a key shuffle (the sf1 run measures exactly that: linear
     // shuffles, no broadcast builds). The pin is a tripwire for NEW
     // queries introducing the pattern, not an endorsement of it.
+    // (q_ngram_jaccard and the round-9 span queries used to be here:
+    // merge-hinting the collect_set-of-explode joins inside
+    // Dedup.ngramJaccard/ngramContainment/sharedShingleEdges removed
+    // the pattern at the source rather than accepting it.)
     val accepted = Set(
       "q_cooccur", "q_dedup_embedding", "q_dedup_minhash",
-      "q_inverted_index", "q_linkage", "q_ngram_jaccard",
+      "q_inverted_index", "q_linkage",
       "q_repetition", "q_tfidf")
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val fs = graft.plans.ScaleGuard

@@ -72,17 +72,27 @@ class DedupSpec extends AnyFunSuite {
     assert(r == ((5L, 6L, 3.0 / 6.0, 1.0)))
   }
 
-  test("spanHashesMd5: one hash per k-window; short docs yield none") {
+  test("spanRows/spanRowsMd5: one row per k-window; short docs yield none") {
     val d = Seq((1L, "a b c d e"), (2L, "a b")).toDF("id", "text")
-      .select(col("id"), Dedup.spanHashesMd5(col("text"), 4).as("s"))
-      .as[(Long, Seq[String])].collect().toMap
-    assert(d(1L).length == 2 && d(1L).forall(_.length == 32))
-    assert(d(2L).isEmpty)
+    val rows = Dedup.spanRows(d, "id", "text", 4)
+      .as[(Long, Long)].collect()
+    assert(rows.count(_._1 == 1L) == 2) // "a b c d", "b c d e"
+    assert(!rows.exists(_._1 == 2L))
+    // md5 form agrees on row shape AND on the documented identity:
+    // binary md5 of the space-joined span
+    val md5Rows = Dedup.spanRowsMd5(d, "id", "text", 4)
+      .select(col("id"), org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.hex(col("h"))).as("hx"))
+      .as[(Long, String)].collect()
+    assert(md5Rows.count(_._1 == 1L) == 2 && md5Rows.forall(_._2.length == 32))
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5Rows.map(_._2).contains(expected))
     // identical windows hash identically across docs
-    val shared = Seq((1L, "x y z w"), (2L, "x y z w")).toDF("id", "text")
-      .select(Dedup.spanHashesMd5(col("text"), 4).as("s"))
-      .as[Seq[String]].collect()
-    assert(shared(0) == shared(1))
+    val shared = Dedup.spanRows(
+      Seq((1L, "x y z w"), (2L, "x y z w")).toDF("id", "text"), "id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(shared(1L) == shared(2L))
   }
 
   test("simhash: identical docs get identical hashes; hamming pairs found") {

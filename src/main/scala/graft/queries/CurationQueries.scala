@@ -85,10 +85,14 @@ object CurationQueries {
 
     // 51b. End-to-end curation funnel: quality gate (word count) →
     //      language gate (scored stopword ID, unk dropped) → exact
-    //      dedup keep-first → per-language corpus stats. The composed
-    //      form of rows 35/36/28 — one query, one oracle, proving the
+    //      dedup keep-first → SPAN-LEVEL TRIM (drop docs mostly made
+    //      of corpus-repeated k-word passages — q_span_dup_frac's
+    //      signal acted on, the published stage after doc-level
+    //      dedup) → per-language corpus stats. The composed form of
+    //      rows 35/36/28/106 — one query, one oracle, proving the
     //      stages stack without driver round-trips.
     "q_curate_e2e" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.spread(Tables.documents(s, d))
       // named one-pass Observe metrics at each funnel stage: the stage
       // row counts ride the job (no extra scan) and QueriesSpec asserts
@@ -105,8 +109,35 @@ object CurationQueries {
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-      filtered.join(keep, Seq("doc_id"), "left_semi")
+      val kept = filtered.join(keep, Seq("doc_id"), "left_semi")
         .observe("curate_kept", count(lit(1)).as("rows"))
+      // span-trim IN THE SAME PASS: the span pipeline carries
+      // (lang_guess, n_words) alongside each span row, so the per-doc
+      // duplicated-span fraction, the trim filter, and the final
+      // per-language stats need NO join back to `kept` (a join would
+      // re-run the whole upstream funnel for a second scan). Every
+      // kept doc has ≥10 words ≥ SpanK=8, so none drop out of the
+      // explode. Same joinless window shape as q_span_dup_frac.
+      val spanK = 8
+      val toks = graft.functions.Dedup.tokens(col("text"))
+      val tokRows = kept
+        .select(col("doc_id"), col("lang_guess"), col("n_words"),
+          posexplode(toks))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val parts = col("col") +: (1 until spanK).map(j => lead(col("col"), j).over(w))
+      val spans = tokRows
+        .select(col("doc_id"), col("lang_guess"), col("n_words"),
+          xxhash64(parts: _*).as("h"), parts.last.isNotNull.as("full"))
+        .filter(col("full"))
+        .dropDuplicates("doc_id", "h")
+      spans
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang_guess")).as("lang_guess"),
+          first(col("n_words")).as("n_words"),
+          (count(when(col("nd") >= 2, 1)) / count(lit(1))).as("dup_frac"))
+        .filter(col("dup_frac") <= 0.5)
+        .observe("curate_span_trimmed", count(lit(1)).as("rows"))
         .groupBy("lang_guess")
         .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_tokens"))
         .orderBy("lang_guess")
@@ -305,10 +336,27 @@ object CurationQueries {
         |  SELECT * FROM lang WHERE n_words >= 10 AND lang_guess <> 'unk'
         |), keep AS (
         |  SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)
+        |), keptd AS (
+        |  SELECT doc_id, lang_guess, n_words,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+        |  FROM filt WHERE doc_id IN (SELECT doc_id FROM keep)
+        |), sp AS (
+        |  SELECT doc_id, lang_guess, n_words, unnest(list_distinct(
+        |    [array_to_string(tk[i+1:i+8], ' ') FOR i IN range(0, len(tk) - 7)])) AS s
+        |  FROM keptd
+        |), nd AS (
+        |  SELECT doc_id, lang_guess, n_words,
+        |    count(*) OVER (PARTITION BY s) AS nd
+        |  FROM sp
+        |), frac AS (
+        |  SELECT doc_id, any_value(lang_guess) AS lang_guess,
+        |    any_value(n_words) AS n_words,
+        |    count(CASE WHEN nd >= 2 THEN 1 END)::DOUBLE / count(*) AS dup_frac
+        |  FROM nd GROUP BY doc_id
         |)
         |SELECT lang_guess, count(*) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS total_tokens
-        |FROM filt WHERE doc_id IN (SELECT doc_id FROM keep)
+        |FROM frac WHERE dup_frac <= 0.5
         |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
     "q_data_quality" ->
       """WITH n AS (SELECT count(*) AS n_rows FROM orders),

@@ -305,6 +305,52 @@ object Streams {
     q
   }
 
+  /** Streaming decontamination: each micro-batch of documents is
+    * scored for k-gram overlap against a PERSISTED benchmark gram
+    * index ([[graft.functions.Curation.writeDecontamIndex]] — the
+    * distinct 64-bit gram hashes of the eval suites, under a
+    * [[graft.operators.Versioned]] root so a benchmark refresh lands
+    * atomically mid-stream) and the per-doc overlap rows go to
+    * `outPath` — the release-gate scan run continuously at ingest
+    * time instead of once before a release. The index is resolved
+    * per batch, so a new benchmark version applies from the next
+    * micro-batch on.
+    *
+    * Scale shape: identical to the batch operator — the gram index is
+    * eval-suite-sized (MBs) and broadcast, the batch side reduces to
+    * 8-byte hashes in its scan stage, nothing about the corpus is
+    * kept in the state store. Exactly-once to the sink via the same
+    * `batch_id=N` dynamic-partition overwrite as [[annScoreIngest]]:
+    * a replayed batch rewrites its own partition against the
+    * then-current index (at-least-as-current as the lost attempt).
+    */
+  def decontamIngest(stream: DataFrame, gramIndexPath: String, outPath: String,
+                     checkpoint: String, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 5): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val vdir = graft.operators.Versioned.resolve(spark, gramIndexPath)
+            .getOrElse(throw new IllegalStateException(
+              s"no committed benchmark gram index at $gramIndexPath — " +
+                "build one with Curation.writeDecontamIndex first"))
+          graft.functions.Curation
+            .decontamOverlapGrams(batch, spark.read.parquet(vdir),
+              idCol, textCol, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

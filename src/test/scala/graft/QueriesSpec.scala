@@ -43,11 +43,14 @@ class QueriesSpec extends AnyFunSuite {
     val scored = m("curate_scored").getAs[Long]("rows")
     val filtered = m("curate_filtered").getAs[Long]("rows")
     val kept = m("curate_kept").getAs[Long]("rows")
+    val trimmed = m("curate_span_trimmed").getAs[Long]("rows")
     // stage 1 sees every document; each later stage can only shrink
     assert(scored == graft.Tables.documents(spark, sf).count())
     assert(filtered < scored, "the quality filter stopped filtering")
     assert(kept <= filtered && kept > 0,
       s"funnel shape violated: $scored -> $filtered -> $kept")
+    assert(trimmed <= kept && trimmed > 0,
+      s"span-trim shape violated: $kept -> $trimmed")
   }
 
   test("representative queries return rows at sf0.001") {

@@ -7,6 +7,55 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("decontamOverlap: known-leak docs score their exact gram fraction") {
+    // corpus doc 10 contains a verbatim 5-gram from the benchmark; doc
+    // 11 shares nothing; doc 12 IS a benchmark doc verbatim (full leak)
+    val bench = Seq(
+      (1L, "the capital of france is paris and it is large"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "someone wrote the capital of france is paris yesterday evening ok"),
+      (11L, "entirely unrelated words about distributed query engines at scale"),
+      (12L, "the capital of france is paris and it is large"))
+      .toDF("doc_id", "text")
+    val got = Curation.decontamOverlap(corpus, bench, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // doc 10: 7 distinct 5-grams, 3 of them benchmark grams
+    // ("the capital of france is", "capital of france is paris" are in
+    // the bench doc's gram set; count exactly below)
+    val benchGrams = "the capital of france is paris and it is large"
+      .split(" ").sliding(5).map(_.mkString(" ")).toSet
+    def grams(t: String) = t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    def expect(id: Long, t: String) = {
+      val g = grams(t); val hit = g.count(benchGrams)
+      (id, g.size.toLong, hit.toLong, hit.toDouble / g.size)
+    }
+    assert(got == Seq(
+      expect(10L, "someone wrote the capital of france is paris yesterday evening ok"),
+      expect(11L, "entirely unrelated words about distributed query engines at scale"),
+      expect(12L, "the capital of france is paris and it is large")))
+    assert(got(2)._4 == 1.0) // verbatim benchmark doc: full leak
+    assert(got(1)._3 == 0L)  // clean doc: zero hits
+    assert(got(0)._3 > 0L)   // partial quote: nonzero
+  }
+
+  test("decontamOverlapGrams probes a persisted index identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dci").toString
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro alpha beta gamma delta epsilon outro words here"),
+      (11L, "totally different content with no shared sequences at all"))
+      .toDF("doc_id", "text")
+    val vdir = Curation.writeDecontamIndex(bench, "doc_id", "text", 5, dir)
+    val viaIndex = Curation.decontamOverlapGrams(
+      corpus, spark.read.parquet(vdir), "doc_id", "text", 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = Curation.decontamOverlap(corpus, bench, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaIndex == direct)
+    assert(viaIndex.exists(_._3 > 0))
+  }
+
   test("chunk emits overlapping windows with a shorter tail") {
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, ""))
       .toDF("doc_id", "text")

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Versioned layout's mutation guarantees. The read-path behavior
+  * (pointer resolution, fallback, reader safety across compaction) is
+  * exercised end-to-end by CompactSpec/IvfSpec/PqSpec; this spec pins
+  * the writer-side races directly.
+  */
+class VersionedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_versioned").toString
+
+  private def fill(n: Long)(dir: String): Unit =
+    spark.range(n).write.parquet(dir)
+
+  test("commitDelta appends to the current version as an enumerable delta") {
+    val root = newRoot()
+    val v1 = Versioned.commitNew(spark, root)(fill(10))
+    Versioned.commitDelta(spark, root, v1)(fill(5))
+    val deltas = Versioned.listDeltas(spark, v1)
+    assert(deltas.size == 1)
+    assert(spark.read.parquet(deltas.head).count() == 5)
+    assert(Versioned.resolve(spark, root).contains(v1))
+  }
+
+  test("commitDelta refuses a version dir superseded while the append was prepared") {
+    // the append-vs-compaction race the _LOCK exists for: a caller
+    // resolves v1, a rebuild commits v2 (v1 stays on disk — prune
+    // keeps it for concurrent readers and it still has _COMMITTED),
+    // then the append lands. Without the under-lock re-resolve the
+    // delta would be written into v1 and silently vanish from every
+    // read through the pointer.
+    val root = newRoot()
+    val v1 = Versioned.commitNew(spark, root)(fill(10))
+    val v2 = Versioned.commitNew(spark, root)(fill(20)) // rebuild/compaction
+    assert(new java.io.File(v1).exists, "prune must keep the previous version")
+    val e = intercept[java.io.IOException] {
+      Versioned.commitDelta(spark, root, v1)(fill(5))
+    }
+    assert(e.getMessage.contains("superseded"))
+    assert(Versioned.listDeltas(spark, v1).isEmpty, "no delta may land in the stale version")
+    // the current version is unaffected and still appendable
+    Versioned.commitDelta(spark, root, v2)(fill(5))
+    assert(Versioned.listDeltas(spark, v2).size == 1)
+  }
+}

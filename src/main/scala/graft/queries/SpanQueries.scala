@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *    eval suite) — bench grams are hint-broadcast by construction;
   *  - containment: asymmetric |A∩B|/|A| on blocked candidate pairs —
   *    catches subset/quote relations whole-doc Jaccard misses
-  *    (merge-hinted joins inside [[Dedup.ngramContainment]]).
+  *    (merge-hinted joins inside [[Dedup.ngramContainment]]);
+  *  - span trim: the REWRITE — duplicated passages removed and the
+  *    trimmed text reconstructed, token rows never re-shuffled (the
+  *    per-doc array join moves int positions, not tokens).
   */
 object SpanQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -100,6 +103,65 @@ object SpanQueries {
         .orderBy("doc_id")
     }),
 
+    // 109. Span-level trim REWRITE: remove every k-word passage that
+    //      repeats across documents and reconstruct the trimmed text —
+    //      the actual exact-substring-dedup transformation (the
+    //      "deduplicating training data" line of work removes the
+    //      repeated passage, not the document). A token at position q
+    //      is removed iff some duplicated span covers it. Plan shape:
+    //      one scan spread carries text; duplicated-span detection
+    //      shuffles (id, pos, hash) 24-byte rows by hash (document
+    //      frequency via lag/sum windows in ONE partitioning — no
+    //      countDistinct, no join); covered positions collapse to a
+    //      per-doc int array and merge-join the per-doc token arrays
+    //      BY ID — the token rows themselves never re-shuffle, so the
+    //      only text-width exchange is the spread. Reconstruction is a
+    //      per-doc bounded HOF in the output projection. The token
+    //      branch and the span branch re-read the (pruned, cheap)
+    //      scan rather than shuffling tokens through the hash
+    //      exchange — the deliberate trade at 100 TB.
+    "q_span_trim" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val par = s.sparkContext.defaultParallelism
+      val spread = docs.repartition(par, col("doc_id"))
+      val toks = Dedup.tokens(col("text"))
+      val tok = spread.select(col("doc_id").as("id"), posexplode(toks))
+      val w = Window.partitionBy("id").orderBy("pos")
+      val parts = col("col") +: (1 until SpanK).map(j => lead(col("col"), j).over(w))
+      // span occurrences: (id, pos, h) for every full k-window
+      val spanOcc = tok
+        .select(col("id"), col("pos"), xxhash64(parts: _*).as("h"),
+          parts.last.isNotNull.as("full"))
+        .filter(col("full")).drop("full")
+      // document frequency per span hash in ONE h-partitioning: flag
+      // each doc's first occurrence (lag), sum flags over the h frame
+      val wH = Window.partitionBy("h").orderBy("id", "pos")
+      val flagged = spanOcc.withColumn("first_of_doc",
+        when(lag(col("id"), 1).over(wH).isNull ||
+          lag(col("id"), 1).over(wH) =!= col("id"), 1).otherwise(0))
+      val dupStarts = flagged
+        .withColumn("ndocs", sum(col("first_of_doc")).over(Window.partitionBy("h")))
+        .filter(col("ndocs") >= 2)
+        .select(col("id"), explode(sequence(col("pos"), col("pos") + SpanK - 1)).as("pos"))
+        .dropDuplicates("id", "pos")
+      val covArr = dupStarts.groupBy("id").agg(collect_set(col("pos")).as("cov"))
+      val docArr = tok.groupBy("id")
+        .agg(collect_list(struct(col("pos"), col("col").as("tok"))).as("ts"))
+      docArr.join(covArr.hint("merge"), Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+          concat_ws(" ", transform(
+            filter(array_sort(col("ts")),
+              x => not(array_contains(
+                coalesce(col("cov"), array().cast("array<int>")), x("pos")))),
+            x => x("tok"))).as("trimmed_text"))
+      // no output orderBy: the driver compare is row-order-insensitive
+      // (cf. q_dedup_exact) and a global sort here would range-exchange
+      // the reconstructed text — the one text-width shuffle this plan
+      // exists to avoid
+    }),
+
     // 108. Asymmetric containment on deterministically-blocked
     //      candidate pairs (same shared-shingle blocking as
     //      q_ngram_jaccard, so the whole query is SQL-expressible):
@@ -161,6 +223,41 @@ object SpanQueries {
          |  count(CASE WHEN nd >= 2 THEN 1 END) AS n_dup,
          |  count(CASE WHEN nd >= 2 THEN 1 END)::DOUBLE / count(*) AS dup_frac
          |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // span-hash parity is at the STRING level as above (Spark
+    // intersects xxhash64 span keys; identical coverage modulo 2⁻⁶⁴
+    // collisions); the reconstruction normalizes whitespace
+    // identically in both engines (tokens re-joined single-spaced)
+    "q_span_trim" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(
+         |      [{'pos': i, 'tok': toks[i+1]} FOR i IN range(0, len(toks))]) AS u
+         |    FROM t)
+         |), so AS (
+         |  SELECT doc_id, u.pos AS pos, u.sp AS sp FROM (
+         |    SELECT doc_id, unnest(
+         |      [{'pos': i, 'sp': array_to_string(toks[i+1:i+$SpanK], ' ')}
+         |       FOR i IN range(0, len(toks) - ${SpanK - 1})]) AS u
+         |    FROM t WHERE len(toks) >= $SpanK)
+         |), dup AS (
+         |  SELECT sp FROM (
+         |    SELECT sp, count(DISTINCT doc_id) AS c FROM so GROUP BY 1)
+         |  WHERE c >= 2
+         |), cov AS (
+         |  SELECT DISTINCT so.doc_id, so.pos + js.j AS pos
+         |  FROM so JOIN dup USING (sp)
+         |  CROSS JOIN (SELECT unnest(range(0, $SpanK)) AS j) js
+         |)
+         |SELECT tok.doc_id, count(*) AS n_tokens, count(cov.pos) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok.tok END,
+         |    ' ' ORDER BY tok.pos), '') AS trimmed_text
+         |FROM tok LEFT JOIN cov
+         |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_decontam_overlap" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

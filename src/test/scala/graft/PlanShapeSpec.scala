@@ -147,6 +147,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("span-family exchanges are hash-width: text rides only the scan spread, tokens never") {
+    // the round-9 span restructure's contract: after the one
+    // parallelizing repartition of compact (id, text) rows, everything
+    // that moves is (hash, id[, small attrs]) — the exploded token
+    // rows stay partition-local (the span window reuses the spread's
+    // doc-id partitioning), and no downstream exchange re-carries
+    // text. AQE off so EnsureRequirements' exchanges are inspectable.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // allowed text-carrying exchanges: corpus spread (+ bench spread
+      // for decontam's two scan branches)
+      Seq("q_span_dedup" -> 1, "q_span_dup_frac" -> 1,
+          "q_decontam_overlap" -> 2).foreach { case (q, maxTextEx) =>
+        val exchanges = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        assert(exchanges.nonEmpty, s"$q: expected shuffles — plan shape changed?")
+        val textEx = exchanges.count(_.output.exists(_.name == "text"))
+        assert(textEx <= maxTextEx,
+          s"$q: $textEx exchanges carry document text (max $maxTextEx — " +
+            "a downstream exchange regressed to payload width)")
+        val tokenEx = exchanges.count(_.output.exists(_.name == "pos"))
+        assert(tokenEx == 0,
+          s"$q: an exchange carries exploded token rows — the span window " +
+            "no longer reuses the spread's doc-id partitioning")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no static broadcast miss across headline queries (auditPhysical)") {
     // every sort-merge/shuffled-hash join in the gated headliners must
     // have both sides genuinely above the broadcast threshold

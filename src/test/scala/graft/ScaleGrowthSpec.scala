@@ -45,10 +45,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
   // with a FIXED planes value its shuffle grew 65× across this jump
   // (the round-8 sf1 checkpoint's headline catch); adaptiveHalf holds
   // mean bucket size flat so in-bucket pair volume tracks rows
+  // the round-9 span wave joins the pinned set: q_span_dedup /
+  // q_span_dup_frac shuffle one (hash, id) pair per span occurrence —
+  // token-linear by construction — and q_decontam_overlap shuffles
+  // only the per-doc aggregation (bench grams are broadcast); all
+  // three must stay that way
   private val heavy = Seq(
     "q_map", "q_map_error_mapper", "q_first_last", "q_resample",
     "q_sessionize", "q_percentile", "q_boilerplate", "q_tpch_q2",
-    "q_dedup_embedding")
+    "q_dedup_embedding",
+    "q_span_dedup", "q_span_dup_frac", "q_decontam_overlap")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>
@@ -94,7 +100,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
     val c10 = candidateVolume(big)
     val candGrowth = c10.toDouble / math.max(c01, 1L)
     assert(candGrowth > 1.0, s"degenerate corpus: candidates $c01 -> $c10")
-    val failures = Seq("q_ngram_jaccard", "q_dedup_clusters").flatMap { q =>
+    val failures = Seq("q_ngram_jaccard", "q_dedup_clusters", "q_containment").flatMap { q =>
       val b01 = shuffleWrite(q, small)
       val b10 = shuffleWrite(q, big)
       val ratio = b10.toDouble / math.max(b01, 1L)

@@ -39,9 +39,12 @@ object Curation {
     * (doc id, position) order. Returns per-doc totals
     * (doc_id, n_segs, n_kept).
     *
-    * One shuffle on the 64-bit segment hash decides winners (window
-    * row_number — shuffle bytes ∝ segment count × 24 B, never corpus
-    * bytes), then one groupBy(doc) for the totals.
+    * The winner per segment hash is its min (doc id, position) — a
+    * map-side-combinable `min(struct)` groupBy merge-joined back
+    * ([[graft.functions.Dedup.joinKeyStats]]; shuffle bytes ∝ segment
+    * count × 24 B, never corpus bytes), NOT a row_number window: a
+    * boilerplate segment present in millions of docs would buffer its
+    * whole window group in one task. Then one groupBy(doc) for totals.
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    segLen: Int = 8): DataFrame = {
@@ -50,11 +53,15 @@ object Curation {
       .select(col(idCol).as("id"),
         posexplode(segments(col(textCol), segLen)).as(Seq("seg_idx", "seg")))
       .select(col("id"), col("seg_idx"), xxhash64(col("seg")).as("h"))
-    val w = Window.partitionBy("h").orderBy("id", "seg_idx")
-    segs.withColumn("rn", row_number().over(w))
+    // (id, seg_idx) is unique per row, so exactly one occurrence
+    // equals the min struct — identical keep-first semantics to the
+    // old row_number === 1
+    Dedup.joinKeyStats(segs, "h",
+        Seq(min(struct(col("id"), col("seg_idx"))).as("_first")))
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_segs"),
-        count(when(col("rn") === 1, 1)).as("n_kept"))
+        count(when(col("id") === col("_first").getField("id") &&
+          col("seg_idx") === col("_first").getField("seg_idx"), 1)).as("n_kept"))
   }
 
   /** Gopher-style repetition stats per document: duplicate-token

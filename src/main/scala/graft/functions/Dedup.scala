@@ -109,6 +109,35 @@ object Dedup {
     spanRowsBy(df, idCol, textCol, k,
       ps => unhex(md5(concat_ws(" ", ps: _*).cast("binary"))))
 
+  /** Scale-safe per-key stats attach — the replacement for
+    * `agg(...) over Window.partitionBy(key)` on an unbounded-
+    * cardinality hash key (span hash, shingle hash, segment hash).
+    * WindowExec hash-partitions on the key and BUFFERS each key group
+    * in ONE task (ExternalAppendOnlyUnsafeRowArray), and AQE's skew
+    * handling covers joins, not windows — so one boilerplate span
+    * held by millions of documents (a license header, a templated
+    * intro) is a guaranteed single-task multi-GB spilling straggler,
+    * in exactly the corpora the span/shingle family targets. This
+    * shape instead computes the per-key stats with `groupBy`
+    * (map-side partial aggregation collapses each mapper's duplicate
+    * keys BEFORE the shuffle) and merge-joins the filtered stats back
+    * onto the rows: sort-merge streams the probe side — no group
+    * buffering — and IS AQE-skew-splittable.
+    *
+    * `statsFilter` prunes the stats table before the join (a df band,
+    * an ndocs ≥ 2 floor), so the build side carries only the keys the
+    * caller acts on; `joinType = "left_semi"` when only membership
+    * matters, `"left"` when absent keys should survive with nulls.
+    */
+  def joinKeyStats(rows: DataFrame, key: String, aggs: Seq[Column],
+                   statsFilter: Column = lit(true),
+                   joinType: String = "inner"): DataFrame = {
+    val stats = rows.groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(statsFilter)
+    rows.join(stats.hint("merge"), Seq(key), joinType)
+  }
+
   /** One row per k-token shingle, carrying only the shingle's 64-bit
     * hash: tokens are exploded and hashed together with their k-1
     * successors via window `lead` — no shingle string is ever built,
@@ -278,21 +307,20 @@ object Dedup {
     * and shingles in more than `maxDf` docs (boilerplate) are dropped
     * BEFORE pair generation, bounding the per-shingle join fan-out to
     * maxDf² — the same degenerate-bucket guard as LSH banding, but
-    * exact. One shuffle on the 64-bit shingle hash; the df filter is a
-    * window over that same partitioning, and the pair self-join reuses
-    * it. Feed the result (with [[graft.operators.ConnectedComponents]])
+    * exact. One shuffle on the 64-bit shingle hash; the df band is a
+    * map-side-combinable groupBy + merge semi-join ([[joinKeyStats]] —
+    * NOT a window: a boilerplate shingle's window group would buffer
+    * in one task), and the pair self-join reuses the h partitioning.
+    * Feed the result (with [[graft.operators.ConnectedComponents]])
     * to turn near-dup pairs into canonical clusters; at extreme scale
     * swap in [[minhashCandidates]] edges — same downstream shape.
     */
   def sharedShingleEdges(df: DataFrame, idCol: String, textCol: String,
                          shingleK: Int = 3, minShared: Int = 5,
                          minDf: Int = 2, maxDf: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingleHashes(df, idCol, textCol, shingleK).dropDuplicates("id", "h")
-    val kept = sh
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("_df").between(minDf, maxDf))
-      .drop("_df")
+    val kept = joinKeyStats(sh, "h", Seq(count(lit(1)).as("_df")),
+      col("_df").between(minDf, maxDf), "left_semi")
     // merge-hinted: both sides are explode-derived and size-only stats
     // don't model the explode multiplier, so an unhinted plan lets the
     // planner broadcast one side at small estimates — a build that can
@@ -316,8 +344,15 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, candidates: DataFrame, idCol: String,
                    textCol: String, shingleK: Int = 3): DataFrame = {
+    // the sh aggregate feeds BOTH join sides: without a persist each
+    // side recomputes the full tokenize→explode→window→collect_set
+    // chain AND pays its own sort under the merge hints — the r9 bench
+    // showed that as a 3× wall cost with unstable warm iterations.
+    // MEMORY_ONLY for the same reason as minhashCandidates' sigs (lazy
+    // return → can't unpersist here; LRU-evictable beats disk-demoted)
     val sh = shingleHashes(df, idCol, textCol, shingleK)
       .groupBy("id").agg(collect_set(col("h")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // merge-hinted: the sh side carries collect_set arrays built from
     // an explode — letting the planner broadcast it on size-only
     // stats risks an arbitrarily-underestimated build (see
@@ -341,8 +376,10 @@ object Dedup {
     */
   def ngramContainment(df: DataFrame, candidates: DataFrame, idCol: String,
                        textCol: String, shingleK: Int = 3): DataFrame = {
+    // persisted for the same both-join-sides reason as [[ngramJaccard]]
     val sh = shingleHashes(df, idCol, textCol, shingleK)
       .groupBy("id").agg(collect_set(col("h")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     // merge-hinted for the same reason as ngramJaccard: never let the
     // planner broadcast a collect_set-of-explode build side

@@ -117,7 +117,9 @@ object CurationQueries {
       // per-language stats need NO join back to `kept` (a join would
       // re-run the whole upstream funnel for a second scan). Every
       // kept doc has ≥10 words ≥ SpanK=8, so none drop out of the
-      // explode. Same joinless window shape as q_span_dup_frac.
+      // explode. Span document frequency is the same scale-safe
+      // groupBy + merge-left-join shape as q_span_dup_frac
+      // (Dedup.joinKeyStats — never a window over the span hash).
       val spanK = 8
       val toks = graft.functions.Dedup.tokens(col("text"))
       val tokRows = kept
@@ -130,12 +132,12 @@ object CurationQueries {
           xxhash64(parts: _*).as("h"), parts.last.isNotNull.as("full"))
         .filter(col("full"))
         .dropDuplicates("doc_id", "h")
-      spans
-        .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      graft.functions.Dedup.joinKeyStats(spans, "h",
+          Seq(count(lit(1)).as("nd")), col("nd") >= 2, "left")
         .groupBy(col("doc_id"))
         .agg(first(col("lang_guess")).as("lang_guess"),
           first(col("n_words")).as("n_words"),
-          (count(when(col("nd") >= 2, 1)) / count(lit(1))).as("dup_frac"))
+          (count(col("nd")) / count(lit(1))).as("dup_frac"))
         .filter(col("dup_frac") <= 0.5)
         .observe("curate_span_trimmed", count(lit(1)).as("rows"))
         .groupBy("lang_guess")

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *    documents (boilerplate, licence blocks, templated intros);
   *  - per-doc duplicated-span fraction: how much of each document is
   *    made of corpus-repeated passages — the keep/trim/drop signal
-  *    span-level dedup acts on (joinless: a window over the span
-  *    hash, so there is no build side for a planner to broadcast);
+  *    span-level dedup acts on (document frequency is a map-side-
+  *    combinable groupBy merge-joined back, never a window over the
+  *    span hash — see [[Dedup.joinKeyStats]]);
   *  - decontamination overlap: [[Curation.decontamOverlap]] against
   *    an explicit benchmark table (source 'src0' stands in for an
   *    eval suite) — bench grams are hint-broadcast by construction;
@@ -67,20 +68,22 @@ object SpanQueries {
     //      k-word spans, how many also occur in some other document.
     //      This is the number a span-level dedup pass trims on (docs
     //      near 1.0 are pure boilerplate; near 0.0 are original).
-    //      JOINLESS: rows are distinct per (doc, span), so a count
-    //      window over the span hash IS each span's document
-    //      frequency — no dup-side table, so no build side exists for
-    //      the planner to broadcast (the repeated-span set is
-    //      unbounded in exactly the duplicate-heavy corpora this
-    //      query exists for). Two hash shuffles: by span hash
-    //      (8-byte xxhash64), then by doc id.
+    //      Rows are distinct per (doc, span), so each span's document
+    //      frequency is a map-side-combinable groupBy on the 8-byte
+    //      xxhash64 key, filtered to nd ≥ 2 and merge-LEFT-joined back
+    //      (Dedup.joinKeyStats) — NOT a count window over h: a
+    //      boilerplate span in millions of docs would buffer one giant
+    //      window group in one task, and AQE cannot skew-split
+    //      windows. The stats side carries only REPEATED spans; the
+    //      probe side streams through the sort-merge join.
     "q_span_dup_frac" -> ((s, d) =>
-      Dedup.spanRows(Tables.documents(s, d), "doc_id", "text", SpanK)
-        .dropDuplicates("id", "h")
-        .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      Dedup.joinKeyStats(
+        Dedup.spanRows(Tables.documents(s, d), "doc_id", "text", SpanK)
+          .dropDuplicates("id", "h"),
+        "h", Seq(count(lit(1)).as("nd")), col("nd") >= 2, "left")
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_spans"),
-          count(when(col("nd") >= 2, 1)).as("n_dup"))
+          count(col("nd")).as("n_dup"))
         .select(col("id").as("doc_id"), col("n_spans"), col("n_dup"),
           (col("n_dup") / col("n_spans")).as("dup_frac"))
         .orderBy("doc_id")),
@@ -110,16 +113,20 @@ object SpanQueries {
     //      repeated passage, not the document). A token at position q
     //      is removed iff some duplicated span covers it. Plan shape:
     //      one scan spread carries text; duplicated-span detection
-    //      shuffles (id, pos, hash) 24-byte rows by hash (document
-    //      frequency via lag/sum windows in ONE partitioning — no
-    //      countDistinct, no join); covered positions collapse to a
-    //      per-doc int array and merge-join the per-doc token arrays
-    //      BY ID — the token rows themselves never re-shuffle, so the
-    //      only text-width exchange is the spread. Reconstruction is a
-    //      per-doc bounded HOF in the output projection. The token
-    //      branch and the span branch re-read the (pruned, cheap)
-    //      scan rather than shuffling tokens through the hash
-    //      exchange — the deliberate trade at 100 TB.
+    //      shuffles (id, pos, hash) 24-byte rows by hash — document
+    //      frequency is a map-side-combinable countDistinct groupBy
+    //      on h, filtered to ndocs ≥ 2 and merge-SEMI-joined back
+    //      (Dedup.joinKeyStats; Spark plans countDistinct as two
+    //      partial-aggregated phases, so a mega-span collapses on the
+    //      mappers instead of buffering one giant window group in one
+    //      task); covered positions collapse to a per-doc int array
+    //      and merge-join the per-doc token arrays BY ID — the token
+    //      rows themselves never re-shuffle, so the only text-width
+    //      exchange is the spread. Reconstruction is a per-doc
+    //      bounded HOF in the output projection. The token branch and
+    //      the span branch re-read the (pruned, cheap) scan rather
+    //      than shuffling tokens through the hash exchange — the
+    //      deliberate trade at 100 TB.
     "q_span_trim" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val par = s.sparkContext.defaultParallelism
@@ -133,15 +140,9 @@ object SpanQueries {
         .select(col("id"), col("pos"), xxhash64(parts: _*).as("h"),
           parts.last.isNotNull.as("full"))
         .filter(col("full")).drop("full")
-      // document frequency per span hash in ONE h-partitioning: flag
-      // each doc's first occurrence (lag), sum flags over the h frame
-      val wH = Window.partitionBy("h").orderBy("id", "pos")
-      val flagged = spanOcc.withColumn("first_of_doc",
-        when(lag(col("id"), 1).over(wH).isNull ||
-          lag(col("id"), 1).over(wH) =!= col("id"), 1).otherwise(0))
-      val dupStarts = flagged
-        .withColumn("ndocs", sum(col("first_of_doc")).over(Window.partitionBy("h")))
-        .filter(col("ndocs") >= 2)
+      val dupStarts = Dedup.joinKeyStats(spanOcc, "h",
+          Seq(countDistinct(col("id")).as("ndocs")),
+          col("ndocs") >= 2, "left_semi")
         .select(col("id"), explode(sequence(col("pos"), col("pos") + SpanK - 1)).as("pos"))
         .dropDuplicates("id", "pos")
       val covArr = dupStarts.groupBy("id").agg(collect_set(col("pos")).as("cov"))

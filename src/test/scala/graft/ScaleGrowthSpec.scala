@@ -49,12 +49,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
   // q_span_dup_frac shuffle one (hash, id) pair per span occurrence —
   // token-linear by construction — and q_decontam_overlap shuffles
   // only the per-doc aggregation (bench grams are broadcast); all
-  // three must stay that way
+  // three must stay that way. q_span_trim (r9's late arrival) pins
+  // too: its shuffle is (id, pos, hash) span rows + per-doc int
+  // coverage arrays — token-linear, and the one query whose text-width
+  // spread could silently start riding a hash exchange
   private val heavy = Seq(
     "q_map", "q_map_error_mapper", "q_first_last", "q_resample",
     "q_sessionize", "q_percentile", "q_boilerplate", "q_tpch_q2",
     "q_dedup_embedding",
-    "q_span_dedup", "q_span_dup_frac", "q_decontam_overlap")
+    "q_span_dedup", "q_span_dup_frac", "q_decontam_overlap",
+    "q_span_trim")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>
@@ -76,13 +80,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     */
   private def candidateVolume(sf: String): Long = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     graft.functions.Dedup
       .shingleHashes(Tables.documents(spark, sf), "doc_id", "text", 3)
       .dropDuplicates("id", "h")
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("_df").between(2, 20))
       .groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 20))
       .agg(sum(col("n") * (col("n") - 1) / 2)).head.getDouble(0).toLong
   }
 

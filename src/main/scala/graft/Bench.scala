@@ -136,6 +136,18 @@ object Bench {
       }
       val warm = if (iters > 1) times.drop(1) else times
       val elapsed = if (warm.contains(-1.0)) -1.0 else warm.min
+      // drop this query's cached lineage before the next query runs:
+      // operators that persist internally (minhash sigs, ngram sh
+      // sets, pagerank edges) keep MEMORY_ONLY blocks alive for the
+      // REST of the suite otherwise — r9 saw a broad +0.4-1.3 s drift
+      // across late-alphabet TPC-H shapes plus recurring "already
+      // cached" warnings from that accumulation. Clearing BETWEEN
+      // queries keeps warm iterations warm (entries live across this
+      // query's iters) while making each query's number independent
+      // of suite order.
+      try spark.catalog.clearCache()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] clearCache after $name failed: ${e.getMessage}") }
       (name, elapsed, times, shuffle)
     }
     val loadEnd = os.getSystemLoadAverage

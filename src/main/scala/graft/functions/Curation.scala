@@ -178,15 +178,19 @@ object Curation {
       Dedup.spanRows(bench, idCol, textCol, k).select(col("h")).distinct(),
       idCol, textCol, k)
 
-  /** [[decontamOverlap]]'s probe half against an ALREADY-DISTINCT gram
-    * hash table `benchGrams` (column `h`) — the persisted-index face:
-    * build the gram set once with [[writeDecontamIndex]], then score
-    * any corpus (or any micro-batch: [[graft.streaming.Streams
-    * .decontamIngest]]) against it without re-shingling the benchmark.
+  /** [[decontamOverlap]]'s probe half against a gram hash table
+    * `benchGrams` (column `h`) — the persisted-index face: build the
+    * gram set once with [[writeDecontamIndex]], then score any corpus
+    * (or any micro-batch: [[graft.streaming.Streams.decontamIngest]])
+    * against it without re-shingling the benchmark.
     */
   def decontamOverlapGrams(corpus: DataFrame, benchGrams: DataFrame,
                            idCol: String, textCol: String, k: Int): DataFrame = {
-    val bg = benchGrams.select(col("h")).withColumn("hit", lit(1))
+    // defensive distinct: a hand-built gram table with duplicate h
+    // values would inflate BOTH n_grams and n_hit through left-join
+    // multiplicity; the bench side is broadcast-sized (eval suites are
+    // MBs), so the extra dedup is negligible
+    val bg = benchGrams.select(col("h")).distinct().withColumn("hit", lit(1))
     Dedup.spanRows(corpus, idCol, textCol, k)
       .dropDuplicates("id", "h")
       .join(broadcast(bg), Seq("h"), "left")

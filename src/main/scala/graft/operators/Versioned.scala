@@ -184,8 +184,13 @@ object Versioned {
       // readers) — appending there silently drops the rows from every
       // subsequent read. The _COMMITTED check above can't see this;
       // only comparing against the CURRENT pointer can.
+      // compare CANONICAL paths: the caller may hold a scheme-qualified
+      // versionDir (file:/... from a FileStatus/listing) while resolve()
+      // returns the unqualified string form — raw Path equality would
+      // spuriously throw 'superseded' for the genuinely-current version
       val current = resolve(spark, root)
-      if (!current.map(new Path(_)).contains(vdir))
+      if (!current.map(p => f.makeQualified(new Path(p)))
+            .contains(f.makeQualified(vdir)))
         throw new java.io.IOException(
           s"$versionDir was superseded (current: ${current.getOrElse("none")}) " +
             "while this append was being prepared — re-resolve the index and retry")

@@ -323,6 +323,16 @@ object Streams {
     * `batch_id=N` dynamic-partition overwrite as [[annScoreIngest]]:
     * a replayed batch rewrites its own partition against the
     * then-current index (at-least-as-current as the lost attempt).
+    *
+    * Exactly-once covers CHECKPOINT replays — a crash between the
+    * sink write and the commit re-runs the batch under the SAME
+    * batch_id and the overwrite rewrites that partition in place.
+    * Source-level REdelivery is weaker: the same documents arriving
+    * again form a NEW batch_id, so `outPath` can hold duplicate
+    * per-doc rows across batch_id partitions. Rows are idempotent BY
+    * VALUE (scoring is deterministic for a given index version), so
+    * consumers reading an at-least-once-fed `outPath` must dedup on
+    * the doc id at read (`dropDuplicates(idCol)`).
     */
   def decontamIngest(stream: DataFrame, gramIndexPath: String, outPath: String,
                      checkpoint: String, idCol: String = "doc_id",

@@ -27,6 +27,19 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.resolve(spark, root).contains(v1))
   }
 
+  test("commitDelta accepts a scheme-qualified path to the current version") {
+    // callers that got versionDir from a FileStatus/listing hold the
+    // file:/-qualified form while resolve() returns the unqualified
+    // string — the superseded re-check must compare CANONICAL paths,
+    // not raw Path equality, or the genuinely-current version is
+    // spuriously rejected
+    val root = newRoot()
+    val v1 = Versioned.commitNew(spark, root)(fill(10))
+    val qualified = "file:" + v1
+    Versioned.commitDelta(spark, root, qualified)(fill(5))
+    assert(Versioned.listDeltas(spark, v1).size == 1)
+  }
+
   test("commitDelta refuses a version dir superseded while the append was prepared") {
     // the append-vs-compaction race the _LOCK exists for: a caller
     // resolves v1, a rebuild commits v2 (v1 stays on disk — prune

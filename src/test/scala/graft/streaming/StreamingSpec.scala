@@ -443,9 +443,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.toSet == batch.toSet,
         s"streamed decontam diverged: ${streamed.length} rows vs batch ${batch.length}")
       assert(batch.length == rows.length)
+      // source-level redelivery lands under a NEW batch_id, so outPath
+      // legitimately holds b2's rows twice, in two batch_id partitions
+      // — rows are idempotent-by-value and consumers dedup on doc_id
+      // at read (see decontamIngest's scaladoc). Assert the DISTINCT
+      // doc count (the set compare above alone would mask a dedup
+      // regression that dropped or fabricated docs) and that the
+      // duplicates really are there (the at-least-once case occurred).
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.select("doc_id").distinct().count() == rows.length)
+      assert(out.count() == rows.length + b2.length,
+        "redelivered batch must appear under its own batch_id partition")
       // the scan must demonstrate actual leakage, not all-zero rows
       assert(streamed.count(_._3 > 0) >= 1)
     } finally q.stop()
+  }
+
+  test("decontamIngest: restart from checkpoint replays the SAME batch_id through the overwrite") {
+    // the exactly-once mechanism decontamIngest actually relies on is
+    // dynamic-partition overwrite on an IDENTICAL batch_id — which a
+    // channel re-send can NEVER exercise (re-sent rows form a NEW
+    // batch). Simulate the crash window deterministically with a
+    // replayable FILE source: process one batch, stop, delete the
+    // checkpoint's commit marker (= crashed after the sink write,
+    // before the commit), restart on the same checkpoint — Spark
+    // re-runs the batch with the same batch_id, and the overwrite
+    // must leave ZERO duplicate rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam_rs").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "source")
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    graft.functions.Curation.writeDecontamIndex(bench, "doc_id", "text", 5, s"$dir/index")
+    corpus.select("doc_id", "text").coalesce(1).write.parquet(s"$dir/in")
+    val n = corpus.count()
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$dir/in")
+    val q1 = Streams.decontamIngest(stream(), s"$dir/index", s"$dir/out",
+      s"$dir/ckpt", k = 5)
+    q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == n)
+    // crash stand-in: drop the newest commit marker; the offset log
+    // still pins the batch's file list, so restart re-runs it. The
+    // sidecar Hadoop .crc must go too — a stale checksum makes the
+    // rewrite look like a concurrent writer to HDFSMetadataLog
+    val commitDir = new java.io.File(s"$dir/ckpt/commits")
+    val commits = commitDir.listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val newest = commits.maxBy(_.getName.toInt)
+    new java.io.File(commitDir, s".${newest.getName}.crc").delete()
+    assert(newest.delete())
+    val q2 = Streams.decontamIngest(stream(), s"$dir/index", s"$dir/out",
+      s"$dir/ckpt", k = 5)
+    q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == n,
+      s"same-batch_id replay appended instead of overwriting: ${out.count()} rows vs $n")
+    assert(out.select("doc_id").distinct().count() == n)
   }
 
   test("indexGrowIngest: dedup → append → score across micro-batches with a replay") {

@@ -60,7 +60,12 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally es.shutdown()
+      finally {
+        es.shutdown()
+        // same cross-query cache hygiene as Bench: internally-persisted
+        // blocks must not accumulate across the 125+-query gate
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

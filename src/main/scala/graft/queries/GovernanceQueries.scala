@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.EngineNeutral
+import graft.functions.{Dedup, EngineNeutral}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,39 @@ object GovernanceQueries {
         .agg(count(when(abs(col("x") - col("med")) > lit(1.5) * col("mad"),
           lit(1))).as("n_outliers"))
         .orderBy("lang")
+    }),
+
+    // 111. Cross-source leakage matrix: for every ordered pair of
+    //     sources, how many of a's distinct 5-grams also appear in b
+    //     (and the fraction of a that is). Per-doc decontamination
+    //     (q_decontam_overlap) gates ONE benchmark; this is the
+    //     corpus-governance view — which ingest feeds duplicate which
+    //     (a mirror crawl, an eval suite that leaked into a crawl, a
+    //     source that republishes another). Scale shape: grams reduce
+    //     to 8-byte xxhash64 in the scan stage; source re-attaches by
+    //     a partition-aligned merge join on the doc id; the per-gram
+    //     self-join fans out at most (#sources)² — BOUNDED by the
+    //     source count, independent of corpus size, so a boilerplate
+    //     gram in every document costs #sources rows, not #docs. The
+    //     per-source totals are #sources rows and broadcast back.
+    "q_source_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = Dedup.spanRows(docs, "doc_id", "text", 5)
+        .dropDuplicates("id", "h")
+        .join(docs.select(col("doc_id").as("id"), col("source")).hint("merge"),
+          Seq("id"))
+        .select("source", "h").distinct()
+      val tot = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      grams.select(col("h"), col("source").as("src_a"))
+        .hint("merge")
+        .join(grams.select(col("h"), col("source").as("src_b")), "h")
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
+        .join(broadcast(tot.select(col("source").as("src_a"), col("n_grams"))),
+          Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          (col("shared_grams") / col("n_grams")).as("frac_of_a"))
+        .orderBy("src_a", "src_b")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -182,5 +215,30 @@ object GovernanceQueries {
         |  count(CASE WHEN abs(d.x - s.med) > 1.5 * s.mad THEN 1 END) AS n_outliers
         |FROM docs d JOIN stats s ON d.lang = s.lang
         |GROUP BY s.lang, s.med, s.mad
-        |ORDER BY s.lang""".stripMargin)
+        |ORDER BY s.lang""".stripMargin,
+    // gram parity with the Spark side is at the STRING level (the
+    // Spark side counts distinct xxhash64 gram keys) — identical
+    // counts modulo 2⁻⁶⁴ collisions, the span-family convention
+    "q_source_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(
+        |      [array_to_string(toks[i+1:i+5], ' ')
+        |       FOR i IN range(0, len(toks) - 4)]) AS g
+        |    FROM t WHERE len(toks) >= 5)
+        |), tot AS (
+        |  SELECT source, count(*) AS n FROM s GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+        |  FROM s a JOIN s b ON a.g = b.g AND a.source <> b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.src_a, p.src_b, p.shared_grams,
+        |  p.shared_grams::DOUBLE / t.n AS frac_of_a
+        |FROM pairs p JOIN tot t ON t.source = p.src_a
+        |ORDER BY 1, 2""".stripMargin)
 }

@@ -46,6 +46,39 @@ object SpanQueries {
   /** Decontamination gram width (13-gram at web scale; 5 here). */
   private val DecontamK = 5
 
+  /** (id, pos, h) span occurrences — every full SpanK-token window,
+    * positions included (unlike [[Dedup.spanRows]], whose rows carry
+    * only the hash): the shared front end of the REWRITE queries
+    * (q_span_trim, q_span_max_run), which need to know WHERE in the
+    * doc each duplicated span sits. Same codegen'd window-lead
+    * construction; the spread carries text once and everything
+    * downstream moves (id, pos, hash) 24-byte rows.
+    */
+  private def spanOccurrences(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = docs.repartition(par, col("doc_id"))
+    val toks = Dedup.tokens(col("text"))
+    val tok = spread.select(col("doc_id").as("id"), posexplode(toks))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("col") +: (1 until SpanK).map(j => lead(col("col"), j).over(w))
+    tok.select(col("id"), col("pos"), xxhash64(parts: _*).as("h"),
+        parts.last.isNotNull.as("full"))
+      .filter(col("full")).drop("full")
+  }
+
+  /** (id, pos) positions covered by some cross-doc duplicated span:
+    * document frequency via the scale-safe [[Dedup.joinKeyStats]]
+    * (map-side-combinable countDistinct groupBy on h, filtered to
+    * ndocs ≥ 2, merge-SEMI-joined back), then each surviving start
+    * explodes into its SpanK covered positions.
+    */
+  private def coveredPositions(spanOcc: DataFrame): DataFrame =
+    Dedup.joinKeyStats(spanOcc, "h",
+        Seq(countDistinct(col("id")).as("ndocs")),
+        col("ndocs") >= 2, "left_semi")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + SpanK - 1)).as("pos"))
+      .dropDuplicates("id", "pos")
+
   val queries: Map[String, Q] = Map(
     // 105. Cross-document repeated spans: every k-word passage
     //      appearing in ≥2 distinct documents, with its reach and
@@ -129,23 +162,14 @@ object SpanQueries {
     //      deliberate trade at 100 TB.
     "q_span_trim" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      val dupStarts = coveredPositions(spanOccurrences(docs))
+      val covArr = dupStarts.groupBy("id").agg(collect_set(col("pos")).as("cov"))
+      // token arrays re-derive from the (pruned, cheap) scan — the
+      // deliberate re-read q_span_trim's header comment describes
       val par = s.sparkContext.defaultParallelism
       val spread = docs.repartition(par, col("doc_id"))
-      val toks = Dedup.tokens(col("text"))
-      val tok = spread.select(col("doc_id").as("id"), posexplode(toks))
-      val w = Window.partitionBy("id").orderBy("pos")
-      val parts = col("col") +: (1 until SpanK).map(j => lead(col("col"), j).over(w))
-      // span occurrences: (id, pos, h) for every full k-window
-      val spanOcc = tok
-        .select(col("id"), col("pos"), xxhash64(parts: _*).as("h"),
-          parts.last.isNotNull.as("full"))
-        .filter(col("full")).drop("full")
-      val dupStarts = Dedup.joinKeyStats(spanOcc, "h",
-          Seq(countDistinct(col("id")).as("ndocs")),
-          col("ndocs") >= 2, "left_semi")
-        .select(col("id"), explode(sequence(col("pos"), col("pos") + SpanK - 1)).as("pos"))
-        .dropDuplicates("id", "pos")
-      val covArr = dupStarts.groupBy("id").agg(collect_set(col("pos")).as("cov"))
+      val tok = spread.select(col("doc_id").as("id"),
+        posexplode(Dedup.tokens(col("text"))))
       val docArr = tok.groupBy("id")
         .agg(collect_list(struct(col("pos"), col("col").as("tok"))).as("ts"))
       docArr.join(covArr.hint("merge"), Seq("id"), "left")
@@ -161,6 +185,29 @@ object SpanQueries {
       // (cf. q_dedup_exact) and a global sort here would range-exchange
       // the reconstructed text — the one text-width shuffle this plan
       // exists to avoid
+    }),
+
+    // 110. Longest duplicated passage per doc: the span family's
+    //      "worst offender" stat — length in tokens of the longest
+    //      CONTIGUOUS stretch of positions covered by cross-doc
+    //      duplicated spans, plus total covered tokens. dup_frac says
+    //      how much of a doc is boilerplate; this says whether it is
+    //      one embedded license block (trim it) or scattered idiom
+    //      (leave it) — the decision input between q_span_dup_frac
+    //      and q_span_trim. Same scale-safe df machinery as
+    //      q_span_trim; the run-length window partitions by DOC id
+    //      (group size bounded by document length, never
+    //      corpus-skewed) using the classic pos − row_number() run
+    //      grouping.
+    "q_span_max_run" -> ((s, d) => {
+      val cov = coveredPositions(spanOccurrences(Tables.documents(s, d)))
+      val wd = Window.partitionBy("id").orderBy("pos")
+      cov.withColumn("grp", col("pos") - row_number().over(wd))
+        .groupBy(col("id"), col("grp")).agg(count(lit(1)).as("run"))
+        .groupBy(col("id"))
+        .agg(sum(col("run")).as("n_covered"), max(col("run")).as("max_dup_run"))
+        .select(col("id").as("doc_id"), col("n_covered"), col("max_dup_run"))
+        .orderBy("doc_id")
     }),
 
     // 108. Asymmetric containment on deterministically-blocked
@@ -259,6 +306,38 @@ object SpanQueries {
          |FROM tok LEFT JOIN cov
          |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same string-level span parity as q_span_trim; the run grouping
+    // (pos − row_number) is engine-neutral integer arithmetic, and the
+    // HUGEINT sum is cast back to BIGINT for the typed-hash compare
+    "q_span_max_run" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents
+         |), so AS (
+         |  SELECT doc_id, u.pos AS pos, u.sp AS sp FROM (
+         |    SELECT doc_id, unnest(
+         |      [{'pos': i, 'sp': array_to_string(toks[i+1:i+$SpanK], ' ')}
+         |       FOR i IN range(0, len(toks) - ${SpanK - 1})]) AS u
+         |    FROM t WHERE len(toks) >= $SpanK)
+         |), dup AS (
+         |  SELECT sp FROM (
+         |    SELECT sp, count(DISTINCT doc_id) AS c FROM so GROUP BY 1)
+         |  WHERE c >= 2
+         |), cov AS (
+         |  SELECT DISTINCT so.doc_id, so.pos + js.j AS pos
+         |  FROM so JOIN dup USING (sp)
+         |  CROSS JOIN (SELECT unnest(range(0, $SpanK)) AS j) js
+         |), runs AS (
+         |  SELECT doc_id,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM cov
+         |), rl AS (
+         |  SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_covered,
+         |  CAST(max(run) AS BIGINT) AS max_dup_run
+         |FROM rl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_decontam_overlap" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

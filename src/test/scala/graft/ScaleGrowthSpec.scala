@@ -58,7 +58,12 @@ class ScaleGrowthSpec extends AnyFunSuite {
     "q_sessionize", "q_percentile", "q_boilerplate", "q_tpch_q2",
     "q_dedup_embedding",
     "q_span_dedup", "q_span_dup_frac", "q_decontam_overlap",
-    "q_span_trim")
+    "q_span_trim",
+    // round-10 arrivals, pinned the round they land: q_span_max_run
+    // moves the same (id, pos, hash) rows as span_trim; the leakage
+    // matrix shuffles distinct (source, gram-hash) rows — both
+    // token-linear by construction
+    "q_span_max_run", "q_source_leakage")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

@@ -64,13 +64,10 @@ class SkewedSpanSpec extends AnyFunSuite {
       w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
     }.flatten
 
-  private val family = Seq(
-    "q_span_dedup", "q_span_dup_frac", "q_span_trim", "q_curate_e2e",
-    "q_dedup_segments", "q_ngram_jaccard", "q_containment",
-    "q_dedup_clusters", "q_decontam_overlap")
-
-  test("no span-family plan windows over an unbounded hash key") {
-    family.foreach { q =>
+  test("NO gated query's plan windows over an unbounded hash key") {
+    // swept over the FULL inventory, not just the span family — the
+    // pattern must not be reintroducible by a future query wave
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val keys = windowPartitionKeys(plan)
       // h / bh / seg hashes are unbounded-cardinality, corpus-skewed
@@ -108,6 +105,25 @@ class SkewedSpanSpec extends AnyFunSuite {
       .filter(col("n_removed") < 8).count()
     assert(weak == 0,
       s"$weak planted docs had < 8 tokens removed (Boiler span is 8 tokens)")
+  }
+
+  test("planted span: max_run reports a full-span run in every planted doc") {
+    val runs = SparkEntry.queries("q_span_max_run")(spark, skewDir)
+    val weak = plantedIds.join(runs, Seq("doc_id"), "left")
+      .filter(col("max_dup_run").isNull || col("max_dup_run") < 8).count()
+    assert(weak == 0,
+      s"$weak planted docs lack an 8-token duplicated run (Boiler is one full span)")
+  }
+
+  test("source leakage under skew: planted span leaks every source into every other") {
+    // Boiler lands in ~60% of docs across all 20 sources, so its 5-gram
+    // shingles are shared by every source pair — the matrix must be
+    // complete (20×19 ordered pairs), and stay bounded by construction
+    // (per-gram fan-out ≤ #sources², never #docs)
+    val m = SparkEntry.queries("q_source_leakage")(spark, skewDir)
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(m.count() == nSrc * (nSrc - 1),
+      s"leakage matrix incomplete: ${m.count()} pairs vs ${nSrc * (nSrc - 1)}")
   }
 
   test("segment dedup under skew: kept-count equals distinct segments") {

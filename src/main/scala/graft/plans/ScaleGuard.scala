@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Crc32, EqualNullSafe, EqualTo, Expression, Md5, Murmur3Hash, Sha1, Sha2, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Plan lint for the two quietest scale-killers Spark allows:
+/** Plan lint for the three quietest scale-killers Spark allows:
   *
   *  1. a window with an EMPTY partition spec — every row moves to one
   *     task (Spark itself only logs a WARN from the physical operator,
@@ -15,9 +15,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     nested-loop/cartesian join, O(|L|·|R|) at scale. Joins where
   *     either side is provably ≤1 row (`maxRows`, e.g. a global
   *     aggregate broadcast as a scalar) are exempt: those are the
-  *     legitimate broadcast-scalar pattern.
+  *     legitimate broadcast-scalar pattern;
+  *  3. a window PARTITIONED BY A HASH-DERIVED KEY (xxhash64 / md5 /
+  *     murmur3 / sha / crc32 of content) — an unbounded-cardinality
+  *     key whose skew tracks the data: WindowExec buffers each key
+  *     group in ONE task and AQE's skew handling covers joins, not
+  *     windows, so one boilerplate span/shingle/segment held by
+  *     millions of rows is a guaranteed single-task straggler. Use
+  *     the [[graft.functions.Dedup.joinKeyStats]] shape instead
+  *     (map-side-combinable groupBy + merge join back). The lint
+  *     traces partition keys through Alias definitions in the
+  *     window's subtree, so renaming the hash column doesn't hide it.
   *
-  * Both are flagged at plan time, before execution.
+  * All are flagged at plan time, before execution.
   *
   * Modes via `spark.graft.scaleGuard`:
   *  - `warn` (default): log each offence
@@ -56,6 +66,27 @@ case class ScaleGuardRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def scalarSide(j: Join): Boolean =
     j.left.maxRows.exists(_ <= 1L) || j.right.maxRows.exists(_ <= 1L)
 
+  private def isHashExpr(e: Expression): Boolean = e.exists {
+    case _: XxHash64 | _: Murmur3Hash | _: Md5 | _: Sha1 | _: Sha2 |
+         _: Crc32 => true
+    case _ => false
+  }
+
+  /** Partition keys of `w` that trace (through Alias definitions in
+    * the window's subtree) to a hash expression. Depth-capped: alias
+    * chains are short in practice and a cycle is impossible in a
+    * resolved plan, but cheap insurance.
+    */
+  private def hashPartitionKeys(w: Window): Seq[String] = {
+    val defs = w.child.collect { case p =>
+      p.expressions.flatMap(_.collect { case a: Alias => a.exprId -> a.child })
+    }.flatten.toMap
+    def derives(e: Expression, depth: Int): Boolean =
+      depth <= 8 && (isHashExpr(e) || e.references.exists(a =>
+        defs.get(a.exprId).exists(c => derives(c, depth + 1))))
+    w.partitionSpec.filter(derives(_, 0)).map(_.sql)
+  }
+
   /** An explicit broadcast hint on either side is a conscious opt-in
     * to a nested-loop join with a bounded build side (brute-force
     * scoring, tiny dim tables) — not an accident to flag.
@@ -77,6 +108,13 @@ case class ScaleGuardRule(spark: SparkSession) extends Rule[LogicalPlan] {
             flag(s"empty-partition Window over [$what]: every row " +
               "moves to ONE task at scale; partition the window or use a " +
               "range-partitioned formulation (e.g. graft GlobalNtile)")
+          case w: Window if hashPartitionKeys(w).nonEmpty =>
+            flag(s"Window partitioned by hash-derived key(s) " +
+              s"[${hashPartitionKeys(w).mkString(", ")}]: unbounded-" +
+              "cardinality, data-skewed — one boilerplate value is one " +
+              "giant single-task window group, and AQE cannot skew-split " +
+              "windows; compute per-key stats with Dedup.joinKeyStats " +
+              "(map-side-combinable groupBy + merge join back) instead")
           case j: Join if !hasCrossSideEquality(j) && !scalarSide(j) &&
               !broadcastHinted(j) =>
             flag(s"${j.joinType} join with no cross-side equality " +

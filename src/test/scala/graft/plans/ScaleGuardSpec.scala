@@ -53,6 +53,31 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("fail mode refuses a window partitioned by a hash-derived key, even renamed") {
+    withGuard("fail") {
+      // parquet-backed source: a local relation would be constant-
+      // folded and the hash alias erased before the lint runs
+      val ex = intercept[SparkException] {
+        graft.Tables.documents(spark, "/root/testdata/sf0.001")
+          .withColumn("k", xxhash64($"text"))
+          .withColumnRenamed("k", "bucket") // renaming must not hide it
+          .withColumn("df", count(lit(1)).over(Window.partitionBy($"bucket")))
+          .collect()
+      }
+      assert(ex.getMessage.contains("hash-derived"))
+      assert(ex.getMessage.contains("joinKeyStats"))
+    }
+  }
+
+  test("windows over natural (non-hash) keys still pass in fail mode") {
+    withGuard("fail") {
+      val got = Seq(("a", 1), ("a", 2), ("b", 9)).toDF("id", "pos")
+        .withColumn("rk", rank().over(Window.partitionBy($"id").orderBy($"pos")))
+        .count()
+      assert(got == 3)
+    }
+  }
+
   test("fail mode refuses a join with no cross-side equality") {
     withGuard("fail") {
       val a = Seq((1, 10.0), (2, 20.0)).toDF("ida", "va")

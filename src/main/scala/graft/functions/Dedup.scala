@@ -138,6 +138,60 @@ object Dedup {
     rows.join(stats.hint("merge"), Seq(key), joinType)
   }
 
+  /** Build (or atomically refresh) the persisted span-hash index the
+    * incremental/streaming span-dedup face probes: the distinct
+    * 64-bit k-word span hashes of `df`, under a
+    * [[graft.operators.Versioned]] root. Hashes live in a `grams/`
+    * subdir of the version dir so O(batch) `delta_N/grams` appends
+    * union cleanly on the read side (same layout discipline as the
+    * IVF cells). Returns the committed version dir.
+    */
+  def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, indexPath: String): String =
+    graft.operators.Versioned.commitNew(df.sparkSession, indexPath) { dir =>
+      spanRows(df, idCol, textCol, k).select(col("h")).distinct()
+        .write.parquet(s"$dir/grams")
+    }
+
+  /** The span-hash set of a committed version dir: base + every
+    * appended delta. Rows may repeat across branches after crashes —
+    * consumers treat the index as a SET (semi/anti join membership),
+    * so duplicates are harmless and never re-deduped here.
+    */
+  def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                    versionDir: String): DataFrame =
+    graft.operators.Versioned.listDeltas(spark, versionDir)
+      .foldLeft(spark.read.parquet(s"$versionDir/grams")) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(s"$d/grams"))
+      }
+
+  /** Incremental span-level dedup of one batch against a persisted
+    * span-hash index: per-doc (idCol, n_spans, n_dup, dup_frac) where
+    * a span counts as duplicated iff it is ALREADY IN THE INDEX
+    * (held by some earlier-ingested document) or held by ≥2 documents
+    * WITHIN the batch — the online-curation form of q_span_dup_frac,
+    * scoring only new data against history instead of re-scanning the
+    * corpus (the span-granularity sibling of [[incremental]]).
+    *
+    * Scale shape: batch spans reduce to 8-byte xxhash64 in the scan
+    * stage; within-batch df is the skew-safe [[joinKeyStats]] shape;
+    * the index probe is a merge-hinted left join (the index is
+    * unbounded — it must NEVER ride a planner broadcast).
+    */
+  def spanDedupIncrement(batch: DataFrame, index: DataFrame, idCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    val spans = spanRows(batch, idCol, textCol, k).dropDuplicates("id", "h")
+    val withDf = joinKeyStats(spans, "h",
+      Seq(count(lit(1)).as("nd")), col("nd") >= 2, "left")
+    val idx = index.select(col("h")).distinct().withColumn("seen", lit(1))
+    withDf.join(idx.hint("merge"), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("nd").isNotNull || col("seen").isNotNull, 1)).as("n_dup"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_dup"),
+        (col("n_dup") / col("n_spans")).as("dup_frac"))
+  }
+
   /** One row per k-token shingle, carrying only the shingle's 64-bit
     * hash: tokens are exploded and hashed together with their k-1
     * successors via window `lead` — no shingle string is ever built,

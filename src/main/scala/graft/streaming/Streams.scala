@@ -361,6 +361,66 @@ object Streams {
     q
   }
 
+  /** Streaming span-level dedup: each micro-batch of documents is
+    * scored against a PERSISTED span-hash index
+    * ([[graft.functions.Dedup.writeSpanIndex]]) — per-doc
+    * (id, n_spans, n_dup, dup_frac) where a span is duplicated iff it
+    * is already in the index or held by ≥2 docs within the batch —
+    * and the index then grows by the batch's NEW span hashes as an
+    * O(batch) `Versioned.commitDelta` append (never a rebuild). The
+    * span-granularity sibling of the exact-dedup ingest loop: ingest
+    * scores against history, history grows by the batch.
+    *
+    * Exactly-once: output goes through the same `batch_id=N`
+    * dynamic-partition overwrite as [[decontamIngest]], and the index
+    * append is SELF-HEALING on checkpoint replay — the replayed
+    * batch's spans are already in the index, so the anti-join delta
+    * is empty and nothing is appended twice. Source-level REdelivery
+    * of a document (new batch_id) scores it against an index that
+    * already holds its spans → dup_frac 1.0, which is exactly the
+    * keep-first verdict incremental dedup gives re-ingested content.
+    */
+  def spanDedupIngest(stream: DataFrame, spanIndexPath: String, outPath: String,
+                      checkpoint: String, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 8): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val vdir = graft.operators.Versioned.resolve(spark, spanIndexPath)
+            .getOrElse(throw new IllegalStateException(
+              s"no committed span index at $spanIndexPath — " +
+                "build one with Dedup.writeSpanIndex first"))
+          val idx = graft.functions.Dedup.readSpanIndex(spark, vdir)
+          graft.functions.Dedup
+            .spanDedupIncrement(batch, idx, idCol, textCol, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+          // O(batch) index growth: only hashes the index lacks; the
+          // index side of the anti join is unbounded → merge, never
+          // a planner broadcast
+          val newH = graft.functions.Dedup
+            .spanRows(batch, idCol, textCol, k).select(col("h")).distinct()
+            .join(idx.select(col("h")).hint("merge"), Seq("h"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          try {
+            if (!newH.isEmpty)
+              graft.operators.Versioned.commitDelta(spark, spanIndexPath, vdir) {
+                d => newH.write.parquet(s"$d/grams")
+              }
+          } finally newH.unpersist()
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

@@ -502,6 +502,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() == n)
   }
 
+  test("spanDedupIngest: scores against history, grows the index O(batch), redelivery scores 1.0") {
+    // streaming face of span-level dedup: base corpus indexed once,
+    // the rest streamed in two micro-batches. Invariants:
+    //  (1) index parity — final index = distinct span hashes of ALL docs;
+    //  (2) FINAL-batch docs match the batch q_span_dup_frac exactly
+    //      (every cross-doc span they share is with an earlier-or-same-
+    //      batch doc, all visible to the incremental scorer);
+    //  (3) earlier-batch docs are ≤ batch (spans shared only with
+    //      LATER docs are invisible at scoring time — the documented
+    //      incremental semantics);
+    //  (4) a redelivered batch grows the index by NOTHING and its docs
+    //      score dup_frac 1.0 (their spans are history now — the
+    //      keep-first verdict for re-ingested content).
+    val dir = java.nio.file.Files.createTempDirectory("graft_spaningest").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    graft.functions.Dedup.writeSpanIndex(
+      docs.filter(col("doc_id") <= cut), "doc_id", "text", 8, s"$dir/index")
+    val rows = docs.filter(col("doc_id") > cut)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ch = Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = Streams.spanDedupIngest(ch.toDS.toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt", k = 8)
+    try {
+      ch.send(b2: _*); q.processAllAvailable()
+      val vdir = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+      val idxH = graft.functions.Dedup.readSpanIndex(spark, vdir)
+        .select("h").distinct().as[Long].collect().toSet
+      val allH = graft.functions.Dedup.spanRows(docs, "doc_id", "text", 8)
+        .select("h").distinct().as[Long].collect().toSet
+      assert(idxH == allH, s"index parity broke: ${idxH.size} vs ${allH.size} hashes")
+      val full = graft.SparkEntry.queries("q_span_dup_frac")(spark, sf)
+        .select("doc_id", "n_dup").as[(Long, Long)].collect().toMap
+      val streamed = spark.read.parquet(s"$dir/out")
+        .select("doc_id", "n_dup").as[(Long, Long)].collect().toMap
+      val lastBatch = b2.map(_._1).toSet
+      streamed.foreach { case (id, nd) =>
+        if (lastBatch(id))
+          assert(nd == full(id), s"final-batch doc $id: streamed $nd != batch ${full(id)}")
+        else
+          assert(nd <= full(id), s"earlier doc $id: streamed $nd > batch ${full(id)}")
+      }
+      // some doc must demonstrate actual cross-batch duplication
+      assert(streamed.exists(_._2 > 0), "no duplicated span ever flagged")
+      val deltasBefore = graft.operators.Versioned.listDeltas(spark, vdir).size
+      ch.send(b2: _*) // at-least-once redelivery, new batch_id
+      q.processAllAvailable()
+      assert(graft.operators.Versioned.listDeltas(spark, vdir).size == deltasBefore,
+        "redelivered batch must not grow the index")
+      val replayed = spark.read.parquet(s"$dir/out")
+        .groupBy("doc_id").agg(max("batch_id").as("bid"),
+          max("dup_frac").as("df_max"))
+        .filter(col("bid") >= 2)
+      assert(replayed.count() == b2.count(r => tokenCount(r._2) >= 8),
+        "replayed partition missing redelivered docs")
+      assert(replayed.filter(col("df_max") < 1.0).count() == 0,
+        "re-ingested docs must score dup_frac 1.0 — their spans are history")
+    } finally q.stop()
+  }
+
+  private def tokenCount(text: String): Int =
+    text.split(" ").count(_.nonEmpty)
+
   test("indexGrowIngest: dedup → append → score across micro-batches with a replay") {
     // the full streaming curation loop: the index grows by three
     // micro-batches (one of them RE-DELIVERED, at-least-once style)

@@ -30,10 +30,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (integer division — no double round-trip, which would
-    * lose precision above 2^53).
+  /** events.ts arrives in whichever timestamp layout the generator
+    * last used — the driver has shipped both parquet TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects; read nanos as long and
+    * integer-divide to micros — no double round-trip, which would
+    * lose precision above 2^53) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which Spark reads as TIMESTAMP_NTZ).
+    * Branch on the INFERRED type so every layout lands on the same
+    * session-TZ TimestampType column and downstream queries + oracle
+    * hashes are layout-independent (sessions run UTC, so the NTZ →
+    * TimestampType cast reinterprets the same wall-clock instant).
     *
     * Note: nanosAsLong is a session conf (not a per-read option), so
     * it stays set afterwards. It only affects TIMESTAMP(NANOS)
@@ -42,10 +48,17 @@ object Tables {
     * deliberately left on.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nano-of-epoch longs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS) not adjusted to UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already session-TZ TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real and tested — schema, batch shape
   * (one decoder init per partition, rows streamed through it),
   * partitioning, column pruning (metadata queries never touch
-  * payload bytes thanks to parquet column projection). IMAGE header
-  * decode is REAL: PNG IHDR and JPEG SOFn frame headers are parsed
-  * byte-wise in pure JVM (no codec needed for dimensions — see
-  * [[parseImageHeader]]), exercised end-to-end through the
-  * q_multimodal_meta oracle on genuinely-wrapped PNG/JPEG payloads.
-  * Audio/video decode and pixel-level ops remain clearly-marked
-  * deterministic STUBS (no media codecs ship in this container);
-  * swap the stub bodies for a real codec and nothing else changes.
+  * payload bytes thanks to parquet column projection). HEADER decode
+  * is REAL for all three modalities — PNG IHDR / JPEG SOFn
+  * ([[parseImageHeader]]), RIFF/WAVE fmt+data ([[parseWavHeader]]),
+  * and ISO-BMFF/MP4 mvhd/tkhd/stts ([[parseMp4Header]]) — parsed
+  * byte-wise in pure JVM and exercised end-to-end through the
+  * q_multimodal_meta oracle on genuinely-wrapped containers.
+  * Pixel/sample-level ops (feature extract, resize, frame sampling)
+  * remain clearly-marked deterministic STUBS (no media codecs ship
+  * in this container); swap the stub bodies for a real codec and
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -26,12 +28,14 @@ object Multimodal {
   /** Decoder output: metadata extracted from the payload. Image rows
     * carry width/height (parsed); audio rows carry
     * sample_rate/channels/duration_ms (parsed) with null dimensions;
-    * video stand-ins keep the documented stub fields.
+    * video rows carry width/height/duration_ms/n_frames/n_tracks all
+    * parsed from a genuine ISO-BMFF container.
     */
   final case class DecodedMeta(doc_id: Long, media_type: String,
                                payload_bytes: Long, width: Option[Int], height: Option[Int],
                                n_frames: Int, sample_rate: Option[Int],
-                               channels: Option[Int], duration_ms: Option[Long])
+                               channels: Option[Int], duration_ms: Option[Long],
+                               n_tracks: Option[Int])
 
   /** Build a media table from any source column. Image rows
     * (doc_id % 3 == 0) are wrapped in a REAL container: a valid PNG
@@ -41,8 +45,11 @@ object Multimodal {
     * (fmt + data chunks, 16-bit PCM) whose rate/channels derive
     * deterministically from the content length — so the SQL oracle
     * can predict what [[parseImageHeader]]/[[parseWavHeader]] must
-    * read back. Video rows carry the raw UTF-8 bytes (stand-ins for
-    * real blobs).
+    * read back. Video rows (doc_id % 3 == 2) are wrapped in a REAL
+    * ISO-BMFF/MP4 container (ftyp + moov with mvhd/trak/tkhd/stts +
+    * mdat carrying the data) whose duration, track count, dimensions
+    * and frame count derive deterministically from the content
+    * length — what [[parseMp4Header]] must read back.
     */
   def attachPayload(df: DataFrame, idCol: String, contentCol: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession
@@ -62,7 +69,11 @@ object Multimodal {
           case 1 =>
             MediaRecord(id, "audio",
               wavWrap(raw, 8000 + (n % 8) * 4000, 1 + n % 2))
-          case _ => MediaRecord(id, "video", raw)
+          case _ =>
+            MediaRecord(id, "video",
+              mp4Wrap(raw, 64 + n % 577, 64 + n % 433,
+                durationMs = 500L + n % 60000, nTracks = 1 + n % 3,
+                nFrames = 1 + n % 30))
         }
       })
   }
@@ -226,29 +237,204 @@ object Multimodal {
     out
   }
 
+  /** Parsed ISO-BMFF metadata: presentation duration (ms, from
+    * mvhd), track count, first video track's pixel dimensions (tkhd
+    * 16.16 fixed point) and total sample (frame) count across all
+    * stts tables.
+    */
+  final case class Mp4Meta(durationMs: Long, nTracks: Int, width: Int, height: Int, nFrames: Int)
+
+  /** Pure-JVM ISO-BMFF/MP4 box walk (ISO/IEC 14496-12 §4.2, §8.2.2,
+    * §8.3.2, §8.6.1.2): a file is a sequence of boxes, each a
+    * big-endian u32 size + 4-char type (size 1 → 64-bit largesize
+    * follows; size 0 → box extends to end of file). Containers
+    * (moov, trak, mdia, minf, stbl) simply nest. Requires a top-level
+    * ftyp (brand sanity) and a moov with an mvhd; handles version 0
+    * (32-bit times) and version 1 (64-bit times) mvhd/tkhd layouts.
+    *
+    *  - mvhd: timescale + duration → durationMs.
+    *  - trak count → nTracks; first trak with non-zero tkhd width
+    *    supplies width/height (stored as 16.16 fixed point).
+    *  - stts entries: Σ sample_count over every track's decoding
+    *    time-to-sample table → nFrames.
+    *
+    * Returns None on anything malformed (bad sizes, missing moov or
+    * mvhd, zero timescale) — the caller falls back to the stub.
+    */
+  private[functions] def parseMp4Header(b: Array[Byte]): Option[Mp4Meta] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int): String = new String(b, i, 4, "US-ASCII")
+    // Walk the boxes in [from, to); yield (type, payloadStart, payloadEnd).
+    def boxes(from: Int, to: Int): Option[List[(String, Int, Int)]] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var i = from
+      while (i < to) {
+        if (i + 8 > to) return None
+        val size32 = be32(i)
+        val (payload, end) =
+          if (size32 == 1L) {
+            if (i + 16 > to) return None
+            val sz = be64(i + 8)
+            if (sz < 16 || i + sz > to) return None
+            (i + 16, i + sz.toInt)
+          } else if (size32 == 0L) (i + 8, to) // last box: extends to end
+          else {
+            if (size32 < 8 || i + size32 > to) return None
+            (i + 8, i + size32.toInt)
+          }
+        out += ((typ(i + 4), payload, end))
+        i = end
+      }
+      Some(out.result())
+    }
+    if (b.length < 8) return None
+    for {
+      top <- boxes(0, b.length)
+      if top.exists(_._1 == "ftyp")
+      (_, moovS, moovE) <- top.find(_._1 == "moov")
+      moov <- boxes(moovS, moovE)
+      (_, mvS, mvE) <- moov.find(_._1 == "mvhd")
+      // mvhd v0: ver/flags(4) creation(4) mod(4) timescale(4) duration(4)
+      // mvhd v1: ver/flags(4) creation(8) mod(8) timescale(4) duration(8)
+      (timescale, duration) <- u8(mvS) match {
+        case 0 if mvE - mvS >= 20 => Some((be32(mvS + 12), be32(mvS + 16)))
+        case 1 if mvE - mvS >= 32 => Some((be32(mvS + 20), be64(mvS + 24)))
+        case _ => None
+      }
+      if timescale > 0
+      traks = moov.filter(_._1 == "trak")
+      if traks.nonEmpty
+    } yield {
+      var w = 0; var h = 0
+      var frames = 0L
+      traks.foreach { case (_, tS, tE) =>
+        boxes(tS, tE).foreach { kids =>
+          kids.find(_._1 == "tkhd").foreach { case (_, kS, kE) =>
+            // width/height are the last two u32 of the payload
+            // (16.16 fixed point), same offset-from-end in v0 and v1
+            val dimAt = kE - 8
+            if (dimAt >= kS && w == 0) {
+              val tw = (be32(dimAt) >>> 16).toInt
+              val th = (be32(dimAt + 4) >>> 16).toInt
+              if (tw > 0) { w = tw; h = th }
+            }
+          }
+          // descend trak → mdia → minf → stbl → stts
+          for {
+            (_, mS, mE) <- kids.find(_._1 == "mdia")
+            mk <- boxes(mS, mE)
+            (_, iS, iE) <- mk.find(_._1 == "minf")
+            ik <- boxes(iS, iE)
+            (_, sS, sE) <- ik.find(_._1 == "stbl")
+            sk <- boxes(sS, sE)
+            (_, ttS, ttE) <- sk.find(_._1 == "stts")
+            if ttE - ttS >= 8
+          } {
+            val n = be32(ttS + 4).toInt
+            var e = 0
+            while (e < n && ttS + 8 + e * 8 + 8 <= ttE) {
+              frames += be32(ttS + 8 + e * 8)
+              e += 1
+            }
+          }
+        }
+      }
+      Mp4Meta(duration * 1000L / timescale, traks.size, w, h, frames.toInt)
+    }
+  }
+
+  /** A VALID minimal ISO-BMFF/MP4 carrying `data` in its mdat box:
+    * ftyp(isom) + moov(mvhd timescale=1000 so duration IS ms, one
+    * full trak with tkhd dims + an stts of `nFrames` samples, plus
+    * `nTracks-1` dimensionless tracks with empty stts) + mdat. Total
+    * size is exactly data.length + 296 + (nTracks-1)*140 — the
+    * oracle's payload_bytes formula.
+    */
+  private[functions] def mp4Wrap(data: Array[Byte], w: Int, h: Int,
+                                 durationMs: Long, nTracks: Int, nFrames: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val n = payload.map(_.length).sum
+      val out = new java.io.ByteArrayOutputStream(8 + n)
+      out.write(be32Bytes(8 + n), 0, 4)
+      out.write(typ.getBytes("US-ASCII"), 0, 4)
+      payload.foreach(p => out.write(p, 0, p.length))
+      out.toByteArray
+    }
+    val unityMatrix =
+      be32Bytes(0x00010000) ++ be32Bytes(0) ++ be32Bytes(0) ++
+      be32Bytes(0) ++ be32Bytes(0x00010000) ++ be32Bytes(0) ++
+      be32Bytes(0) ++ be32Bytes(0) ++ be32Bytes(0x40000000)
+    val mvhd = box("mvhd",
+      be32Bytes(0), // version 0 + flags
+      be32Bytes(0), be32Bytes(0), // creation, modification
+      be32Bytes(1000), be32Bytes(durationMs.toInt), // timescale=1000 → duration is ms
+      be32Bytes(0x00010000), // rate 1.0
+      Array[Byte](0x01, 0x00, 0, 0), // volume 1.0 + reserved(2)
+      new Array[Byte](8), // reserved
+      unityMatrix,
+      new Array[Byte](24), // pre_defined
+      be32Bytes(nTracks + 1)) // next_track_ID
+    def stts(frames: Int): Array[Byte] =
+      if (frames > 0)
+        box("stts", be32Bytes(0), be32Bytes(1), be32Bytes(frames),
+          be32Bytes(math.max(1, (durationMs / math.max(1, frames)).toInt)))
+      else box("stts", be32Bytes(0), be32Bytes(0))
+    def trak(id: Int, tw: Int, th: Int, frames: Int): Array[Byte] = {
+      val tkhd = box("tkhd",
+        be32Bytes(0x00000007), // version 0, flags: enabled|in_movie|in_preview
+        be32Bytes(0), be32Bytes(0), // creation, modification
+        be32Bytes(id), be32Bytes(0), // track_ID, reserved
+        be32Bytes(durationMs.toInt),
+        new Array[Byte](8), // reserved
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0), // layer, alt_group, volume, reserved
+        unityMatrix,
+        be32Bytes(tw << 16), be32Bytes(th << 16)) // 16.16 fixed point
+      box("trak", tkhd, box("mdia", box("minf", box("stbl", stts(frames)))))
+    }
+    val traks = (1 to nTracks).map { i =>
+      if (i == 1) trak(i, w, h, nFrames) else trak(i, 0, 0, 0)
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII"), be32Bytes(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    val moov = box("moov", (mvhd +: traks): _*)
+    val mdat = box("mdat", data)
+    ftyp ++ moov ++ mdat
+  }
+
   // ======================= DECODE =========================
-  // Image dimensions are parsed for REAL from PNG/JPEG headers and
-  // audio metadata for REAL from RIFF/WAVE headers; a parsed image or
+  // All three shipped modalities parse REAL container headers in
+  // pure JVM: PNG/JPEG dimensions, RIFF/WAVE rate/channels/duration,
+  // and ISO-BMFF duration/tracks/dimensions/frames. A parsed image or
   // audio stream is one frame. Payloads with no recognizable
-  // container (video stand-ins) fall back to the deterministic STUB
-  // that derives fake dimensions from the length — a real video
-  // codec (MP4) would replace only that branch.
+  // container fall back to the deterministic STUB that derives fake
+  // dimensions from the length — a real pixel/sample decoder would
+  // replace only that branch.
   private def decodeOne(r: MediaRecord): DecodedMeta =
     parseImageHeader(r.payload) match {
       case Some((_, w, h)) =>
         DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong,
-          Some(w), Some(h), n_frames = 1, None, None, None)
+          Some(w), Some(h), n_frames = 1, None, None, None, None)
       case None => parseWavHeader(r.payload) match {
         case Some(wm) =>
           DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong,
             None, None, n_frames = 1, Some(wm.sampleRate), Some(wm.channels),
-            Some(wm.nSamples * 1000L / wm.sampleRate))
-        case None =>
-          val n = r.payload.length.toLong
-          DecodedMeta(r.doc_id, r.media_type, n,
-            width = Some((64L + n % 577L).toInt),
-            height = Some((64L + n % 433L).toInt),
-            n_frames = (1L + n % 30L).toInt, None, None, None)
+            Some(wm.nSamples * 1000L / wm.sampleRate), None)
+        case None => parseMp4Header(r.payload) match {
+          case Some(mm) =>
+            DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong,
+              Some(mm.width), Some(mm.height), n_frames = mm.nFrames,
+              None, None, Some(mm.durationMs), Some(mm.nTracks))
+          case None =>
+            val n = r.payload.length.toLong
+            DecodedMeta(r.doc_id, r.media_type, n,
+              width = Some((64L + n % 577L).toInt),
+              height = Some((64L + n % 433L).toInt),
+              n_frames = (1L + n % 30L).toInt, None, None, None, None)
+        }
       }
     }
   // =============================================================

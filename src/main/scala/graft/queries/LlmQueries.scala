@@ -280,14 +280,16 @@ object LlmQueries {
 
     // 39. Multimodal: binary payload + typed metadata through the
     //     batched decode pipeline (real mapPartitions plumbing; PNG/
-    //     JPEG dimensions and WAV rate/channels/duration are parsed
-    //     from genuine containers, video stays on the documented
-    //     stub; oracle recomputes everything from content length).
+    //     JPEG dimensions, WAV rate/channels/duration AND MP4
+    //     duration/tracks/dims/frames are all parsed from genuine
+    //     containers; oracle recomputes everything from content
+    //     length).
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s, Tables.spread(Tables.documents(s, d)), "doc_id", "text")
         .select(col("doc_id"), col("media_type"), col("payload_bytes"),
           col("width"), col("height"), col("n_frames"),
-          col("sample_rate"), col("channels"), col("duration_ms"))
+          col("sample_rate"), col("channels"), col("duration_ms"),
+          col("n_tracks"))
         .orderBy("doc_id"))
   )
 
@@ -527,7 +529,7 @@ object LlmQueries {
         |  CASE WHEN doc_id % 6 = 0 THEN n + 57
         |       WHEN doc_id % 3 = 0 THEN n + 17
         |       WHEN doc_id % 3 = 1 THEN n + 44 + n % 2
-        |       ELSE n END AS payload_bytes,
+        |       ELSE n + 296 + (n % 3) * 140 END AS payload_bytes,
         |  (CASE WHEN doc_id % 3 = 0 THEN 1 + n % 509
         |        WHEN doc_id % 3 = 1 THEN NULL
         |        ELSE 64 + n % 577 END)::INT AS width,
@@ -540,7 +542,9 @@ object LlmQueries {
         |  (CASE WHEN doc_id % 3 = 1 THEN 1 + n % 2 ELSE NULL END)::INT AS channels,
         |  (CASE WHEN doc_id % 3 = 1 THEN
         |          ((n // ((1 + n % 2) * 2)) * 1000) // (8000 + (n % 8) * 4000)
-        |        ELSE NULL END)::BIGINT AS duration_ms
+        |        WHEN doc_id % 3 = 2 THEN 500 + n % 60000
+        |        ELSE NULL END)::BIGINT AS duration_ms,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 1 + n % 3 ELSE NULL END)::INT AS n_tracks
         |FROM t ORDER BY doc_id""".stripMargin
   )
 }

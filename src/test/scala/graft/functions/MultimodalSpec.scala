@@ -15,7 +15,13 @@ class MultimodalSpec extends AnyFunSuite {
     val wav = media.find(_.doc_id == 1L).get.payload
     assert(wav.length == 5 + 44 + 1) // 5 data bytes, odd -> 1 pad byte
     assert(new String(wav.slice(44, 49), "UTF-8") == "defgh")
-    assert(media.find(_.doc_id == 2L).get.payload.toSeq == "ij".getBytes("UTF-8").toSeq)
+    // video rows are genuine ISO-BMFF containers; "ij" has n=2 so
+    // nTracks = 1 + 2 % 3 = 3 and size = 2 + 296 + 2*140
+    val mp4 = media.find(_.doc_id == 2L).get.payload
+    assert(mp4.length == 2 + 296 + 2 * 140)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(Multimodal.parseMp4Header(mp4).contains(
+      Multimodal.Mp4Meta(500L + 2, 3, 64 + 2 % 577, 64 + 2 % 433, 1 + 2 % 30)))
   }
 
   test("feature extraction: unit-norm fixed-dim embeddings feed Similarity ops") {
@@ -38,11 +44,11 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resize stub: payload reshaped to w*h bytes, metadata type preserved") {
-    val df = Seq((2L, "abcdef")).toDF("doc_id", "text") // video: raw payload
+    val df = Seq((2L, "abcdef")).toDF("doc_id", "text") // video: MP4 container
     val resized = Multimodal.resize(Multimodal.attachPayload(df, "doc_id", "text"), 4, 3)
       .collect().head
     assert(resized.payload.length == 12)
-    assert(new String(resized.payload.take(6), "UTF-8") == "abcdef") // cycled content
+    assert(new String(resized.payload.slice(4, 8), "US-ASCII") == "ftyp") // cycled container bytes
     assert(resized.media_type == "video")
   }
 
@@ -56,8 +62,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3, 4))
   }
 
-  test("decode: image and audio rows parse REAL container headers, video uses the stub") {
-    // 0 → PNG-wrapped, 3 → JPEG-wrapped, 1 → WAV-wrapped, 2 → video stub
+  test("decode: image, audio AND video rows parse REAL container headers") {
+    // 0 → PNG-wrapped, 3 → JPEG-wrapped, 1 → WAV-wrapped, 2 → MP4-wrapped
     val df = Seq((0L, "abc"), (3L, "abcde"), (1L, "xyzw"), (2L, "qrs"))
       .toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(spark, df, "doc_id", "text")
@@ -65,7 +71,7 @@ class MultimodalSpec extends AnyFunSuite {
     val png = meta(0L)
     assert(png.payload_bytes == 3L + 57)
     assert(png.width.contains(1 + 3 % 509) && png.height.contains(1 + 3 % 389) && png.n_frames == 1)
-    assert(png.sample_rate.isEmpty && png.duration_ms.isEmpty)
+    assert(png.sample_rate.isEmpty && png.duration_ms.isEmpty && png.n_tracks.isEmpty)
     val jpg = meta(3L)
     assert(jpg.payload_bytes == 5L + 17)
     assert(jpg.width.contains(1 + 5 % 509) && jpg.height.contains(1 + 5 % 389) && jpg.n_frames == 1)
@@ -76,11 +82,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.channels.contains(1 + 4 % 2)) // mono
     // 4 data bytes / block-align 2 = 2 samples -> 2000/24000 ms -> 0
     assert(wav.duration_ms.contains(0L))
+    assert(wav.n_tracks.isEmpty)
+    // n=3 → 1 track, so no dimensionless extra traks in the container
     val vid = meta(2L)
-    assert(vid.payload_bytes == 3L)
+    assert(vid.payload_bytes == 3L + 296)
     assert(vid.width.contains(64 + 3 % 577) && vid.height.contains(64 + 3 % 433))
     assert(vid.n_frames == 1 + 3 % 30)
-    assert(vid.sample_rate.isEmpty)
+    assert(vid.duration_ms.contains(500L + 3))
+    assert(vid.n_tracks.contains(1))
+    assert(vid.sample_rate.isEmpty && vid.channels.isEmpty)
   }
 
   test("parseWavHeader walks real RIFF chunk streams") {
@@ -156,5 +166,65 @@ class MultimodalSpec extends AnyFunSuite {
     val jpg = Multimodal.jpegWrap(data, 65535, 1)
     assert(jpg.length == data.length + 17)
     assert(Multimodal.parseImageHeader(jpg).contains(("jpeg", 65535, 1)))
+  }
+
+  test("mp4Wrap round-trips: mvhd/tkhd/stts metadata parses back exactly") {
+    val data = "video payload stand-in".getBytes("UTF-8")
+    val one = Multimodal.mp4Wrap(data, 1920, 1080, durationMs = 41708L, nTracks = 1, nFrames = 1000)
+    assert(one.length == data.length + 296)
+    assert(Multimodal.parseMp4Header(one).contains(
+      Multimodal.Mp4Meta(41708L, 1, 1920, 1080, 1000)))
+    // dimensionless extra tracks count toward nTracks but contribute
+    // no dims and no frames
+    val three = Multimodal.mp4Wrap(data, 640, 480, durationMs = 7L, nTracks = 3, nFrames = 2)
+    assert(three.length == data.length + 296 + 2 * 140)
+    assert(Multimodal.parseMp4Header(three).contains(
+      Multimodal.Mp4Meta(7L, 3, 640, 480, 2)))
+    // the mdat box carries the data verbatim at the tail
+    assert(new String(one.takeRight(data.length), "UTF-8") == "video payload stand-in")
+  }
+
+  test("parseMp4Header walks version-1 boxes, 64-bit largesize and to-end boxes") {
+    def be32(v: Long): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val p = payload.flatten.toArray
+      be32(8L + p.length) ++ typ.getBytes("US-ASCII") ++ p
+    }
+    // moov declared with a 64-bit largesize header (size field = 1)
+    def boxL(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val p = payload.flatten.toArray
+      be32(1L) ++ typ.getBytes("US-ASCII") ++ be64(16L + p.length) ++ p
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    // mvhd v1: 64-bit creation/modification/duration, timescale 500,
+    // duration 2500 ticks -> 5000 ms
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0),
+      be64(0), be64(0), be32(500), be64(2500))
+    // tkhd v1: dims are the last two u32 of the payload in both versions
+    val tkhdV1 = box("tkhd", Array[Byte](1, 0, 0, 7),
+      new Array[Byte](84), be32(320L << 16), be32(240L << 16))
+    // stts with TWO entries: 3 + 4 = 7 frames
+    val stts = box("stts", be32(0), be32(2), be32(3), be32(100), be32(4), be32(100))
+    val trak = box("trak", tkhdV1, box("mdia", box("minf", box("stbl", stts))))
+    val moov = boxL("moov", mvhdV1, trak)
+    // trailing mdat with size 0: extends to end of file
+    val mdat = be32(0) ++ "mdat".getBytes("US-ASCII") ++ "tail".getBytes("UTF-8")
+    val file = ftyp ++ moov ++ mdat
+    assert(Multimodal.parseMp4Header(file).contains(
+      Multimodal.Mp4Meta(5000L, 1, 320, 240, 7)))
+    // malformed inputs refuse cleanly
+    assert(Multimodal.parseMp4Header(file.take(40)).isEmpty) // truncated mid-box
+    assert(Multimodal.parseMp4Header(moov ++ mdat).isEmpty) // no ftyp brand box
+    assert(Multimodal.parseMp4Header("free".getBytes("US-ASCII")).isEmpty) // < 8 bytes
+    val badSize = file.clone(); badSize(0) = 0x7F // first box size > file length
+    assert(Multimodal.parseMp4Header(badSize).isEmpty)
+    val zeroTs = ftyp ++ box("moov",
+      box("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0), be32(0), be32(9)), trak)
+    assert(Multimodal.parseMp4Header(zeroTs).isEmpty) // zero timescale
+    val noTrak = ftyp ++ box("moov", mvhdV1)
+    assert(Multimodal.parseMp4Header(noTrak).isEmpty) // moov without any trak
   }
 }

@@ -1,6 +1,6 @@
 package graft.examples
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-factor multiplier for the driver's synthetic star schema:
@@ -43,10 +43,26 @@ import org.apache.spark.sql.functions._
   * count is fixed in TPC-H scaling too.
   */
 object ScaleUp {
+
+  /** Eight tokens — one full SpanK span / segment, same constant the
+    * sf0.01 behavioral gate (SkewedSpanSpec) plants: the license-header
+    * boilerplate whose corpus-wide document frequency is the span
+    * family's worst case.
+    */
+  val Boiler = "all rights reserved see license file for terms"
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // skew mode (VERDICT r9 ask #5): plant Boiler at the end of
+    // skewPct% of documents (deterministic by doc-id hash) and make
+    // source sizes Zipfian (source rank r gets ∝ 1/r of the corpus)
+    // — the generator's near-uniform span df / source sizes are
+    // exactly why the window-skew family was never caught by the
+    // growth pins; this produces the corpus shape those operators
+    // exist for, at any SF the record runs at.
+    val skewPct = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -55,9 +71,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is TIMESTAMP(NANOS); read it as a raw long and write
-    // it back as plain INT64 — Tables.events applies the same
-    // `ts div 1000` conversion to either representation
+    // events.ts layout varies by generator round (TIMESTAMP(NANOS) or
+    // TIMESTAMP(MICROS) NTZ). Read nanos as raw longs when present and
+    // copy whatever arrives verbatim — Tables.events branches on the
+    // inferred type, so the scaled copy reads back identically.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
@@ -112,7 +129,32 @@ object ScaleUp {
         when(col("_copy") === 0, col("n_chars"))
           .otherwise(length(col("text")).cast("long")))
       .drop("_copy")
-    write(permuted, "documents")
+    val skewed =
+      if (skewPct <= 0) permuted
+      else {
+        // Zipfian source sizes: source of rank r (1-based, over the
+        // corpus's own source list) takes a 1/r-proportional share,
+        // assigned by inverse-CDF over a deterministic per-doc uniform
+        // draw. One license-header span + a few mega-sources is the
+        // boilerplate-heavy shape the span/dedup family must survive.
+        val sources = permuted.select("source").distinct()
+          .collect().map(_.getString(0)).sorted
+        val weights = sources.indices.map(r => 1.0 / (r + 1))
+        val total = weights.sum
+        val cdf = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+        val u = pmod(xxhash64(col("doc_id"), lit("zipf")), lit(1000000L))
+          .cast("double") / 1000000.0
+        val zipfSource = sources.indices.foldRight(lit(sources.last): Column) {
+          (r, rest) => when(u < cdf(r), lit(sources(r))).otherwise(rest)
+        }
+        permuted
+          .withColumn("source", zipfSource)
+          .withColumn("text",
+            when(pmod(xxhash64(col("doc_id")), lit(100)) < skewPct,
+              concat(col("text"), lit(" " + Boiler))).otherwise(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    write(skewed, "documents")
 
     // embeddings: keys sharded + per-copy cyclic component rotation
     val dim = tbl("embeddings").select(size(col("embedding"))).head.getInt(0)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,16 +204,71 @@ object Curation {
     * [[decontamOverlapGrams]] probes: the distinct 64-bit gram hashes
     * of the benchmark set, under a [[graft.operators.Versioned]] root
     * so a refresh (new eval suite version) lands atomically while
-    * scoring continues against the previous version. Returns the
-    * committed version dir.
+    * scoring continues against the previous version. Grams live in a
+    * `grams/` subdir of the version dir so O(new-suite)
+    * `delta_N/grams` appends ([[appendDecontamIndex]]) union cleanly
+    * on the read side — same layout discipline as the IVF cells and
+    * the span-hash index. Returns the committed version dir.
     */
   def writeDecontamIndex(bench: DataFrame, idCol: String, textCol: String,
                          k: Int, indexPath: String): String =
     graft.operators.Versioned.commitNew(bench.sparkSession, indexPath) { dir =>
       Dedup.spanRows(bench, idCol, textCol, k)
         .select(col("h")).distinct()
-        .write.parquet(dir)
+        .write.parquet(s"$dir/grams")
     }
+
+  /** The gram set of a committed decontam-index version dir: base +
+    * every appended delta. Rows may repeat across deltas after a
+    * crashed-and-retried append; consumers treat the index as a SET
+    * ([[decontamOverlapGrams]] re-distincts defensively), so
+    * duplicates are harmless and never re-deduped here.
+    */
+  def readDecontamIndex(spark: SparkSession, versionDir: String): DataFrame =
+    graft.operators.Versioned.listDeltas(spark, versionDir)
+      .foldLeft(spark.read.parquet(s"$versionDir/grams")) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(s"$d/grams"))
+      }
+
+  /** O(new-suite) benchmark refresh: eval suites grow by ADDITION (a
+    * new benchmark version adds tasks, it doesn't retract published
+    * ones), so registering one should pay for the new suite's grams
+    * only — not the full-rebuild [[writeDecontamIndex]] costs. The
+    * new suite's distinct gram hashes are anti-joined against the
+    * current index (both sides suite-scale — megabytes against a
+    * 100 TB corpus — so the index side broadcasts exactly as it does
+    * in every probe) and only the genuinely NEW hashes land as an
+    * atomic `delta_N/grams` under the current version
+    * ([[graft.operators.Versioned.commitDelta]] — an append racing a
+    * rebuild fails fast rather than silently vanishing). Appending an
+    * already-indexed suite therefore produces an empty delta and
+    * commits nothing — the append is idempotent/self-healing on
+    * retry, like the streaming span-index growth.
+    *
+    * Returns the committed delta dir, or None when the suite brought
+    * no new grams. Readers ([[readDecontamIndex]], and every scorer
+    * built on it) see base + deltas as one set, so append ≡ rebuild
+    * on the union of the suites.
+    */
+  def appendDecontamIndex(newBench: DataFrame, idCol: String, textCol: String,
+                          k: Int, indexPath: String): Option[String] = {
+    val spark = newBench.sparkSession
+    val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed benchmark gram index at $indexPath — " +
+          "build one with writeDecontamIndex first"))
+    val existing = readDecontamIndex(spark, vdir).select(col("h")).distinct()
+    val fresh = Dedup.spanRows(newBench, idCol, textCol, k)
+      .select(col("h")).distinct()
+      .join(broadcast(existing), Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      if (fresh.isEmpty) None
+      else Some(graft.operators.Versioned.commitDelta(spark, indexPath, vdir) {
+        d => fresh.write.parquet(s"$d/grams")
+      })
+    } finally { fresh.unpersist(); () }
+  }
 
   /** First hex digit of the content md5 — the deterministic bucketing
     * primitive behind [[sampleFlag]] and [[splitAssign]]. Content-keyed

@@ -347,7 +347,8 @@ object Streams {
               s"no committed benchmark gram index at $gramIndexPath — " +
                 "build one with Curation.writeDecontamIndex first"))
           graft.functions.Curation
-            .decontamOverlapGrams(batch, spark.read.parquet(vdir),
+            .decontamOverlapGrams(batch,
+              graft.functions.Curation.readDecontamIndex(spark, vdir),
               idCol, textCol, k)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")

@@ -48,12 +48,56 @@ class CurationSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val vdir = Curation.writeDecontamIndex(bench, "doc_id", "text", 5, dir)
     val viaIndex = Curation.decontamOverlapGrams(
-      corpus, spark.read.parquet(vdir), "doc_id", "text", 5)
+      corpus, Curation.readDecontamIndex(spark, vdir), "doc_id", "text", 5)
       .as[(Long, Long, Long, Double)].collect().toSet
     val direct = Curation.decontamOverlap(corpus, bench, "doc_id", "text", 5)
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(viaIndex == direct)
     assert(viaIndex.exists(_._3 > 0))
+  }
+
+  test("appendDecontamIndex: append ≡ rebuild on the union, delta holds only new grams") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dcap").toString
+    val suiteA = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val suiteB = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"), // verbatim suite-A doc: zero new grams
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro alpha beta gamma delta epsilon outro words here"),
+      (11L, "see one two three four five six seven end"),
+      (12L, "totally different content with no shared sequences at all"))
+      .toDF("doc_id", "text")
+
+    val vdir = Curation.writeDecontamIndex(suiteA, "doc_id", "text", 5, dir)
+    val delta = Curation.appendDecontamIndex(suiteB, "doc_id", "text", 5, dir)
+    assert(delta.isDefined, "suite B brings new grams — a delta must commit")
+
+    // the delta carries ONLY grams the index lacked: suite B's doc 2 is
+    // a verbatim suite-A doc, so the delta is exactly doc 3's gram set
+    val deltaRows = spark.read.parquet(s"${delta.get}/grams").count()
+    val doc3Grams = "one two three four five six seven"
+      .split(" ").sliding(5).size
+    assert(deltaRows == doc3Grams,
+      s"delta carries $deltaRows grams; want only doc 3's $doc3Grams new ones")
+
+    // append ≡ rebuild: scoring via base+delta equals scoring via a
+    // fresh full index over the union of the suites
+    val viaAppend = Curation.decontamOverlapGrams(
+      corpus, Curation.readDecontamIndex(spark, vdir), "doc_id", "text", 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("graft_dcrb").toString
+    val rb = Curation.writeDecontamIndex(suiteA.unionByName(suiteB),
+      "doc_id", "text", 5, rebuiltDir)
+    val viaRebuild = Curation.decontamOverlapGrams(
+      corpus, Curation.readDecontamIndex(spark, rb), "doc_id", "text", 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.exists(r => r._1 == 11L && r._3 > 0),
+      "doc 11 must hit suite B's grams through the appended delta")
+
+    // idempotent: re-appending an already-indexed suite commits nothing
+    assert(Curation.appendDecontamIndex(suiteB, "doc_id", "text", 5, dir).isEmpty)
+    assert(graft.operators.Versioned.listDeltas(spark, vdir).size == 1)
   }
 
   test("chunk emits overlapping windows with a shorter tail") {

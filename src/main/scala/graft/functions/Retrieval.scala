@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over a document corpus — the lexical half of a
+  * RAG / eval-harness stack (the embedding half is
+  * [[Similarity]]/[[Ivf]]/[[Pq]]): classic Okapi BM25 scoring of
+  * every corpus document against a bounded query set, top-k results
+  * per query.
+  *
+  * Scale design mirrors the decontamination family: the QUERY side is
+  * structurally bounded (a query workload is KBs-MBs against a 100 TB
+  * corpus) so everything derived from it — query terms, their
+  * document frequencies, their idf — is broadcast BY CONSTRUCTION,
+  * and the corpus side streams through map-side hash probes. Corpus
+  * text never shuffles: tokens reduce to 64-bit xxhash64 term keys in
+  * the scan stage (term-match semantics identical to string equality
+  * modulo 2⁻⁶⁴ collisions), the only corpus-sized exchange is the
+  * (query, doc) partial-aggregated score shuffle, and the final
+  * ranking is the native bounded [[graft.plans.TopKPerKey]] operator
+  * (≤ k rows per query survive each map partition), never a global
+  * sort.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query document, the `topK` highest-
+    * scoring corpus documents under BM25(k1, b) over whitespace
+    * tokens. Returns (query_id, rank, doc_id, score) with score
+    * rounded via [[EngineNeutral.r4]] BEFORE ranking so the
+    * (score desc, doc_id asc) order — and therefore the reported
+    * rank — is engine-reproducible.
+    *
+    * idf(t) = ln(1 + (N − df + ½)/(df + ½)) — the standard
+    * nonnegative Robertson–Spärck Jones form; N and avgdl count ALL
+    * corpus docs (empty ones too), with avgdl computed as an exact
+    * integer token sum over a double division so both engines derive
+    * the identical double.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, topK: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val toks = Dedup.tokens(col(textCol))
+    // one corpus scan: per-doc token array with its length carried
+    // through the explode, so document length never needs a join back
+    val tok = corpus.repartition(par, col(idCol))
+      .select(col(idCol).as("id"), size(toks).as("dl"), explode(toks).as("tok"))
+      .select(col("id"), col("dl"), xxhash64(col("tok")).as("th"))
+    val tf = tok.groupBy("id", "th")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // N / avgdl over ALL docs (empties included): cheap pruned re-read
+    val stats = corpus.select(size(Dedup.tokens(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // distinct query terms (bounded), their corpus df, and idf — the
+    // vocabulary-sized df table streams through a broadcast probe of
+    // the query-term set, so only query-relevant terms survive
+    val qTerms = queries
+      .select(col(idCol).as("query_id"), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .select(col("query_id"), xxhash64(col("tok")).as("th"))
+      .distinct()
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val qIdf = dfreq.join(broadcast(qTerms), Seq("th"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("th"),
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"), col("avgdl"))
+    val contrib: Column =
+      col("idf") * (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(qIdf), Seq("th"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(contrib).as("s"))
+      .select(col("query_id"), col("id").as("doc_id"),
+        EngineNeutral.r4(col("s")).as("score"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq("score" -> true, "doc_id" -> false), k = topK)
+    // rank within the surviving ≤ topK rows per query — a bounded
+    // window group by construction, never corpus-proportional
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -278,6 +278,22 @@ object LlmQueries {
           md5(TextAnalysis.redactPii(col("pii_text")).cast("binary")).as("redacted_md5"))
         .orderBy("doc_id")),
 
+    // 39c. BM25 ranked retrieval: source 'src0' documents stand in
+    //      for the query workload (same convention as decontam), every
+    //      other document is corpus; top-5 per query by Okapi BM25
+    //      (k1=1.2, b=0.75). Query-derived tables are broadcast by
+    //      construction, corpus tokens reduce to xxhash64 term keys in
+    //      the scan stage, ranking is the native bounded TopKPerKey —
+    //      see functions/Retrieval.scala for the 100 TB shape.
+    "q_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bm25TopK(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // 39. Multimodal: binary payload + typed metadata through the
     //     batched decode pipeline (real mapPartitions plumbing; PNG/
     //     JPEG dimensions, WAV rate/channels/duration AND MP4
@@ -294,6 +310,52 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // BM25 parity is at the token-STRING level (the Spark side joins
+    // xxhash64 term keys — identical matches modulo 2⁻⁶⁴ collisions);
+    // idf/avgdl are the same closed-form doubles in both engines
+    // (avgdl = exact integer sum / count), the per-pair score is
+    // r4-rounded BEFORE ranking so (score DESC, doc_id) order — and
+    // the emitted rank — is engine-reproducible.
+    "q_bm25" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents
+         |), corpus AS (
+         |  SELECT doc_id, toks FROM t WHERE source <> 'src0'
+         |), tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl FROM (
+         |    SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM corpus)
+         |  GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(len(toks))::DOUBLE / count(*) AS avgdl
+         |  FROM corpus
+         |), dfreq AS (
+         |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+         |), q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS tok
+         |  FROM t WHERE source = 'src0'
+         |), scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    floor(sum(
+         |      ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+         |      (tf.tf * (1.2 + 1.0)) /
+         |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+         |    ) * 10000 + 0.5) / 10000.0 AS score
+         |  FROM q
+         |  JOIN tf ON tf.tok = q.tok
+         |  JOIN dfreq ON dfreq.tok = q.tok
+         |  CROSS JOIN stats
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -63,7 +63,14 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // moves the same (id, pos, hash) rows as span_trim; the leakage
     // matrix shuffles distinct (source, gram-hash) rows — both
     // token-linear by construction
-    "q_span_max_run", "q_source_leakage")
+    "q_span_max_run", "q_source_leakage",
+    // q_bm25's only corpus-sized exchanges are the (id, term-hash) tf
+    // aggregation and the (query, doc) partial-agg score shuffle —
+    // token-linear; everything query-derived is broadcast and the
+    // ranking is partial-TopK'd before its one exchange. A broadcast
+    // flip (query side growing) or a global sort sneaking in would
+    // show here first
+    "q_bm25")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference BM25 computed independently in plain Scala. */
+  private def refBm25(corpus: Seq[(Long, String)], query: String,
+                      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val n = corpus.size
+    val avgdl = corpus.map(d => toks(d._2).size).sum.toDouble / n
+    val dfm = corpus.flatMap(d => toks(d._2).distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val qts = toks(query).distinct
+    corpus.map { case (id, text) =>
+      val ts = toks(text)
+      val dl = ts.size
+      val tfm = ts.groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val s = qts.flatMap { t =>
+        tfm.get(t).map { tf =>
+          val df = dfm(t)
+          math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+            (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }
+      }.sum
+      id -> math.floor(s * 10000 + 0.5) / 10000
+    }.toMap
+  }
+
+  test("bm25TopK matches an independent scalar implementation") {
+    val corpus = Seq(
+      (1L, "spark runs distributed queries over parquet tables"),
+      (2L, "duck db runs local queries fast"),
+      (3L, "spark spark spark repeated token saturation check"),
+      (4L, "completely unrelated words about cooking pasta tonight"),
+      (5L, "distributed systems shuffle data between executors"))
+    val queries = Seq((100L, "spark distributed queries"))
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+        queries.toDF("doc_id", "text"), "doc_id", "text", topK = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    val ref = refBm25(corpus, "spark distributed queries")
+      .filter(_._2 > 0).toSeq.sortBy(r => (-r._2, r._1)).take(3)
+    assert(got.map(_._3) == ref.map(_._1), s"ranking differs: $got vs $ref")
+    got.foreach { case (q, _, doc, score) =>
+      assert(q == 100L)
+      assert(math.abs(score - ref.toMap.apply(doc)) < 1e-9,
+        s"doc $doc score $score != ref ${ref.toMap.apply(doc)}")
+    }
+    // tf saturation: doc 3 repeats "spark" 3x but must not dominate
+    // doc 1, which matches all three query terms
+    assert(got.head._3 == 1L, "doc matching every query term must rank first")
+  }
+
+  test("bm25TopK: doc_id tiebreak and topK bound are deterministic") {
+    val corpus = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "alpha beta"), (5L, "gamma delta"))
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+        Seq((9L, "alpha")).toDF("doc_id", "text"), "doc_id", "text", topK = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    // four identical-score docs, k=3: smallest doc ids win, in order
+    assert(got.map(_._3) == Seq(1L, 2L, 3L))
+    assert(got.map(_._2) == Seq(1, 2, 3))
+    assert(got.map(_._4).distinct.size == 1)
+  }
+}

@@ -188,6 +188,56 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // 93b. Bigram-LM scoring with Stupid Backoff (the web-scale LM
+    //      smoothing: score = c(w₁w₂)/c(w₁) when the bigram was seen
+    //      in training, else 0.4 · Laplace-smoothed unigram — no
+    //      discounting to estimate, exactly the published large-corpus
+    //      recipe). LM trains on even doc_ids, scores odd ones, so
+    //      held-out docs genuinely hit unseen bigrams and both
+    //      branches are exercised. Scale shape: the bigram count
+    //      table is CORPUS-derived (unbounded — at 100 TB it is
+    //      billions of rows) so the scoring join on the 8-byte bigram
+    //      hash is merge-hinted, never a planner broadcast; the two
+    //      unigram joins ride broadcasts (vocab-bounded); per-doc
+    //      bigrams come from a doc-partitioned window lead (bounded
+    //      groups). r6 floor-rounding absorbs ln/sum last-bit drift.
+    "q_bigram_lm" -> ((s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val bigrams = toks
+        .select(col("doc_id"), col("t").as("t1"), lead(col("t"), 1).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), xxhash64(col("t1")).as("h1"),
+          xxhash64(col("t2")).as("h2"), xxhash64(col("t1"), col("t2")).as("bh"))
+      val train = bigrams.filter(col("doc_id") % 2 === 0)
+      val score = bigrams.filter(col("doc_id") % 2 === 1)
+      val bigramC = train.groupBy("bh").agg(count(lit(1)).as("bc"))
+      val uniC = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(explode(Dedup.tokens(col("text"))).as("t"))
+        .select(xxhash64(col("t")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("uc"))
+      val stats = uniC.agg(sum("uc").as("n_total"), count(lit(1)).as("v"))
+      val nll = -log(
+        when(col("bc").isNotNull && col("c1").isNotNull,
+          col("bc").cast("double") / col("c1"))
+          .otherwise(lit(0.4) * (coalesce(col("uc2"), lit(0L)) + lit(1.0)) /
+            (col("n_total") + col("v"))))
+      score
+        .join(bigramC.hint("merge"), Seq("bh"), "left")
+        .join(broadcast(uniC.select(col("h").as("h1"), col("uc").as("c1"))),
+          Seq("h1"), "left")
+        .join(broadcast(uniC.select(col("h").as("h2"), col("uc").as("uc2"))),
+          Seq("h2"), "left")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("bc").isNull || col("c1").isNull, 1)).as("n_backoff"),
+          graft.functions.EngineNeutral.roundHalfUp(avg(nll), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // 94. Deterministic hash-weighted subsampling: keep a document iff
     //     md5(text)'s first 32 bits, as a uniform u ∈ [0,1), fall
     //     under its language's sampling rate — the reproducible
@@ -359,6 +409,42 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // bigram/unigram parity at the token-STRING level (Spark joins
+    // xxhash64 keys); the seen-branch ratio is the same two exact
+    // integers in both engines, the backoff branch the same closed
+    // form, and r6 floor-rounding on the per-doc mean absorbs ln/sum
+    // last-bit drift (q_lm_score's convention)
+    "q_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, u.t1 AS t1, u.t2 AS t2 FROM (
+        |    SELECT doc_id, unnest([{'t1': toks[i+1], 't2': toks[i+2]}
+        |      FOR i IN range(0, len(toks) - 1)]) AS u
+        |    FROM t WHERE len(toks) >= 2)
+        |), bc AS (
+        |  SELECT t1, t2, count(*) AS bc FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        |), uc AS (
+        |  SELECT tok, count(*) AS uc FROM (
+        |    SELECT unnest(toks) AS tok FROM t WHERE doc_id % 2 = 0) GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(sum(uc) AS BIGINT) AS n_total, count(*) AS v FROM uc
+        |)
+        |SELECT s.doc_id, count(*) AS n_bigrams,
+        |  count(CASE WHEN bc.bc IS NULL OR u1.uc IS NULL THEN 1 END) AS n_backoff,
+        |  floor(avg(-ln(CASE WHEN bc.bc IS NOT NULL AND u1.uc IS NOT NULL
+        |      THEN bc.bc::DOUBLE / u1.uc
+        |      ELSE 0.4 * (coalesce(u2.uc, 0) + 1.0) / (stats.n_total + stats.v)
+        |    END)) * 1000000 + 0.5) / 1000000.0 AS avg_nll
+        |FROM bg s
+        |LEFT JOIN bc ON bc.t1 = s.t1 AND bc.t2 = s.t2
+        |LEFT JOIN uc u1 ON u1.tok = s.t1
+        |LEFT JOIN uc u2 ON u2.tok = s.t2
+        |CROSS JOIN stats
+        |WHERE s.doc_id % 2 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_incremental" ->
       """WITH k AS (
         |  SELECT doc_id, md5(array_to_string(

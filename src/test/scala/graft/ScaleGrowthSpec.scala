@@ -70,7 +70,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // ranking is partial-TopK'd before its one exchange. A broadcast
     // flip (query side growing) or a global sort sneaking in would
     // show here first
-    "q_bm25")
+    "q_bm25",
+    // q_bigram_lm shuffles the training bigram-count aggregation and
+    // the merge-joined scoring probe — both one row per token
+    // position, token-linear; the unigram sides must STAY broadcasts
+    "q_bigram_lm")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

@@ -169,6 +169,34 @@ object CurationQueries {
         .groupBy("lang", "copy_idx").agg(count(lit(1)).as("n"))
         .orderBy("lang", "copy_idx")),
 
+    // 51f. Temperature-based mixture weights: the multilingual/
+    //      multi-source sampling recipe (p_s ∝ n_s^α, α=0.3 — flattens
+    //      the source distribution so head sources stop dominating
+    //      without discarding them). Reports each source's token
+    //      count, its temperature weight, and rel_epochs — how many
+    //      times its data is effectively re-seen at a budget of one
+    //      corpus pass (>1 for tail sources = upsampled). Per-source
+    //      token counts are one map-side-combined aggregate over a
+    //      scan-stage size(); the 20-row source table then crossJoins
+    //      a broadcast scalar — nothing here scales with corpus rows.
+    "q_mix_temperature" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("source"),
+          size(graft.functions.Dedup.tokens(col("text"))).as("n_toks"))
+        .groupBy("source").agg(sum("n_toks").as("n_tokens"))
+      val tot = counts.agg(
+        sum(pow(col("n_tokens").cast("double"), 0.3)).as("z"),
+        sum("n_tokens").as("n_all"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          EngineNeutral.roundHalfUp(
+            pow(col("n_tokens").cast("double"), 0.3) / col("z"), 6).as("weight"),
+          EngineNeutral.roundHalfUp(
+            pow(col("n_tokens").cast("double"), 0.3) / col("z") *
+              col("n_all") / col("n_tokens"), 6).as("rel_epochs"))
+        .orderBy("source")
+    }),
+
     // 51e. Per-source budget cap: keep documents in deterministic
     //      pseudo-random order (md5) until each source's running
     //      character budget is spent — the "cap every domain's
@@ -389,6 +417,24 @@ object CurationQueries {
         |    CASE WHEN lang = 'en' THEN 3 ELSE 1 END)) AS copy_idx
         |  FROM documents)
         |GROUP BY lang, copy_idx ORDER BY lang, copy_idx""".stripMargin,
+    // temperature weights: both engines compute power(bigint, 0.3) on
+    // the same exact token counts and the same left-associated
+    // ratio chain; r6 floor-rounding absorbs pow/sum last-bit drift
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(
+        |    len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+        |  ) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), z AS (
+        |  SELECT sum(power(n_tokens, 0.3)) AS z,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_all FROM c
+        |)
+        |SELECT source, n_tokens,
+        |  floor(power(n_tokens, 0.3) / z * 1000000 + 0.5) / 1000000.0 AS weight,
+        |  floor(power(n_tokens, 0.3) / z * n_all / n_tokens * 1000000 + 0.5)
+        |    / 1000000.0 AS rel_epochs
+        |FROM c CROSS JOIN z ORDER BY source""".stripMargin,
     "q_budget_cap" ->
       """SELECT source, count(*) AS n_kept, CAST(max(cum) AS BIGINT) AS chars_used FROM (
         |  SELECT source, sum(n_chars) OVER (PARTITION BY source

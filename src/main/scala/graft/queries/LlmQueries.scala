@@ -409,6 +409,20 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // The rolling hash is the same fold in both engines:
+    // acc = (acc·31 + byte) mod 1e9+7 over the text. Spark folds UTF-8
+    // BYTES (codegen RollingHash); the oracle folds ord(char), which
+    // equals the byte exactly when the corpus is pure ASCII — verified
+    // for every driver SF (0 docs match [^\x00-\x7F]), and a non-ASCII
+    // drop would fail loudly as a hash mismatch, not silently.
+    // list_prepend(0) seeds the fold so list_reduce's first-element
+    // initialization matches the zero-seeded Spark fold.
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT,
+        |    [ord(c)::BIGINT FOR c IN string_split(text, '')]),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // bigram/unigram parity at the token-STRING level (Spark joins
     // xxhash64 keys); the seen-branch ratio is the same two exact
     // integers in both engines, the backoff branch the same closed

@@ -29,7 +29,9 @@ object Retrieval {
     * tokens. Returns (query_id, rank, doc_id, score) with score
     * rounded via [[EngineNeutral.r4]] BEFORE ranking so the
     * (score desc, doc_id asc) order — and therefore the reported
-    * rank — is engine-reproducible.
+    * rank — is engine-reproducible. [[writeLexicalIndex]] +
+    * [[bm25TopKIndexed]] are the build-once/query-forever face of the
+    * same scoring.
     *
     * idf(t) = ln(1 + (N − df + ½)/(df + ½)) — the standard
     * nonnegative Robertson–Spärck Jones form; N and avgdl count ALL
@@ -40,27 +42,45 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, topK: Int = 5,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dfreq, stats) = lexicalTables(corpus, idCol, textCol)
+    scoreBm25(tf, dfreq, stats, queries, idCol, textCol, topK, k1, b)
+  }
+
+  /** The three corpus-derived tables BM25 scoring needs: per-(doc,
+    * term-hash) tf with document length carried, per-term document
+    * frequency, and the (N, avgdl) scalar. One corpus scan builds tf
+    * (token array length rides through the explode, so document
+    * length never needs a join back); a cheap pruned re-read counts
+    * ALL docs (empties included) for N/avgdl.
+    */
+  private def lexicalTables(corpus: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val toks = Dedup.tokens(col(textCol))
-    // one corpus scan: per-doc token array with its length carried
-    // through the explode, so document length never needs a join back
     val tok = corpus.repartition(par, col(idCol))
       .select(col(idCol).as("id"), size(toks).as("dl"), explode(toks).as("tok"))
       .select(col("id"), col("dl"), xxhash64(col("tok")).as("th"))
     val tf = tok.groupBy("id", "th")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // N / avgdl over ALL docs (empties included): cheap pruned re-read
     val stats = corpus.select(size(Dedup.tokens(col(textCol))).as("dl"))
       .agg(count(lit(1)).as("n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // distinct query terms (bounded), their corpus df, and idf — the
-    // vocabulary-sized df table streams through a broadcast probe of
-    // the query-term set, so only query-relevant terms survive
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    (tf, dfreq, stats)
+  }
+
+  /** Scoring half, shared by the direct and the indexed face. The
+    * vocabulary-sized df table streams through a broadcast probe of
+    * the (bounded) query-term set, so only query-relevant terms
+    * survive into the broadcast scoring join.
+    */
+  private def scoreBm25(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                        queries: DataFrame, idCol: String, textCol: String,
+                        topK: Int, k1: Double, b: Double): DataFrame = {
     val qTerms = queries
       .select(col(idCol).as("query_id"), explode(Dedup.tokens(col(textCol))).as("tok"))
       .select(col("query_id"), xxhash64(col("tok")).as("th"))
       .distinct()
-    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
     val qIdf = dfreq.join(broadcast(qTerms), Seq("th"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("th"),
@@ -83,4 +103,35 @@ object Retrieval {
     top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Build (or atomically refresh) the persisted lexical index the
+    * indexed/streaming faces probe: `tf/` (id, th, tf, dl), `df/`
+    * (th, df) and `stats/` (n, avgdl) under a
+    * [[graft.operators.Versioned]] root — build the corpus statistics
+    * once, score query workloads forever without re-tokenizing 100 TB
+    * (df/stats are persisted rather than re-derived because deriving
+    * them IS the full corpus aggregation). Returns the committed
+    * version dir.
+    */
+  def writeLexicalIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        indexPath: String): String =
+    graft.operators.Versioned.commitNew(corpus.sparkSession, indexPath) { dir =>
+      val (tf, dfreq, stats) = lexicalTables(corpus, idCol, textCol)
+      tf.write.parquet(s"$dir/tf")
+      dfreq.write.parquet(s"$dir/df")
+      stats.write.parquet(s"$dir/stats")
+    }
+
+  /** BM25 top-k against a committed lexical-index version dir —
+    * identical results to [[bm25TopK]] over the corpus the index was
+    * built from (spec-pinned), at the cost of three parquet reads
+    * instead of a corpus scan + two aggregations.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, versionDir: String,
+                      queries: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreBm25(spark.read.parquet(s"$versionDir/tf"),
+      spark.read.parquet(s"$versionDir/df"),
+      spark.read.parquet(s"$versionDir/stats"),
+      queries, idCol, textCol, topK, k1, b)
 }

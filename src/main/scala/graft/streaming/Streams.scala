@@ -422,6 +422,45 @@ object Streams {
     q
   }
 
+  /** Streaming BM25 retrieval: each micro-batch of QUERY documents
+    * retrieves its top-k corpus hits from a PERSISTED lexical index
+    * ([[graft.functions.Retrieval.writeLexicalIndex]] — tf/df/stats
+    * under a [[graft.operators.Versioned]] root, so a corpus rebuild
+    * lands atomically mid-stream and applies from the next
+    * micro-batch) — the online face of q_bm25, same shape as
+    * [[annScoreIngest]] on the embedding side. Per-batch results go
+    * to `outPath` under the `batch_id=N` dynamic-partition overwrite
+    * (checkpoint replays rewrite their own partition; source-level
+    * redelivery produces value-identical rows — scoring is
+    * deterministic for a given index version — so consumers dedup on
+    * the query id at read, as with [[decontamIngest]]).
+    */
+  def bm25QueryIngest(stream: DataFrame, indexPath: String, outPath: String,
+                      checkpoint: String, idCol: String = "doc_id",
+                      textCol: String = "text", topK: Int = 5): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+            .getOrElse(throw new IllegalStateException(
+              s"no committed lexical index at $indexPath — " +
+                "build one with Retrieval.writeLexicalIndex first"))
+          graft.functions.Retrieval
+            .bm25TopKIndexed(spark, vdir, batch, idCol, textCol, topK)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

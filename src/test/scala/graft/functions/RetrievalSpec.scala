@@ -55,6 +55,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.head._3 == 1L, "doc matching every query term must rank first")
   }
 
+  test("bm25TopKIndexed over a persisted lexical index equals the direct path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(col("source") =!= "src0")
+    val queries = docs.filter(col("source") === "src0")
+    val vdir = Retrieval.writeLexicalIndex(corpus, "doc_id", "text", dir)
+    val direct = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val indexed = Retrieval.bm25TopKIndexed(spark, vdir, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(indexed == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("bm25TopK: doc_id tiebreak and topK bound are deterministic") {
     val corpus = Seq(
       (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),

@@ -615,4 +615,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(scored == 600)
     } finally q.stop()
   }
+
+  test("bm25QueryIngest: streamed retrieval against the persisted lexical index equals batch") {
+    // online face of q_bm25: the corpus statistics are indexed ONCE
+    // (Versioned tf/df/stats), then query docs stream through in two
+    // micro-batches (one redelivered, at-least-once style); results
+    // are deterministic per index version, so the union equals the
+    // one-shot batch retrieval over the same query set
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25s").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val queries = docs.filter(col("source") === "src0")
+    graft.functions.Retrieval.writeLexicalIndex(corpus, "doc_id", "text", s"$dir/index")
+    val qRows = queries.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = qRows.splitAt(qRows.length / 2)
+    val ch = Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = Streams.bm25QueryIngest(ch.toDS.toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt", topK = 5)
+    try {
+      ch.send(b1: _*) // redelivery: same rows, new batch — idempotent by value
+      q.processAllAvailable()
+      ch.send(b2: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val streamed = rows(spark.read.parquet(s"$dir/out"))
+      val batch = rows(graft.functions.Retrieval.bm25TopK(
+        corpus, queries, "doc_id", "text", topK = 5))
+      assert(streamed == batch,
+        s"streamed bm25 diverged: ${streamed.size} vs batch ${batch.size}")
+      // every query doc that produced batch hits is present
+      assert(spark.read.parquet(s"$dir/out").select("query_id").distinct().count() ==
+        batch.map(_._1).size.toLong)
+    } finally q.stop()
+  }
 }

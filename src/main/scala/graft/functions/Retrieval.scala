@@ -116,10 +116,28 @@ object Retrieval {
   def writeLexicalIndex(corpus: DataFrame, idCol: String, textCol: String,
                         indexPath: String): String =
     graft.operators.Versioned.commitNew(corpus.sparkSession, indexPath) { dir =>
-      val (tf, dfreq, stats) = lexicalTables(corpus, idCol, textCol)
+      val spark = corpus.sparkSession
+      // ONE corpus tokenization: tf lands on disk first, then df and
+      // stats derive from the written parquet instead of re-running
+      // the scan+explode+aggregate lineage (cross-action exchange
+      // reuse does not apply, so the naive three writes would
+      // tokenize the corpus three times — at 100 TB that triples the
+      // dominant cost of the build)
+      val (tf, _, _) = lexicalTables(corpus, idCol, textCol)
       tf.write.parquet(s"$dir/tf")
-      dfreq.write.parquet(s"$dir/df")
-      stats.write.parquet(s"$dir/stats")
+      val tfBack = spark.read.parquet(s"$dir/tf")
+      tfBack.groupBy("th").agg(count(lit(1)).as("df"))
+        .write.parquet(s"$dir/df")
+      // N counts ALL docs (a pruned single-column scan, no
+      // tokenization); Σdl comes from the written tf (docs with zero
+      // tokens are absent there and contribute 0 to the sum) — the
+      // same (n, avgdl) values lexicalTables computes directly
+      val n = corpus.count()
+      tfBack.groupBy("id").agg(max(col("dl")).as("dl"))
+        .agg(sum(col("dl")).as("_sdl"))
+        .select(lit(n).as("n"),
+          (coalesce(col("_sdl"), lit(0L)).cast("double") / lit(n)).as("avgdl"))
+        .write.parquet(s"$dir/stats")
     }
 
   /** BM25 top-k against a committed lexical-index version dir —

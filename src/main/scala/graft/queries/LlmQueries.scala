@@ -206,11 +206,17 @@ object LlmQueries {
         .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
+      // persisted: train and score both consume the window subtree,
+      // and uniC broadcasts twice (c1 and uc2 sides) — without the
+      // persists the per-doc sort+lead runs once per consumer and the
+      // vocabulary aggregate materializes two broadcast relations.
+      // Bench/Verify clear cached lineage between queries.
       val bigrams = toks
         .select(col("doc_id"), col("t").as("t1"), lead(col("t"), 1).over(w).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"), xxhash64(col("t1")).as("h1"),
           xxhash64(col("t2")).as("h2"), xxhash64(col("t1"), col("t2")).as("bh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val train = bigrams.filter(col("doc_id") % 2 === 0)
       val score = bigrams.filter(col("doc_id") % 2 === 1)
       val bigramC = train.groupBy("bh").agg(count(lit(1)).as("bc"))
@@ -218,6 +224,7 @@ object LlmQueries {
         .select(explode(Dedup.tokens(col("text"))).as("t"))
         .select(xxhash64(col("t")).as("h"))
         .groupBy("h").agg(count(lit(1)).as("uc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val stats = uniC.agg(sum("uc").as("n_total"), count(lit(1)).as("v"))
       val nll = -log(
         when(col("bc").isNotNull && col("c1").isNotNull,
@@ -301,8 +308,10 @@ object LlmQueries {
           TextAnalysis.tokenCountRegex(col("text")).as("re_tokens"))
         .orderBy("doc_id")),
 
-    // 38. Rolling-hash fingerprint (rows-only: per-char fold has no
-    //     portable SQL form in DuckDB 1.0).
+    // 38. Rolling-hash fingerprint. Full hash oracle since r10:
+    //     DuckDB's list_reduce reproduces the byte fold exactly on the
+    //     verified-ASCII corpus (see the oracle's comment for the
+    //     parity preconditions and the empty-text guard).
     "q_fingerprint" -> ((s, d) =>
       Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -416,12 +425,15 @@ object LlmQueries {
     // for every driver SF (0 docs match [^\x00-\x7F]), and a non-ASCII
     // drop would fail loudly as a hash mismatch, not silently.
     // list_prepend(0) seeds the fold so list_reduce's first-element
-    // initialization matches the zero-seeded Spark fold.
+    // initialization matches the zero-seeded Spark fold. Empty text
+    // needs an explicit 0: DuckDB's string_split('', '') is ['']
+    // (not []) and ord('') is -1, so the un-guarded fold would yield
+    // -1 where Spark's fold over zero bytes yields 0.
     "q_fingerprint" ->
-      """SELECT doc_id, list_reduce(
+      """SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
         |  list_prepend(0::BIGINT,
         |    [ord(c)::BIGINT FOR c IN string_split(text, '')]),
-        |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  (a, b) -> (a * 31 + b) % 1000000007) END AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     // bigram/unigram parity at the token-STRING level (Spark joins
     // xxhash64 keys); the seen-branch ratio is the same two exact

@@ -227,4 +227,37 @@ class MultimodalSpec extends AnyFunSuite {
     val noTrak = ftyp ++ box("moov", mvhdV1)
     assert(Multimodal.parseMp4Header(noTrak).isEmpty) // moov without any trak
   }
+
+  test("all three header parsers survive fuzzed and truncated bytes without throwing") {
+    // the decode path runs inside executors over whatever bytes the
+    // corpus carries — a malformed container must fall through to the
+    // stub branch (None), never kill the task with an exception
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic CI
+    def parsers(b: Array[Byte]): Unit = {
+      Multimodal.parseImageHeader(b)
+      Multimodal.parseWavHeader(b)
+      Multimodal.parseMp4Header(b)
+      ()
+    }
+    // pure noise at assorted sizes (including 0 and 1)
+    (0 to 200).foreach { i =>
+      val b = new Array[Byte](i match { case 0 => 0; case 1 => 1; case n => rnd.nextInt(256) })
+      rnd.nextBytes(b)
+      parsers(b)
+    }
+    // every truncation prefix of each VALID container — the adversarial
+    // case for length-field arithmetic (sizes pointing past the end)
+    val valid = Seq(
+      Multimodal.pngWrap("payload bytes here".getBytes, 33, 47),
+      Multimodal.wavWrap("sixteen bit pcm data..".getBytes, 16000, 2),
+      Multimodal.mp4Wrap("movie payload".getBytes, 640, 360,
+        durationMs = 1234, nTracks = 2, nFrames = 7))
+    valid.foreach { v =>
+      (0 until v.length).foreach(i => parsers(v.take(i)))
+      // single-byte corruptions at every offset of the header region
+      (0 until math.min(v.length, 64)).foreach { i =>
+        val c = v.clone(); c(i) = (c(i) ^ 0xFF).toByte; parsers(c)
+      }
+    }
+  }
 }

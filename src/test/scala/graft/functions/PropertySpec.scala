@@ -103,6 +103,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("joinKeyStats equals the window-based per-key stats it replaced, on random skewed data") {
+    // the round-10 restructure's semantic contract: groupBy +
+    // merge-join-back must be row-for-row identical to
+    // `agg over Window.partitionBy(key)` — including left-join nulls
+    // for filtered-out keys — on data with heavy key skew (the case
+    // the restructure exists for)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    (1 to 3).foreach { trial =>
+      // Zipf-ish: a few hot keys, many singletons
+      val keys = sample(Gen.listOfN(120,
+        Gen.frequency(6 -> Gen.const(1L), 2 -> Gen.chooseNum(2L, 4L),
+          2 -> Gen.chooseNum(100L, 999L))), 77L + trial)
+      val rows = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("h", "v")
+      val viaJoin = graft.functions.Dedup
+        .joinKeyStats(rows, "h",
+          Seq(count(lit(1)).as("nd"), sum(col("v")).as("sv")),
+          col("nd") >= 2, "left")
+        .select("h", "v", "nd", "sv")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().sorted.toSeq
+      val w = Window.partitionBy("h")
+      val viaWindow = rows
+        .withColumn("nd", count(lit(1)).over(w))
+        .withColumn("sv", sum(col("v")).over(w))
+        .select(col("h"), col("v"),
+          org.apache.spark.sql.functions.when(col("nd") >= 2, col("nd")).as("nd"),
+          org.apache.spark.sql.functions.when(col("nd") >= 2, col("sv")).as("sv"))
+        .as[(Long, Long, Option[Long], Option[Long])].collect().sorted.toSeq
+      assert(viaJoin == viaWindow, s"trial $trial")
+    }
+  }
+
   test("z_order round-trips: de-interleaving recovers both keys on random input") {
     import graft.plans.ZOrderCode.z_order
     val rnd = new scala.util.Random(42)

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.AdvancedQueries.queries ++
       graft.queries.TpchExtraQueries.queries ++
       graft.queries.GovernanceQueries.queries ++
-      graft.queries.SpanQueries.queries
+      graft.queries.SpanQueries.queries ++
+      graft.queries.SelectionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.AdvancedQueries.oracles ++
       graft.queries.TpchExtraQueries.oracles ++
       graft.queries.GovernanceQueries.oracles ++
-      graft.queries.SpanQueries.oracles
+      graft.queries.SpanQueries.oracles ++
+      graft.queries.SelectionQueries.oracles
 }

@@ -1,0 +1,393 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Dedup, EngineNeutral, Retrieval, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tenth query wave — data-selection & retrieval-fusion operators
+  * (SURVEY.md §2 rows 114-119): the pieces a pretraining-data pipeline
+  * uses to DECIDE what to keep, not just to measure what it has.
+  * All six carry full DuckDB hash oracles. Algorithm families are
+  * public literature: reciprocal rank fusion (Cormack et al., SIGIR
+  * 2009), hashed-n-gram importance reweighting (the DSIR family, Xie
+  * et al. 2023), prefix-filtered all-pairs similarity join (Bayardo et
+  * al. WWW 2007; Xiao et al. PPJoin), degree-oriented triangle
+  * counting (Schank & Wagner 2005), and CCNet-style normalization
+  * before exact dedup.
+  */
+object SelectionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // 114. Normalization-then-exact-dedup (the CCNet recipe: lowercase,
+    //      strip punctuation, collapse whitespace, THEN hash) — catches
+    //      the trivial reformattings raw exact dedup misses.
+    //      n_raw_variants counts how many distinct raw texts each
+    //      normalized group collapsed — the operator's added value over
+    //      q_dedup_exact, visible in the output. Shuffle carries the
+    //      16-byte binary md5 of the normalized text, never the text.
+    "q_dedup_norm" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          unhex(md5(norm.cast("binary"))).as("nh"),
+          unhex(md5(col("text").cast("binary"))).as("rh"))
+        .groupBy("nh")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(col("rh")).as("n_raw_variants"))
+        .select("keep_id", "n_copies", "n_raw_variants")
+        .orderBy("keep_id")
+    }),
+
+    // 115. Tokenizer fertility per language: pieces-per-word and
+    //      chars-per-piece — the budgeting stats a tokenizer change is
+    //      judged by. Every ratio is one division of two exact integer
+    //      sums (the avgdl convention), so the doubles are engine-
+    //      bit-identical with no rounding needed. Pure map + one
+    //      map-side-combined groupBy on a 4-value key.
+    "q_tokenizer_stats" -> ((s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("lang"), length(col("text")).as("chars"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("ws"),
+          TextAnalysis.tokenCountRegex(col("text")).as("re"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("chars").as("n_chars"),
+          sum("ws").as("n_ws_tokens"), sum("re").as("n_re_tokens"))
+        .withColumn("fertility",
+          col("n_re_tokens").cast("double") / col("n_ws_tokens"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_re_tokens"))
+        .orderBy("lang")),
+
+    // 116. Hashed-unigram importance weights (the DSIR shape): score
+    //      every raw-pool document by how target-like its token
+    //      distribution is — avg over tokens of
+    //      ln p̂_target(w) − ln p̂_raw(w), both Laplace-smoothed over
+    //      the shared vocabulary. Source 'src0' stands in for the
+    //      target distribution (decontam's convention). Scale shape:
+    //      ONE corpus tokenization feeds a single (h → ct, cr)
+    //      aggregate whose exchange is reused by the scalar stats row
+    //      (so the corpus is scanned twice total: counts + scoring
+    //      join, q_lm_score's structure); the per-token log-ratio
+    //      table is vocabulary-sized and broadcasts; the per-doc agg
+    //      shuffles (doc_id, partial) pairs only. r6 floor-rounding
+    //      absorbs ln/sum last-bit drift.
+    "q_importance" -> ((s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("source"), xxhash64(col("t")).as("h"))
+      val counts = toks.groupBy("h").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+      val stats = counts.agg(count(lit(1)).as("v"),
+        sum("ct").as("nt"), sum("cr").as("nr"))
+      val lr = counts.crossJoin(broadcast(stats))
+        .select(col("h"),
+          (log((col("ct") + lit(1.0)) / (col("nt") + col("v"))) -
+            log((col("cr") + lit(1.0)) / (col("nr") + col("v")))).as("lr"))
+      toks.filter(col("source") =!= "src0")
+        .join(broadcast(lr), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          EngineNeutral.roundHalfUp(avg("lr"), 6).as("avg_logratio"))
+        .orderBy("doc_id")
+    }),
+
+    // 117. Hybrid dense+sparse retrieval with reciprocal rank fusion:
+    //      BM25 top-20 and embedding-cosine top-20 per query fuse as
+    //      Σ 1/(60 + rank), top-10 fused results per query. Query side
+    //      ('src0' docs) is structurally bounded → everything derived
+    //      from it broadcasts; the doc↔vector attach is an equi-join
+    //      on the id (bucketable at scale); final ranking is the
+    //      native bounded TopKPerKey, never a global sort. The RRF
+    //      doubles are sums of two exact-int divisions — engine-bit-
+    //      identical, no rounding needed.
+    "q_rrf_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val sparse = Retrieval.bm25TopK(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text", topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+      val srcOf = docs.select(col("doc_id").as("vec_id"), col("source"))
+      val embSrc = emb.join(srcOf, "vec_id")
+      val dense = Similarity.bruteForceTopK(
+          embSrc.filter(col("source") =!= "src0").drop("source"),
+          embSrc.filter(col("source") === "src0").drop("source"), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("r_dense"))
+      val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (col("r_lex") + lit(60.0)), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r_dense") + lit(60.0)), lit(0.0))).as("rrf"))
+      val top = graft.plans.TopKPerKey.topK(fused, Seq("query_id"),
+        Seq("rrf" -> true, "doc_id" -> false), k = 10)
+      val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // 118. Per-node triangle counts on the near-dup edge graph — the
+    //      density signal that separates a true duplicate CLIQUE from
+    //      a chain of pairwise matches glued by boilerplate. Scale
+    //      shape is the published degree-oriented count: orient every
+    //      edge low→high by (degree, id) — the oriented graph is a
+    //      DAG with out-degree O(√m) — generate wedges only at each
+    //      triangle's lowest-ordered apex, and close them with a
+    //      merge-hinted semi-join against the oriented edge list.
+    //      Each triangle is counted exactly once, then credited to
+    //      its three corners.
+    "q_triangles" -> ((s, d) => {
+      val edges = Dedup.sharedShingleEdges(Tables.documents(s, d),
+          "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+        .select("id_a", "id_b")
+      val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg_u"))
+      // merge-hinted: deg is aggregate-derived with explode ancestry —
+      // never let size-only stats pick a broadcast build for it
+      val dir = sym
+        .join(deg.hint("merge"), "u")
+        .join(deg.select(col("u").as("v"), col("deg_u").as("deg_v")).hint("merge"), "v")
+        .filter(col("deg_u") < col("deg_v") ||
+          (col("deg_u") === col("deg_v") && col("u") < col("v")))
+        .select("u", "v")
+      val wedges = dir.select(col("u"), col("v").as("v1"))
+        .join(dir.select(col("u"), col("v").as("v2")), "u")
+        .filter(col("v1") =!= col("v2"))
+      val tris = wedges.join(
+        dir.select(col("u").as("v1"), col("v").as("v2")).hint("merge"),
+        Seq("v1", "v2"), "left_semi")
+      tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+        .orderBy("id")
+    }),
+
+    // 119. EXACT all-pairs similarity self-join (Jaccard ≥ 0.5 over
+    //      3-shingles) via prefix filtering — unlike the df-banded
+    //      blocking (q_ngram_jaccard) this is COMPLETE: every true
+    //      pair is found, so the oracle is plain brute force. Shingles
+    //      rank globally rare-first by (df, h); a doc of n shingles
+    //      exposes only its first n − ⌈t·n⌉ + 1 as join keys (any pair
+    //      with J ≥ t must share a prefix shingle under a common
+    //      order — Xiao et al.'s prefix lemma; per-side prefixes here
+    //      are supersets of the lemma's, so completeness holds), plus
+    //      the length filter min ≥ ⌈t·max⌉. Per-key df is the
+    //      map-side-combinable joinKeyStats shape; the per-doc ranking
+    //      windows partition by DOC id (bounded groups), never by the
+    //      shingle hash. Candidate volume is prefix-posting-bounded —
+    //      rare-first ordering keeps postings small; output-quadratic
+    //      corpora (everything near-identical) are output-bound for
+    //      any exact algorithm.
+    "q_simjoin" -> ((s, d) => {
+      val t = 0.5
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingleHashes(docs, "doc_id", "text", shingleK = 3)
+        .dropDuplicates("id", "h")
+      val withDf = Dedup.joinKeyStats(sh, "h", Seq(count(lit(1)).as("kdf")))
+      val wRank = Window.partitionBy("id").orderBy(col("kdf"), col("h"))
+      val ranked = withDf
+        .withColumn("p", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      val prefix = ranked
+        .filter(col("p") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
+        .select(col("h"), col("id"), col("n"))
+      val cand = prefix.select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
+        .hint("merge")
+        .join(prefix.select(col("h"), col("id").as("id_b"), col("n").as("n_b")), "h")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("n_b") >= ceil(lit(t) * col("n_a")) &&
+          col("n_a") >= ceil(lit(t) * col("n_b")))
+        .select("id_a", "id_b").distinct()
+      Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 3)
+        .filter(col("jaccard") >= t)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  private val bm25Cte =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+      |  FROM documents
+      |), corpus AS (
+      |  SELECT doc_id, toks FROM t WHERE source <> 'src0'
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl FROM (
+      |    SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM corpus)
+      |  GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT count(*) AS n, sum(len(toks))::DOUBLE / count(*) AS avgdl
+      |  FROM corpus
+      |), dfreq AS (
+      |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+      |), q AS (
+      |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS tok
+      |  FROM t WHERE source = 'src0'
+      |), scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    floor(sum(
+      |      ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+      |      (tf.tf * (1.2 + 1.0)) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+      |    ) * 10000 + 0.5) / 10000.0 AS score
+      |  FROM q
+      |  JOIN tf ON tf.tok = q.tok
+      |  JOIN dfreq ON dfreq.tok = q.tok
+      |  CROSS JOIN stats
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_norm" ->
+      """SELECT keep_id, n_copies, n_raw_variants FROM (
+        |  SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |    count(DISTINCT md5(text)) AS n_raw_variants
+        |  FROM (SELECT doc_id, text,
+        |          trim(regexp_replace(regexp_replace(lower(text),
+        |            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |        FROM documents)
+        |  GROUP BY md5(norm))
+        |ORDER BY keep_id""".stripMargin,
+    // every ratio is one division of the same two exact integers in
+    // both engines — bit-identical doubles, no rounding (the avgdl
+    // convention)
+    "q_tokenizer_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_re_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-z0-9]+')))::DOUBLE /
+        |    sum(len(string_split(text, ' '))) AS fertility,
+        |  sum(length(text))::DOUBLE /
+        |    sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // token parity at the STRING level (Spark joins xxhash64 keys —
+    // identical modulo 2⁻⁶⁴ collisions); every scored token exists in
+    // the raw pool so the raw join is inner; the smoothed per-token
+    // log-ratio is the same closed form in both engines and r6
+    // floor-rounding on the per-doc mean absorbs ln/sum last-bit drift
+    "q_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), tgt AS (
+        |  SELECT t, count(*) AS ct FROM toks WHERE source = 'src0' GROUP BY 1
+        |), raw AS (
+        |  SELECT t, count(*) AS cr FROM toks WHERE source <> 'src0' GROUP BY 1
+        |), st AS (
+        |  SELECT (SELECT count(DISTINCT t) FROM toks) AS v,
+        |    (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt,
+        |    (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr
+        |)
+        |SELECT s.doc_id, count(*) AS n_tokens,
+        |  floor(avg(
+        |    ln((coalesce(tgt.ct, 0) + 1.0) / (st.nt + st.v)) -
+        |    ln((raw.cr + 1.0) / (st.nr + st.v))
+        |  ) * 1000000 + 0.5) / 1000000.0 AS avg_logratio
+        |FROM toks s
+        |JOIN raw ON raw.t = s.t
+        |LEFT JOIN tgt ON tgt.t = s.t
+        |CROSS JOIN st
+        |WHERE s.source <> 'src0'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lexical CTEs are q_bm25's verbatim (top-20 here); the dense leg
+    // mirrors q_ann_bruteforce's r4-rounded cosine; RRF values are
+    // sums of two exact-int divisions — bit-identical, unrounded
+    "q_rrf_fusion" -> (bm25Cte +
+      """, lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS r_lex
+        |  FROM scored
+        |), den0 AS (
+        |  SELECT eq.vec_id AS query_id, ec.vec_id AS doc_id,
+        |    floor(list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[]))) * 10000 + 0.5) / 10000.0 AS sim
+        |  FROM embeddings eq
+        |  JOIN documents dq ON dq.doc_id = eq.vec_id AND dq.source = 'src0'
+        |  CROSS JOIN embeddings ec
+        |  JOIN documents dc ON dc.doc_id = ec.vec_id AND dc.source <> 'src0'
+        |), den AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, doc_id) AS r_dense
+        |  FROM den0
+        |), fused AS (
+        |  SELECT query_id, doc_id,
+        |    coalesce(1.0 / (l.r_lex + 60.0), 0.0) +
+        |    coalesce(1.0 / (d.r_dense + 60.0), 0.0) AS rrf
+        |  FROM (SELECT * FROM lex WHERE r_lex <= 20) l
+        |  FULL OUTER JOIN (SELECT * FROM den WHERE r_dense <= 20) d
+        |  USING (query_id, doc_id)
+        |), ranked AS (
+        |  SELECT query_id, doc_id, rrf,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin),
+    // undirected triangle enumeration on the same edge rule as
+    // q_dedup_clusters (edges carry id_a < id_b, so x<y<z counts each
+    // triangle once); the Spark side's degree orientation changes the
+    // join order, not the result
+    "q_triangles" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), kept AS (
+        |  SELECT id, shingle FROM (
+        |    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df BETWEEN 2 AND 20
+        |), edges AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |), tri AS (
+        |  SELECT a.id_a AS x, a.id_b AS y, b.id_b AS z
+        |  FROM edges a JOIN edges b ON b.id_a = a.id_b
+        |  JOIN edges c ON c.id_a = a.id_a AND c.id_b = b.id_b
+        |)
+        |SELECT id, count(*) AS n_tri
+        |FROM (SELECT unnest([x, y, z]) AS id FROM tri)
+        |GROUP BY id ORDER BY id""".stripMargin,
+    // BRUTE FORCE — the operator is complete (prefix filtering loses
+    // no true pair), so the oracle needs no candidate mirroring: all
+    // intersecting pairs (J > 0 requires a shared shingle) scored
+    // exactly. Shingle parity at the string level; jaccard divides the
+    // same two integers in both engines.
+    "q_simjoin" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), sizes AS (
+        |  SELECT id, count(*) AS n FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT i.id_a, i.id_b, i.ni::DOUBLE / (na.n + nb.n - i.ni) AS jaccard
+        |  FROM inter i JOIN sizes na ON na.id = i.id_a
+        |  JOIN sizes nb ON nb.id = i.id_b)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  )
+}

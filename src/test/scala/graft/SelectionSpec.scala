@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-independent properties of the tenth wave (SelectionQueries):
+  * the DuckDB gate proves engine parity; these pin the ALGORITHMIC
+  * claims — prefix-filter completeness, once-per-triangle counting,
+  * RRF arithmetic consistency, importance-weight direction, and
+  * normalization's collapsing power — on real and hand-built corpora.
+  */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_simjoin equals unfiltered brute force (prefix filter is complete)") {
+    val docs = Tables.documents(spark, sf)
+    // brute force: EVERY intersecting pair as a candidate (J > 0
+    // requires a shared shingle), exact jaccard, same threshold
+    val sh = graft.functions.Dedup
+      .shingleHashes(docs, "doc_id", "text", shingleK = 3)
+      .dropDuplicates("id", "h")
+    val allCands = sh.select(col("h"), col("id").as("id_a")).hint("merge")
+      .join(sh.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val brute = graft.functions.Dedup
+      .ngramJaccard(docs, allCands, "doc_id", "text", shingleK = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = queries.SelectionQueries.queries("q_simjoin")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute,
+      s"missing: ${brute -- got}; spurious: ${got -- brute}")
+    assert(got.nonEmpty, "sf0.001 must contain true near-dup pairs")
+  }
+
+  test("q_triangles equals naive undirected enumeration, once per triangle") {
+    val docs = Tables.documents(spark, sf)
+    val edges = graft.functions.Dedup.sharedShingleEdges(docs,
+        "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+      .select("id_a", "id_b")
+    // naive: edges carry id_a < id_b, so (x<y<z) joins count each
+    // triangle exactly once regardless of degree orientation
+    val naive = edges.as("e1")
+      .join(edges.as("e2"), col("e2.id_a") === col("e1.id_b"))
+      .join(edges.as("e3"),
+        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+      .select(col("e1.id_a").as("x"), col("e1.id_b").as("y"), col("e2.id_b").as("z"))
+    val expected = naive
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = queries.SelectionQueries.queries("q_triangles")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "sf0.001 edge graph must contain triangles")
+  }
+
+  test("q_rrf_fusion rows recompute from their component rankings") {
+    val out = queries.SelectionQueries.queries("q_rrf_fusion")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    val sparse = graft.functions.Retrieval.bm25TopK(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text", topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val emb = Tables.embeddings(spark, sf)
+    val srcOf = docs.select(col("doc_id").as("vec_id"), col("source"))
+    val embSrc = emb.join(srcOf, "vec_id")
+    val dense = graft.functions.Similarity.bruteForceTopK(
+        embSrc.filter(col("source") =!= "src0").drop("source"),
+        embSrc.filter(col("source") === "src0").drop("source"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    // per query: ≤10 rows, ranks 1..n contiguous, rrf = the exact sum
+    // of its component reciprocal ranks
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expect = sparse.get(key).map(x => 1.0 / (x + 60.0)).getOrElse(0.0) +
+        dense.get(key).map(x => 1.0 / (x + 60.0)).getOrElse(0.0)
+      assert(r.getDouble(3) == expect, s"rrf mismatch at $key")
+    }
+  }
+
+  test("importance weights rank target-like docs above off-distribution docs") {
+    import spark.implicits._
+    // target (src0) speaks {alpha beta}; raw docs: one in-distribution,
+    // one off-distribution — the DSIR weight must order them
+    val docs = Seq(
+      (0L, "alpha beta alpha beta", "src0"),
+      (1L, "alpha beta", "src1"),
+      (2L, "zeta eta theta", "src1")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_imp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.SelectionQueries.queries("q_importance")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) > 0.0, "in-distribution doc must score positive")
+    assert(out(1L) > out(2L), "in-distribution must outrank off-distribution")
+  }
+
+  test("normalized dedup collapses reformattings raw exact dedup keeps apart") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello, World!", "src1"),
+      (1L, "hello   world", "src1"),
+      (2L, "HELLO WORLD", "src1"),
+      (3L, "different text", "src1")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_norm").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.SelectionQueries.queries("q_dedup_norm")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((0L, 3L, 3L), (3L, 1L, 1L)),
+      s"got ${out.toSeq}: three reformattings must collapse to keep_id 0 " +
+        "with 3 raw variants")
+  }
+}

@@ -128,28 +128,92 @@ object Retrieval {
       val tfBack = spark.read.parquet(s"$dir/tf")
       tfBack.groupBy("th").agg(count(lit(1)).as("df"))
         .write.parquet(s"$dir/df")
-      // N counts ALL docs (a pruned single-column scan, no
-      // tokenization); Σdl comes from the written tf (docs with zero
-      // tokens are absent there and contribute 0 to the sum) — the
-      // same (n, avgdl) values lexicalTables computes directly
-      val n = corpus.count()
-      tfBack.groupBy("id").agg(max(col("dl")).as("dl"))
-        .agg(sum(col("dl")).as("_sdl"))
-        .select(lit(n).as("n"),
-          (coalesce(col("_sdl"), lit(0L)).cast("double") / lit(n)).as("avgdl"))
-        .write.parquet(s"$dir/stats")
+      writeStatsPartial(tfBack, corpus.count(), s"$dir/stats")
     }
 
+  /** Stats land as MERGEABLE partials (doc count, Σ document length)
+    * rather than the derived avgdl, so O(batch) deltas combine by
+    * addition and the read side reconstructs the exact same
+    * avgdl = Σsdl / Σn double the direct path divides. Σdl comes from
+    * the written tf (docs with zero tokens are absent there and
+    * contribute 0); `n` counts ALL docs, empties included.
+    */
+  private def writeStatsPartial(tfBack: DataFrame, n: Long, path: String): Unit =
+    tfBack.groupBy("id").agg(max(col("dl")).as("dl"))
+      .agg(sum(col("dl")).as("_sdl"))
+      .select(lit(n).as("n"), coalesce(col("_sdl"), lit(0L)).as("sdl"))
+      .write.parquet(path)
+
+  /** The committed index read-side: base + `delta_N` appends merged
+    * back into the (tf, df, stats) triple scoring consumes. tf rows
+    * are disjoint across deltas (appendLexicalIndex anti-joins ids),
+    * so they union; per-term df partials re-aggregate at VOCABULARY
+    * scale (never corpus scale); stats partials sum, and
+    * avgdl = Σsdl / Σn divides the same exact integers as a fresh
+    * full build — bit-identical scores.
+    */
+  def readLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+                       versionDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val deltas = graft.operators.Versioned.listDeltas(spark, versionDir)
+    def merged(sub: String) = deltas.foldLeft(spark.read.parquet(s"$versionDir/$sub")) {
+      (acc, d) => acc.unionByName(spark.read.parquet(s"$d/$sub"))
+    }
+    val df = merged("df").groupBy("th").agg(sum("df").as("df"))
+    val stats = merged("stats")
+      .agg(sum("n").as("n"),
+        (sum("sdl").cast("double") / sum("n")).as("avgdl"))
+    (merged("tf"), df, stats)
+  }
+
+  /** O(new-docs) index growth: ingest rounds ADD documents, so
+    * indexing one should pay for the new batch's tokens only — never
+    * the [[writeLexicalIndex]] full rebuild. Already-indexed ids are
+    * dropped first (index-side column-pruned scan probed by the
+    * broadcast batch-id set, then a broadcast anti-join — the index
+    * never shuffles, the Ivf append discipline), the surviving docs'
+    * tf/df/stats partials land as an atomic `delta_N` under the
+    * CURRENT version ([[graft.operators.Versioned.commitDelta]] — an
+    * append racing a rebuild fails fast rather than silently
+    * vanishing). An all-duplicates replay appends nothing and
+    * commits nothing, so retries are idempotent. Returns the delta
+    * dir, or None when nothing was new.
+    */
+  def appendLexicalIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                         indexPath: String): Option[String] = {
+    val spark = newDocs.sparkSession
+    val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed lexical index at $indexPath — " +
+          "build one with writeLexicalIndex first"))
+    val (tfAll, _, _) = readLexicalIndex(spark, vdir)
+    val hits = tfAll.select(col("id"))
+      .join(broadcast(newDocs.select(col(idCol).as("id"))), Seq("id"), "left_semi")
+      .distinct()
+    val fresh = newDocs
+      .join(broadcast(hits.select(col("id").as(idCol))), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      if (fresh.isEmpty) None
+      else Some(graft.operators.Versioned.commitDelta(spark, indexPath, vdir) { d =>
+        val (tf, _, _) = lexicalTables(fresh, idCol, textCol)
+        tf.write.parquet(s"$d/tf")
+        val tfBack = spark.read.parquet(s"$d/tf")
+        tfBack.groupBy("th").agg(count(lit(1)).as("df"))
+          .write.parquet(s"$d/df")
+        writeStatsPartial(tfBack, fresh.count(), s"$d/stats")
+      })
+    } finally { fresh.unpersist(); () }
+  }
+
   /** BM25 top-k against a committed lexical-index version dir —
-    * identical results to [[bm25TopK]] over the corpus the index was
-    * built from (spec-pinned), at the cost of three parquet reads
-    * instead of a corpus scan + two aggregations.
+    * identical results to [[bm25TopK]] over the indexed corpus (base
+    * build plus every appended delta; spec-pinned), at the cost of
+    * three parquet reads instead of a corpus scan + two aggregations.
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, versionDir: String,
                       queries: DataFrame, idCol: String, textCol: String,
-                      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    scoreBm25(spark.read.parquet(s"$versionDir/tf"),
-      spark.read.parquet(s"$versionDir/df"),
-      spark.read.parquet(s"$versionDir/stats"),
-      queries, idCol, textCol, topK, k1, b)
+                      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dfreq, stats) = readLexicalIndex(spark, versionDir)
+    scoreBm25(tf, dfreq, stats, queries, idCol, textCol, topK, k1, b)
+  }
 }

@@ -71,6 +71,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("appendLexicalIndex ≡ full rebuild on the union; replay appends nothing") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val queries = docs.filter(col("source") === "src0")
+    val base = docs.filter(col("source") =!= "src0" && col("doc_id") < 300)
+    val batch = docs.filter(col("source") =!= "src0" && col("doc_id") >= 300)
+    assert(base.count() > 0 && batch.count() > 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexapp").toString
+    Retrieval.writeLexicalIndex(base, "doc_id", "text", dir)
+    val delta = Retrieval.appendLexicalIndex(batch, "doc_id", "text", dir)
+    assert(delta.isDefined, "a genuinely-new batch must commit a delta")
+    // the delta holds ONLY the batch's docs
+    val deltaIds = spark.read.parquet(s"${delta.get}/tf")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(deltaIds == batch.select("doc_id").as[Long].collect().toSet)
+
+    // appended index scores EXACTLY like a fresh build over the union
+    val vdir = graft.operators.Versioned.resolve(spark, dir).get
+    val appended = Retrieval
+      .bm25TopKIndexed(spark, vdir, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val rebuilt = Retrieval.bm25TopK(
+        docs.filter(col("source") =!= "src0"), queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(appended == rebuilt)
+    assert(appended.nonEmpty)
+
+    // a replayed (all-duplicates) batch is self-healing: no delta
+    assert(Retrieval.appendLexicalIndex(batch, "doc_id", "text", dir).isEmpty)
+    assert(graft.operators.Versioned.listDeltas(spark, vdir).size == 1)
+  }
+
   test("bm25TopK: doc_id tiebreak and topK bound are deterministic") {
     val corpus = Seq(
       (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),

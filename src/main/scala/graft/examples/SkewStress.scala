@@ -27,7 +27,14 @@ object SkewStress {
   val Family: Seq[String] = Seq(
     "q_span_dedup", "q_span_dup_frac", "q_span_trim", "q_span_max_run",
     "q_source_leakage", "q_decontam_overlap", "q_dedup_segments",
-    "q_ngram_jaccard", "q_containment", "q_curate_e2e")
+    "q_ngram_jaccard", "q_containment", "q_curate_e2e",
+    // wave-10 arrivals whose plans touch shingle df: the planted
+    // boilerplate span's shingles are the HIGHEST-df keys, which
+    // rare-first prefix ordering pushes out of q_simjoin's prefixes
+    // (the PPJoin scale story, measured); q_triangles rides the
+    // df-banded edge machinery, so the planted span must be excluded
+    // by the maxDf guard rather than densify the graph
+    "q_simjoin", "q_triangles")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/repo/tmp/sf0.1skew"

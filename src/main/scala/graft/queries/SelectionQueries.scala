@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Dedup, EngineNeutral, Retrieval, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Retrieval, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,33 +67,16 @@ object SelectionQueries {
     //      distribution is — avg over tokens of
     //      ln p̂_target(w) − ln p̂_raw(w), both Laplace-smoothed over
     //      the shared vocabulary. Source 'src0' stands in for the
-    //      target distribution (decontam's convention). Scale shape:
-    //      ONE corpus tokenization feeds a single (h → ct, cr)
-    //      aggregate whose exchange is reused by the scalar stats row
-    //      (so the corpus is scanned twice total: counts + scoring
-    //      join, q_lm_score's structure); the per-token log-ratio
-    //      table is vocabulary-sized and broadcasts; the per-doc agg
-    //      shuffles (doc_id, partial) pairs only. r6 floor-rounding
-    //      absorbs ln/sum last-bit drift.
+    //      target distribution (decontam's convention). The machinery
+    //      is [[graft.functions.Selection]] — see its scaladoc for the
+    //      scale shape and the persisted-model/streaming faces
+    //      (writeImportanceModel / Streams.importanceIngest).
     "q_importance" -> ((s, d) => {
-      val toks = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), col("source"),
-          explode(Dedup.tokens(col("text"))).as("t"))
-        .select(col("doc_id"), col("source"), xxhash64(col("t")).as("h"))
-      val counts = toks.groupBy("h").agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
-        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
-      val stats = counts.agg(count(lit(1)).as("v"),
-        sum("ct").as("nt"), sum("cr").as("nr"))
-      val lr = counts.crossJoin(broadcast(stats))
-        .select(col("h"),
-          (log((col("ct") + lit(1.0)) / (col("nt") + col("v"))) -
-            log((col("cr") + lit(1.0)) / (col("nr") + col("v")))).as("lr"))
-      toks.filter(col("source") =!= "src0")
-        .join(broadcast(lr), "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          EngineNeutral.roundHalfUp(avg("lr"), 6).as("avg_logratio"))
+      val docs = Tables.documents(s, d)
+      val (lr, defaults) = Selection.tokenLogRatios(docs, "text",
+        col("source") === "src0")
+      Selection.scoreAgainst(docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", lr, defaults)
         .orderBy("doc_id")
     }),
 
@@ -219,7 +202,17 @@ object SelectionQueries {
         .filter(col("n_b") >= ceil(lit(t) * col("n_a")) &&
           col("n_a") >= ceil(lit(t) * col("n_b")))
         .select("id_a", "id_b").distinct()
-      Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 3)
+      // exact verify from the ALREADY-PERSISTED shingle rows (not
+      // Dedup.ngramJaccard, which would re-tokenize the corpus): same
+      // hashed-set mechanics, merge-hinted for the same
+      // never-broadcast-a-collect_set-of-explode reason
+      val sets = sh.groupBy("id").agg(collect_set(col("h")).as("s"))
+      cand
+        .join(sets.select(col("id").as("id_a"), col("s").as("s_a")).hint("merge"), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("s").as("s_b")).hint("merge"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+            size(array_union(col("s_a"), col("s_b")))).as("jaccard"))
         .filter(col("jaccard") >= t)
         .orderBy("id_a", "id_b")
     })

@@ -461,6 +461,50 @@ object Streams {
     q
   }
 
+  /** Streaming importance scoring: each micro-batch of CANDIDATE
+    * documents is scored against a PERSISTED selection model
+    * ([[graft.functions.Selection.writeImportanceModel]] — per-token
+    * log-ratio table + unseen-token defaults under a
+    * [[graft.operators.Versioned]] root) — the online face of
+    * q_importance, and the deployment shape of DSIR-style data
+    * selection: train the model once on curated target + raw pools,
+    * score every incoming crawl batch as it arrives. Out-of-
+    * vocabulary tokens (in NEITHER training pool) take the model's
+    * `lr_unseen` scalar. A model retrain lands atomically mid-stream
+    * and applies from the next micro-batch (per-batch resolve).
+    * Per-batch results go to `outPath` under the `batch_id=N`
+    * dynamic-partition overwrite — checkpoint replays rewrite their
+    * own partition; source-level redelivery produces value-identical
+    * rows (scoring is deterministic for a given model version), so
+    * consumers dedup on the doc id at read, as with
+    * [[decontamIngest]].
+    */
+  def importanceIngest(stream: DataFrame, modelPath: String, outPath: String,
+                       checkpoint: String, idCol: String = "doc_id",
+                       textCol: String = "text"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val vdir = graft.operators.Versioned.resolve(spark, modelPath)
+            .getOrElse(throw new IllegalStateException(
+              s"no committed importance model at $modelPath — " +
+                "build one with Selection.writeImportanceModel first"))
+          graft.functions.Selection
+            .scoreImportanceIndexed(spark, vdir, batch, idCol, textCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

@@ -74,7 +74,15 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // q_bigram_lm shuffles the training bigram-count aggregation and
     // the merge-joined scoring probe — both one row per token
     // position, token-linear; the unigram sides must STAY broadcasts
-    "q_bigram_lm")
+    "q_bigram_lm",
+    // wave-10 arrivals: q_importance shuffles the (token-hash →
+    // ct, cr) aggregation and the per-doc scoring agg — token-linear;
+    // the log-ratio table must STAY a broadcast. q_rrf_fusion's only
+    // corpus-sized exchanges are BM25's tf/score shuffles and the
+    // dense partial-top-k — query-side tables are broadcast by
+    // construction, so a flip (or a global sort sneaking past
+    // TopKPerKey) shows here first
+    "q_importance", "q_rrf_fusion")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>
@@ -118,7 +126,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
     val c10 = candidateVolume(big)
     val candGrowth = c10.toDouble / math.max(c01, 1L)
     assert(candGrowth > 1.0, s"degenerate corpus: candidates $c01 -> $c10")
-    val failures = Seq("q_ngram_jaccard", "q_dedup_clusters", "q_containment").flatMap { q =>
+    // q_simjoin and q_triangles join the candidate-proportional set:
+    // simjoin's prefix postings and triangles' wedge volume both ride
+    // the same shingle-df corpus property the banded candidate volume
+    // measures (prefix candidates ⊆ all intersecting pairs; triangle
+    // edges ARE the banded blocking's output)
+    val failures = Seq("q_ngram_jaccard", "q_dedup_clusters", "q_containment",
+      "q_simjoin", "q_triangles").flatMap { q =>
       val b01 = shuffleWrite(q, small)
       val b10 = shuffleWrite(q, big)
       val ratio = b10.toDouble / math.max(b01, 1L)

@@ -106,6 +106,23 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(1L) > out(2L), "in-distribution must outrank off-distribution")
   }
 
+  test("persisted importance model scores identically to the in-job path") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_impm").toString
+    graft.functions.Selection.writeImportanceModel(
+      docs, "text", col("source") === "src0", dir)
+    val vdir = graft.operators.Versioned.resolve(spark, dir).get
+    val raw = docs.filter(col("source") =!= "src0")
+    val indexed = graft.functions.Selection
+      .scoreImportanceIndexed(spark, vdir, raw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = queries.SelectionQueries.queries("q_importance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == direct)
+    assert(indexed.nonEmpty)
+  }
+
   test("normalized dedup collapses reformattings raw exact dedup keeps apart") {
     import spark.implicits._
     val docs = Seq(

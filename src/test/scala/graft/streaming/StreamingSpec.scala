@@ -651,4 +651,50 @@ class StreamingSpec extends AnyFunSuite {
         batch.map(_._1).size.toLong)
     } finally q.stop()
   }
+
+  test("importanceIngest: batches scored against the persisted model equal batch scoring") {
+    // deployment shape of DSIR selection: model trained ONCE on the
+    // sf corpus (src0 = target), candidate docs stream through in two
+    // micro-batches with one redelivery; scoring is deterministic per
+    // model version so the distinct union equals one-shot batch
+    // scoring — and a doc of tokens in NEITHER pool takes lr_unseen
+    val dir = java.nio.file.Files.createTempDirectory("graft_imps").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    graft.functions.Selection.writeImportanceModel(
+      docs, "text", col("source") === "src0", s"$dir/model")
+    val vdir = graft.operators.Versioned.resolve(spark, s"$dir/model").get
+    val cand = docs.filter(col("source") =!= "src0" && col("doc_id") < 100)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val oov = (90000L, "qqxyzzy frobnitz blorp") // tokens in neither pool
+    val (b1, b2) = cand.splitAt(cand.length / 2)
+    val ch = Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = Streams.importanceIngest(ch.toDS.toDF("doc_id", "text"),
+      s"$dir/model", s"$dir/out", s"$dir/ckpt")
+    try {
+      ch.send(b1: _*) // redelivery: value-identical rows under a new batch_id
+      q.processAllAvailable()
+      ch.send(b2 :+ oov: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "n_tokens", "avg_logratio")
+        .as[(Long, Long, Double)].collect().toSet
+      val streamed = rows(spark.read.parquet(s"$dir/out"))
+      val batchDf = spark.createDataFrame(
+        spark.sparkContext.parallelize((cand :+ oov).map(t => org.apache.spark.sql.Row(t._1, t._2))),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+      val batch = rows(graft.functions.Selection.scoreImportanceIndexed(
+        spark, vdir, batchDf, "doc_id", "text"))
+      assert(streamed == batch,
+        s"streamed importance diverged: ${streamed.size} vs batch ${batch.size}")
+      // the OOV doc scored on the unseen branch: every token took
+      // lr_unseen, so its mean IS lr_unseen (r6-rounded)
+      val lrUnseen = spark.read.parquet(s"$vdir/defaults")
+        .select("lr_unseen").as[Double].head()
+      val got = streamed.find(_._1 == 90000L).get
+      assert(got._2 == 3L)
+      assert(got._3 == math.floor(lrUnseen * 1e6 + 0.5) / 1e6)
+    } finally q.stop()
+  }
 }

@@ -205,6 +205,34 @@ object Retrieval {
     } finally { fresh.unpersist(); () }
   }
 
+  /** Fold a version's base + appended deltas back into single tf/df/
+    * stats tables in a NEW committed version — the periodic
+    * maintenance that keeps [[appendLexicalIndex]]'s read-side union
+    * (and its per-delta file overhead) bounded, the
+    * [[Ivf.compactIndex]] discipline. df partials merge by per-term
+    * sum and stats partials by addition, so the folded index scores
+    * bit-identically (spec-pinned); O(index) by definition — run at
+    * compaction cadence, not per append. Readers mid-fold keep
+    * resolving the old version.
+    */
+  def compactLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): String = {
+    val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed lexical index at $indexPath"))
+    val (tf, df, _) = readLexicalIndex(spark, vdir)
+    val statsPartials = graft.operators.Versioned.listDeltas(spark, vdir)
+      .foldLeft(spark.read.parquet(s"$vdir/stats")) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(s"$d/stats"))
+      }
+    graft.operators.Versioned.commitNew(spark, indexPath) { dir =>
+      tf.write.parquet(s"$dir/tf")
+      df.write.parquet(s"$dir/df")
+      statsPartials.agg(sum("n").as("n"), sum("sdl").as("sdl"))
+        .write.parquet(s"$dir/stats")
+    }
+  }
+
   /** BM25 top-k against a committed lexical-index version dir —
     * identical results to [[bm25TopK]] over the indexed corpus (base
     * build plus every appended delta; spec-pinned), at the cost of

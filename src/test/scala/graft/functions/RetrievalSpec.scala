@@ -103,6 +103,16 @@ class RetrievalSpec extends AnyFunSuite {
     // a replayed (all-duplicates) batch is self-healing: no delta
     assert(Retrieval.appendLexicalIndex(batch, "doc_id", "text", dir).isEmpty)
     assert(graft.operators.Versioned.listDeltas(spark, vdir).size == 1)
+
+    // compaction folds base+delta into a fresh deltaless version that
+    // scores bit-identically
+    val cdir = Retrieval.compactLexicalIndex(spark, dir)
+    assert(cdir != vdir)
+    assert(graft.operators.Versioned.listDeltas(spark, cdir).isEmpty)
+    val compacted = Retrieval
+      .bm25TopKIndexed(spark, cdir, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(compacted == rebuilt)
   }
 
   test("bm25TopK: doc_id tiebreak and topK bound are deterministic") {

@@ -42,9 +42,17 @@ object Selection {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(isTarget.as("is_tgt"), explode(Dedup.tokens(col(textCol))).as("t"))
       .select(col("is_tgt"), xxhash64(col("t")).as("h"))
+    // persisted: counts feeds the lr table, the scalar stats row AND
+    // the defaults row — within one job the exchange is reused, but
+    // writeImportanceModel consumes lr and defaults in SEPARATE write
+    // actions, where cross-action exchange reuse does not apply and an
+    // unpersisted counts would re-tokenize the corpus per write.
+    // MEMORY_ONLY, vocabulary-sized; lazy return → the family's
+    // can't-unpersist-here convention (ngramJaccard's sh)
     val counts = toks.groupBy("h").agg(
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val stats = counts.agg(count(lit(1)).as("v"),
       sum("ct").as("nt"), sum("cr").as("nr"))
     val lr = counts.crossJoin(broadcast(stats))
@@ -85,8 +93,8 @@ object Selection {
                            isTarget: Column, modelPath: String): String =
     graft.operators.Versioned.commitNew(corpus.sparkSession, modelPath) { dir =>
       val (lr, defaults) = tokenLogRatios(corpus, textCol, isTarget)
-      // lr and defaults share the counts exchange (ReusedExchange), so
-      // the corpus is tokenized once across both writes
+      // tokenLogRatios persists its counts aggregate, so the corpus is
+      // tokenized once across these two write actions
       lr.write.parquet(s"$dir/lr")
       defaults.write.parquet(s"$dir/defaults")
     }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tenth query wave — data-selection & retrieval-fusion operators
-  * (SURVEY.md §2 rows 114-119): the pieces a pretraining-data pipeline
+  * (SURVEY.md §2 rows 115-120): the pieces a pretraining-data pipeline
   * uses to DECIDE what to keep, not just to measure what it has.
   * All six carry full DuckDB hash oracles. Algorithm families are
   * public literature: reciprocal rank fusion (Cormack et al., SIGIR
@@ -21,7 +21,7 @@ object SelectionQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // 114. Normalization-then-exact-dedup (the CCNet recipe: lowercase,
+    // 115. Normalization-then-exact-dedup (the CCNet recipe: lowercase,
     //      strip punctuation, collapse whitespace, THEN hash) — catches
     //      the trivial reformattings raw exact dedup misses.
     //      n_raw_variants counts how many distinct raw texts each
@@ -42,7 +42,7 @@ object SelectionQueries {
         .orderBy("keep_id")
     }),
 
-    // 115. Tokenizer fertility per language: pieces-per-word and
+    // 116. Tokenizer fertility per language: pieces-per-word and
     //      chars-per-piece — the budgeting stats a tokenizer change is
     //      judged by. Every ratio is one division of two exact integer
     //      sums (the avgdl convention), so the doubles are engine-
@@ -62,7 +62,7 @@ object SelectionQueries {
           col("n_chars").cast("double") / col("n_re_tokens"))
         .orderBy("lang")),
 
-    // 116. Hashed-unigram importance weights (the DSIR shape): score
+    // 117. Hashed-unigram importance weights (the DSIR shape): score
     //      every raw-pool document by how target-like its token
     //      distribution is — avg over tokens of
     //      ln p̂_target(w) − ln p̂_raw(w), both Laplace-smoothed over
@@ -80,7 +80,7 @@ object SelectionQueries {
         .orderBy("doc_id")
     }),
 
-    // 117. Hybrid dense+sparse retrieval with reciprocal rank fusion:
+    // 118. Hybrid dense+sparse retrieval with reciprocal rank fusion:
     //      BM25 top-20 and embedding-cosine top-20 per query fuse as
     //      Σ 1/(60 + rank), top-10 fused results per query. Query side
     //      ('src0' docs) is structurally bounded → everything derived
@@ -115,7 +115,7 @@ object SelectionQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // 118. Per-node triangle counts on the near-dup edge graph — the
+    // 119. Per-node triangle counts on the near-dup edge graph — the
     //      density signal that separates a true duplicate CLIQUE from
     //      a chain of pairwise matches glued by boilerplate. Scale
     //      shape is the published degree-oriented count: orient every
@@ -159,7 +159,7 @@ object SelectionQueries {
         .orderBy("id")
     }),
 
-    // 119. EXACT all-pairs similarity self-join (Jaccard ≥ 0.5 over
+    // 120. EXACT all-pairs similarity self-join (Jaccard ≥ 0.5 over
     //      3-shingles) via prefix filtering — unlike the df-banded
     //      blocking (q_ngram_jaccard) this is COMPLETE: every true
     //      pair is found, so the oracle is plain brute force. Shingles

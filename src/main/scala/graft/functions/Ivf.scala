@@ -244,10 +244,14 @@ object Ivf {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     import spark.implicits._
-    val dir = indexDir(spark, path)
-    val centroids = readCentroidsFrom(spark, dir)
-    val cells = readCellsFrom(spark, dir)
     graft.operators.Versioned.commitNew(spark, path) { v =>
+      // resolved INSIDE commitNew's write callback (under the writer
+      // _LOCK, which appendToIndex's commitDelta also takes): a delta
+      // committed between planning the fold and taking the lock would
+      // otherwise be silently dropped from the compacted version
+      val dir = indexDir(spark, path)
+      val centroids = readCentroidsFrom(spark, dir)
+      val cells = readCellsFrom(spark, dir)
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .repartition(1)

@@ -117,6 +117,11 @@ object Retrieval {
                         indexPath: String): String =
     graft.operators.Versioned.commitNew(corpus.sparkSession, indexPath) { dir =>
       val spark = corpus.sparkSession
+      // ids/ records EVERY indexed doc id — including zero-token docs,
+      // which have no tf rows but do count in stats n. The append
+      // face dedups against ids/, so replaying an empty doc is as
+      // idempotent as replaying a token-bearing one.
+      corpus.select(col(idCol).as("id")).write.parquet(s"$dir/ids")
       // ONE corpus tokenization: tf lands on disk first, then df and
       // stats derive from the written parquet instead of re-running
       // the scan+explode+aggregate lineage (cross-action exchange
@@ -128,7 +133,8 @@ object Retrieval {
       val tfBack = spark.read.parquet(s"$dir/tf")
       tfBack.groupBy("th").agg(count(lit(1)).as("df"))
         .write.parquet(s"$dir/df")
-      writeStatsPartial(tfBack, corpus.count(), s"$dir/stats")
+      writeStatsPartial(tfBack, spark.read.parquet(s"$dir/ids").count(),
+        s"$dir/stats")
     }
 
   /** Stats land as MERGEABLE partials (doc count, Σ document length)
@@ -144,13 +150,42 @@ object Retrieval {
       .select(lit(n).as("n"), coalesce(col("_sdl"), lit(0L)).as("sdl"))
       .write.parquet(path)
 
+  /** Base stats in the mergeable (n, sdl) layout, converting a
+    * pre-append-era index's stored (n, avgdl) on the fly:
+    * sdl = round(avgdl·n) recovers the exact integer token sum
+    * whenever sdl < 2⁵² (|avgdl·n − sdl| < 1 ulp of sdl there), so an
+    * old index keeps serving without a rebuild. Legacy layouts
+    * predate deltas, so the conversion only ever applies to the base
+    * table.
+    */
+  private def statsAsPartial(stats: DataFrame): DataFrame =
+    if (stats.columns.contains("sdl")) stats
+    else stats.select(col("n"),
+      round(col("avgdl") * col("n")).cast("long").as("sdl"))
+
+  /** Every indexed doc id (base + deltas). Pre-`ids/` layouts fall
+    * back to the tf-derived id set — there zero-token docs are
+    * invisible to append dedup (the defect `ids/` exists to fix).
+    */
+  private def indexedIds(spark: org.apache.spark.sql.SparkSession,
+                         versionDir: String, deltas: Seq[String]): DataFrame = {
+    val base = scala.util.Try(spark.read.parquet(s"$versionDir/ids"))
+      .getOrElse(spark.read.parquet(s"$versionDir/tf").select("id").distinct())
+    deltas.foldLeft(base) { (acc, d) =>
+      acc.unionByName(spark.read.parquet(s"$d/ids"))
+    }
+  }
+
   /** The committed index read-side: base + `delta_N` appends merged
     * back into the (tf, df, stats) triple scoring consumes. tf rows
     * are disjoint across deltas (appendLexicalIndex anti-joins ids),
     * so they union; per-term df partials re-aggregate at VOCABULARY
-    * scale (never corpus scale); stats partials sum, and
-    * avgdl = Σsdl / Σn divides the same exact integers as a fresh
-    * full build — bit-identical scores.
+    * scale (never corpus scale) — skipped entirely in the common
+    * deltaless state, where the stored df table feeds scoring
+    * directly and the broadcast query-term probe prunes it in the
+    * scan; stats partials sum, and avgdl = Σsdl / Σn divides the
+    * same exact integers as a fresh full build — bit-identical
+    * scores.
     */
   def readLexicalIndex(spark: org.apache.spark.sql.SparkSession,
                        versionDir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -158,8 +193,14 @@ object Retrieval {
     def merged(sub: String) = deltas.foldLeft(spark.read.parquet(s"$versionDir/$sub")) {
       (acc, d) => acc.unionByName(spark.read.parquet(s"$d/$sub"))
     }
-    val df = merged("df").groupBy("th").agg(sum("df").as("df"))
-    val stats = merged("stats")
+    val df0 = spark.read.parquet(s"$versionDir/df")
+    val df = if (deltas.isEmpty) df0
+      else deltas.foldLeft(df0)((acc, d) => acc.unionByName(spark.read.parquet(s"$d/df")))
+        .groupBy("th").agg(sum("df").as("df"))
+    val stats = deltas
+      .foldLeft(statsAsPartial(spark.read.parquet(s"$versionDir/stats"))) {
+        (acc, d) => acc.unionByName(spark.read.parquet(s"$d/stats"))
+      }
       .agg(sum("n").as("n"),
         (sum("sdl").cast("double") / sum("n")).as("avgdl"))
     (merged("tf"), df, stats)
@@ -185,8 +226,12 @@ object Retrieval {
       .getOrElse(throw new IllegalStateException(
         s"no committed lexical index at $indexPath — " +
           "build one with writeLexicalIndex first"))
-    val (tfAll, _, _) = readLexicalIndex(spark, vdir)
-    val hits = tfAll.select(col("id"))
+    val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
+    // dedup against ids/ — NOT the tf id set: a zero-token doc has no
+    // tf rows but does count in stats n, so tf-based dedup would
+    // re-append it on every replay and drift n (and with it idf and
+    // avgdl) upward forever
+    val hits = indexedIds(spark, vdir, deltas)
       .join(broadcast(newDocs.select(col(idCol).as("id"))), Seq("id"), "left_semi")
       .distinct()
     val fresh = newDocs
@@ -195,12 +240,14 @@ object Retrieval {
     try {
       if (fresh.isEmpty) None
       else Some(graft.operators.Versioned.commitDelta(spark, indexPath, vdir) { d =>
+        fresh.select(col(idCol).as("id")).write.parquet(s"$d/ids")
         val (tf, _, _) = lexicalTables(fresh, idCol, textCol)
         tf.write.parquet(s"$d/tf")
         val tfBack = spark.read.parquet(s"$d/tf")
         tfBack.groupBy("th").agg(count(lit(1)).as("df"))
           .write.parquet(s"$d/df")
-        writeStatsPartial(tfBack, fresh.count(), s"$d/stats")
+        writeStatsPartial(tfBack,
+          spark.read.parquet(s"$d/ids").count(), s"$d/stats")
       })
     } finally { fresh.unpersist(); () }
   }
@@ -216,22 +263,29 @@ object Retrieval {
     * resolving the old version.
     */
   def compactLexicalIndex(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String): String = {
-    val vdir = graft.operators.Versioned.resolve(spark, indexPath)
-      .getOrElse(throw new IllegalStateException(
-        s"no committed lexical index at $indexPath"))
-    val (tf, df, _) = readLexicalIndex(spark, vdir)
-    val statsPartials = graft.operators.Versioned.listDeltas(spark, vdir)
-      .foldLeft(spark.read.parquet(s"$vdir/stats")) { (acc, d) =>
-        acc.unionByName(spark.read.parquet(s"$d/stats"))
-      }
+                          indexPath: String): String =
     graft.operators.Versioned.commitNew(spark, indexPath) { dir =>
+      // resolved INSIDE commitNew's write callback, i.e. under the
+      // writer _LOCK: appends go through commitDelta, which takes the
+      // same lock — so the version and delta list read here are final
+      // and a delta committed while the fold was being planned cannot
+      // be silently dropped (commitDelta closes this window in the
+      // append direction; this closes the fold direction)
+      val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed lexical index at $indexPath"))
+      val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
+      val (tf, df, _) = readLexicalIndex(spark, vdir)
       tf.write.parquet(s"$dir/tf")
       df.write.parquet(s"$dir/df")
-      statsPartials.agg(sum("n").as("n"), sum("sdl").as("sdl"))
+      indexedIds(spark, vdir, deltas).write.parquet(s"$dir/ids")
+      deltas
+        .foldLeft(statsAsPartial(spark.read.parquet(s"$vdir/stats"))) {
+          (acc, d) => acc.unionByName(spark.read.parquet(s"$d/stats"))
+        }
+        .agg(sum("n").as("n"), sum("sdl").as("sdl"))
         .write.parquet(s"$dir/stats")
     }
-  }
 
   /** BM25 top-k against a committed lexical-index version dir —
     * identical results to [[bm25TopK]] over the indexed corpus (base

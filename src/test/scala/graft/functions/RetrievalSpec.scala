@@ -115,6 +115,63 @@ class RetrievalSpec extends AnyFunSuite {
     assert(compacted == rebuilt)
   }
 
+  test("zero-token docs replay idempotently and keep counting in stats n") {
+    import org.apache.spark.sql.functions.col
+    // the empty doc has NO tf rows but DOES count in n — append dedup
+    // must key on ids/, not tf presence, or every replay re-appends it
+    // and drifts n (hence idf and avgdl) upward
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexempty").toString
+    Retrieval.writeLexicalIndex(corpus, "doc_id", "text", dir)
+    val vdir0 = graft.operators.Versioned.resolve(spark, dir).get
+    def statsN = {
+      val (_, _, stats) = Retrieval.readLexicalIndex(spark,
+        graft.operators.Versioned.resolve(spark, dir).get)
+      stats.select("n").as[Long].head()
+    }
+    assert(statsN == 3L, "empty doc must count in n")
+    // replay of an all-duplicates batch CONTAINING the empty doc
+    assert(Retrieval.appendLexicalIndex(
+      corpus.filter(col("doc_id") >= 2), "doc_id", "text", dir).isEmpty)
+    assert(statsN == 3L, "replay must not drift n")
+    assert(graft.operators.Versioned.listDeltas(spark, vdir0).isEmpty)
+    // a genuinely-new empty doc appends once, then replays clean
+    val emptyBatch = Seq((4L, "")).toDF("doc_id", "text")
+    assert(Retrieval.appendLexicalIndex(emptyBatch, "doc_id", "text", dir).isDefined)
+    assert(statsN == 4L)
+    assert(Retrieval.appendLexicalIndex(emptyBatch, "doc_id", "text", dir).isEmpty)
+    assert(statsN == 4L)
+  }
+
+  test("a pre-append-era index (stats = n, avgdl; no ids/) keeps serving") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val queries = docs.filter(col("source") === "src0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexold").toString
+    val vdir = Retrieval.writeLexicalIndex(corpus, "doc_id", "text", dir)
+    // rewrite the version as the OLD layout: stats carries the derived
+    // avgdl instead of the sdl partial, and ids/ does not exist
+    val old = spark.read.parquet(s"$vdir/stats")
+      .select(col("n"), (col("sdl").cast("double") / col("n")).as("avgdl"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    old.toDF("n", "avgdl").write.mode("overwrite").parquet(s"$vdir/stats")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$vdir/ids"), true)
+    // old index still scores identically to the direct path
+    val indexed = Retrieval.bm25TopKIndexed(spark, vdir, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val direct = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(indexed == direct)
+    // and append still dedups (via the tf-id fallback)
+    assert(Retrieval.appendLexicalIndex(
+      corpus.limit(10), "doc_id", "text", dir).isEmpty)
+  }
+
   test("bm25TopK: doc_id tiebreak and topK bound are deterministic") {
     val corpus = Seq(
       (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),

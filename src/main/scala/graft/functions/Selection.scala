@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   * Two faces, the decontamination discipline: [[tokenLogRatios]] +
   * [[scoreAgainst]] compute model and scores in one job (the gated
   * `q_importance` shape), while [[writeImportanceModel]] persists the
-  * per-token log-ratio table under a
-  * [[graft.operators.Versioned]] root so ingest rounds score against
-  * a FIXED, versioned selection model ([[scoreImportanceIndexed]],
-  * `Streams.importanceIngest`) — train the model once on the curated
-  * target + raw pools, then score every incoming crawl batch without
-  * re-aggregating the training corpora.
+  * model under a [[graft.operators.Versioned]] root so ingest rounds
+  * score against a FIXED, versioned selection model
+  * ([[scoreImportanceIndexed]], `Streams.importanceIngest`) — train
+  * the model once on the curated target + raw pools, then score every
+  * incoming crawl batch without re-aggregating the training corpora.
+  *
+  * Persisted layout (the mergeable-partials discipline the lexical
+  * index uses): `ids/` (every training doc id — append dedup),
+  * `counts/` (h → ct, cr — the additive source of truth), plus the
+  * DERIVED `lr/` and `defaults/` caches the deltaless fast path
+  * serves. [[appendImportanceModel]] grows the pools by O(batch)
+  * count deltas; readers with deltas re-derive from merged counts at
+  * VOCABULARY scale; [[compactImportanceModel]] folds deltas and
+  * refreshes the caches.
   *
   * Scale shape: one corpus tokenization feeds a single (token-hash →
   * target-count, raw-count) aggregate whose exchange the scalar stats
@@ -24,35 +32,34 @@ import org.apache.spark.sql.functions._
   * at score time; the per-doc aggregation shuffles (id, partial)
   * pairs only. Batch documents may contain tokens in NEITHER training
   * pool — those take the model's `lr_unseen` scalar (both Laplace
-  * branches at count 0), carried in the model's one-row defaults
-  * table.
+  * branches at count 0), carried in the defaults table.
   */
 object Selection {
 
-  /** (lr, defaults): the per-token log-ratio table
-    * (h = xxhash64(token), lr) over the training corpus's vocabulary,
-    * and a one-row defaults table (lr_unseen, v, nt, nr) for tokens
-    * outside it. `isTarget` splits the corpus into the target
-    * distribution (true) and the raw pool (false).
+  /** The additive (h → ct, cr) aggregate both faces derive from.
+    * Persisted (MEMORY_ONLY, vocabulary-sized): within one job the
+    * exchange is reused, but the model writer consumes it in SEVERAL
+    * write actions, where cross-action exchange reuse does not apply
+    * and an unpersisted counts would re-tokenize the corpus per
+    * write. Lazy return → the family's can't-unpersist-here
+    * convention (ngramJaccard's sh).
     */
-  def tokenLogRatios(corpus: DataFrame, textCol: String,
-                     isTarget: Column): (DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
-    val toks = corpus
-      .repartition(spark.sparkContext.defaultParallelism)
+  private def tokenCounts(corpus: DataFrame, textCol: String,
+                          isTarget: Column): DataFrame =
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(isTarget.as("is_tgt"), explode(Dedup.tokens(col(textCol))).as("t"))
       .select(col("is_tgt"), xxhash64(col("t")).as("h"))
-    // persisted: counts feeds the lr table, the scalar stats row AND
-    // the defaults row — within one job the exchange is reused, but
-    // writeImportanceModel consumes lr and defaults in SEPARATE write
-    // actions, where cross-action exchange reuse does not apply and an
-    // unpersisted counts would re-tokenize the corpus per write.
-    // MEMORY_ONLY, vocabulary-sized; lazy return → the family's
-    // can't-unpersist-here convention (ngramJaccard's sh)
-    val counts = toks.groupBy("h").agg(
-      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("cr"))
+      .groupBy("h").agg(
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("cr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+
+  /** Derive the (lr, defaults) pair from a counts table — the same
+    * closed forms whichever face computes them, so indexed scoring is
+    * bit-identical to in-job scoring.
+    */
+  private def lrFromCounts(counts: DataFrame): (DataFrame, DataFrame) = {
     val stats = counts.agg(count(lit(1)).as("v"),
       sum("ct").as("nt"), sum("cr").as("nr"))
     val lr = counts.crossJoin(broadcast(stats))
@@ -65,6 +72,16 @@ object Selection {
       col("v"), col("nt"), col("nr"))
     (lr, defaults)
   }
+
+  /** (lr, defaults): the per-token log-ratio table
+    * (h = xxhash64(token), lr) over the training corpus's vocabulary,
+    * and a one-row defaults table (lr_unseen, v, nt, nr) for tokens
+    * outside it. `isTarget` splits the corpus into the target
+    * distribution (true) and the raw pool (false).
+    */
+  def tokenLogRatios(corpus: DataFrame, textCol: String,
+                     isTarget: Column): (DataFrame, DataFrame) =
+    lrFromCounts(tokenCounts(corpus, textCol, isTarget))
 
   /** Score documents against a log-ratio model: per doc, token count
     * and the r6-rounded mean log-ratio (out-of-vocabulary tokens take
@@ -83,31 +100,113 @@ object Selection {
         EngineNeutral.roundHalfUp(
           avg(coalesce(col("lr"), col("lr_unseen"))), 6).as("avg_logratio"))
 
-  /** Persist (or atomically refresh) the selection model: `lr/` and
-    * `defaults/` under a [[graft.operators.Versioned]] root. Returns
-    * the committed version dir. The lr aggregate lands on disk first
-    * and defaults derive from the written table's statistics footprint
-    * — one corpus tokenization total.
+  /** Persist (or atomically refresh) the selection model. Returns the
+    * committed version dir. One corpus tokenization total (the counts
+    * aggregate is cached across the write actions); `ids/` additionally
+    * costs a pruned id-column scan.
     */
-  def writeImportanceModel(corpus: DataFrame, textCol: String,
+  def writeImportanceModel(corpus: DataFrame, idCol: String, textCol: String,
                            isTarget: Column, modelPath: String): String =
     graft.operators.Versioned.commitNew(corpus.sparkSession, modelPath) { dir =>
-      val (lr, defaults) = tokenLogRatios(corpus, textCol, isTarget)
-      // tokenLogRatios persists its counts aggregate, so the corpus is
-      // tokenized once across these two write actions
+      corpus.select(col(idCol).as("id")).write.parquet(s"$dir/ids")
+      val counts = tokenCounts(corpus, textCol, isTarget)
+      counts.write.parquet(s"$dir/counts")
+      val (lr, defaults) = lrFromCounts(counts)
+      lr.write.parquet(s"$dir/lr")
+      defaults.write.parquet(s"$dir/defaults")
+    }
+
+  /** Grow the training pools by O(batch): already-trained ids are
+    * dropped (semi-then-anti broadcast — the model never shuffles),
+    * the surviving docs' (h → ct, cr) counts and ids land as an
+    * atomic `delta_N` under the CURRENT version. An all-duplicates
+    * replay appends nothing and commits nothing — idempotent on
+    * retry. Returns the delta dir, or None when nothing was new.
+    */
+  def appendImportanceModel(newDocs: DataFrame, idCol: String, textCol: String,
+                            isTarget: Column, modelPath: String): Option[String] = {
+    val spark = newDocs.sparkSession
+    val vdir = graft.operators.Versioned.resolve(spark, modelPath)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed importance model at $modelPath — " +
+          "build one with writeImportanceModel first"))
+    val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
+    val trained = deltas.foldLeft(spark.read.parquet(s"$vdir/ids")) {
+      (acc, d) => acc.unionByName(spark.read.parquet(s"$d/ids"))
+    }
+    val hits = trained
+      .join(broadcast(newDocs.select(col(idCol).as("id"))), Seq("id"), "left_semi")
+      .distinct()
+    val fresh = newDocs
+      .join(broadcast(hits.select(col("id").as(idCol))), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      if (fresh.isEmpty) None
+      else Some(graft.operators.Versioned.commitDelta(spark, modelPath, vdir) { d =>
+        fresh.select(col(idCol).as("id")).write.parquet(s"$d/ids")
+        tokenCounts(fresh, textCol, isTarget).write.parquet(s"$d/counts")
+      })
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** The committed model's (lr, defaults): the stored caches when no
+    * deltas exist (the common state — two cheap reads, no
+    * aggregation), else re-derived from the merged additive counts at
+    * vocabulary scale. Count sums are exact integers either way, so
+    * both paths produce bit-identical log-ratios.
+    */
+  def readImportanceModel(spark: SparkSession,
+                          versionDir: String): (DataFrame, DataFrame) = {
+    val deltas = graft.operators.Versioned.listDeltas(spark, versionDir)
+    if (deltas.isEmpty)
+      (spark.read.parquet(s"$versionDir/lr"),
+        spark.read.parquet(s"$versionDir/defaults"))
+    else {
+      val merged = deltas
+        .foldLeft(spark.read.parquet(s"$versionDir/counts")) {
+          (acc, d) => acc.unionByName(spark.read.parquet(s"$d/counts"))
+        }
+        .groupBy("h").agg(sum("ct").as("ct"), sum("cr").as("cr"))
+      lrFromCounts(merged)
+    }
+  }
+
+  /** Fold base + deltas into a fresh deltaless version and refresh
+    * the lr/defaults caches — O(model), run at compaction cadence.
+    * The version and delta list resolve INSIDE commitNew's locked
+    * callback ([[appendImportanceModel]]'s commitDelta takes the same
+    * lock), so a delta committed while the fold was being planned
+    * cannot be silently dropped.
+    */
+  def compactImportanceModel(spark: SparkSession, modelPath: String): String =
+    graft.operators.Versioned.commitNew(spark, modelPath) { dir =>
+      val vdir = graft.operators.Versioned.resolve(spark, modelPath)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed importance model at $modelPath"))
+      val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
+      deltas.foldLeft(spark.read.parquet(s"$vdir/ids")) {
+        (acc, d) => acc.unionByName(spark.read.parquet(s"$d/ids"))
+      }.write.parquet(s"$dir/ids")
+      // fold once to disk; the lr/defaults caches then derive from the
+      // WRITTEN counts parquet (plain reads, no re-aggregation)
+      deltas
+        .foldLeft(spark.read.parquet(s"$vdir/counts")) {
+          (acc, d) => acc.unionByName(spark.read.parquet(s"$d/counts"))
+        }
+        .groupBy("h").agg(sum("ct").as("ct"), sum("cr").as("cr"))
+        .write.parquet(s"$dir/counts")
+      val (lr, defaults) = lrFromCounts(spark.read.parquet(s"$dir/counts"))
       lr.write.parquet(s"$dir/lr")
       defaults.write.parquet(s"$dir/defaults")
     }
 
   /** Score a batch against a committed model version dir — identical
-    * per-token arithmetic to the in-job path (spec-pinned), at the
-    * cost of two parquet reads instead of re-aggregating the training
-    * corpus.
+    * per-token arithmetic to the in-job path (spec-pinned).
     */
   def scoreImportanceIndexed(spark: SparkSession, versionDir: String,
                              batch: DataFrame, idCol: String,
-                             textCol: String): DataFrame =
-    scoreAgainst(batch, idCol, textCol,
-      spark.read.parquet(s"$versionDir/lr"),
-      spark.read.parquet(s"$versionDir/defaults"))
+                             textCol: String): DataFrame = {
+    val (lr, defaults) = readImportanceModel(spark, versionDir)
+    scoreAgainst(batch, idCol, textCol, lr, defaults)
+  }
 }

@@ -111,7 +111,7 @@ class SelectionSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_impm").toString
     graft.functions.Selection.writeImportanceModel(
-      docs, "text", col("source") === "src0", dir)
+      docs, "doc_id", "text", col("source") === "src0", dir)
     val vdir = graft.operators.Versioned.resolve(spark, dir).get
     val raw = docs.filter(col("source") =!= "src0")
     val indexed = graft.functions.Selection
@@ -121,6 +121,45 @@ class SelectionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(indexed == direct)
     assert(indexed.nonEmpty)
+  }
+
+  test("importance model appends ≡ rebuild on the union; replay and compaction clean") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val isTgt = col("source") === "src0"
+    val base = docs.filter(isTgt || col("doc_id") < 300)
+    val batch = docs.filter(!isTgt && col("doc_id") >= 300)
+    assert(batch.count() > 0)
+    val cand = docs.filter(!isTgt).limit(50)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_impapp").toString
+    graft.functions.Selection.writeImportanceModel(
+      base, "doc_id", "text", isTgt, dir)
+    val delta = graft.functions.Selection.appendImportanceModel(
+      batch, "doc_id", "text", isTgt, dir)
+    assert(delta.isDefined, "a genuinely-new batch must commit a delta")
+    val vdir = graft.operators.Versioned.resolve(spark, dir).get
+
+    def score(vd: String) = graft.functions.Selection
+      .scoreImportanceIndexed(spark, vd, cand, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val appended = score(vdir)
+    // fresh rebuild over the SAME union of pools
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_impfull").toString
+    val v2 = graft.functions.Selection.writeImportanceModel(
+      docs, "doc_id", "text", isTgt, dir2)
+    assert(appended == score(v2))
+    assert(appended.nonEmpty)
+
+    // all-duplicates replay commits nothing
+    assert(graft.functions.Selection.appendImportanceModel(
+      batch, "doc_id", "text", isTgt, dir).isEmpty)
+    assert(graft.operators.Versioned.listDeltas(spark, vdir).size == 1)
+
+    // compaction folds into a deltaless version scoring identically
+    val cdir = graft.functions.Selection.compactImportanceModel(spark, dir)
+    assert(graft.operators.Versioned.listDeltas(spark, cdir).isEmpty)
+    assert(score(cdir) == appended)
   }
 
   test("normalized dedup collapses reformattings raw exact dedup keeps apart") {

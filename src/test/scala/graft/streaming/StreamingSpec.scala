@@ -662,7 +662,7 @@ class StreamingSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)
     graft.functions.Selection.writeImportanceModel(
-      docs, "text", col("source") === "src0", s"$dir/model")
+      docs, "doc_id", "text", col("source") === "src0", s"$dir/model")
     val vdir = graft.operators.Versioned.resolve(spark, s"$dir/model").get
     val cand = docs.filter(col("source") =!= "src0" && col("doc_id") < 100)
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)

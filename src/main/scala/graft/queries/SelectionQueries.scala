@@ -215,6 +215,90 @@ object SelectionQueries {
             size(array_union(col("s_a"), col("s_b")))).as("jaccard"))
         .filter(col("jaccard") >= t)
         .orderBy("id_a", "id_b")
+    }),
+
+    // 121. Source-distribution drift: Jensen–Shannon divergence
+    //      between every ordered source pair's unigram distributions —
+    //      the governance number behind corpus-mixing decisions (two
+    //      ingests drifting apart, a crawl snapshot diverging from its
+    //      predecessor). Join-friendly closed form: only SHARED tokens
+    //      need the (src_a, src_b, h) join —
+    //      JSD = ½ln2·(2 − Σ∩pa − Σ∩pb)
+    //            + Σ∩ ½[pa·ln(2pa/(pa+pb)) + pb·ln(2pb/(pa+pb))]
+    //      (disjoint-support mass contributes exactly ½p·ln2). Per-
+    //      gram fan-out is bounded by (#sources)² like
+    //      q_source_leakage; per-source totals broadcast; pairs with
+    //      NO shared token still emit (JSD = ln2) via a driver-built
+    //      all-pairs frame — sources are a bounded DIMENSION, so the
+    //      list collects like centroids/codebooks do, never a cross
+    //      join the planner could nested-loop at corpus scale.
+    //      r6 floor-rounding absorbs ln/sum drift.
+    "q_drift" -> ((s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("t"))
+        .select(col("source"), xxhash64(col("t")).as("h"))
+      val counts = toks.groupBy("source", "h").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("source").agg(sum("c").as("n"))
+      val a = counts.select(col("source").as("src_a"), col("h"), col("c").as("ca"))
+        .join(broadcast(totals.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      val b = counts.select(col("source").as("src_b"), col("h"), col("c").as("cb"))
+        .join(broadcast(totals.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      val pa = col("ca").cast("double") / col("na")
+      val pb = col("cb").cast("double") / col("nb")
+      val shared = a.hint("merge").join(b, "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(pa).as("spa"), sum(pb).as("spb"),
+          sum(lit(0.5) * (pa * log(lit(2.0) * pa / (pa + pb)) +
+            pb * log(lit(2.0) * pb / (pa + pb)))).as("inner"))
+      val srcs = totals.select("source").orderBy("source")
+        .collect().map(_.getString(0))
+      val pairRows = for {
+        i <- srcs.indices; j <- (i + 1) until srcs.length
+      } yield (srcs(i), srcs(j))
+      import s.implicits._
+      val pairs = pairRows.toDF("src_a", "src_b")
+      pairs.join(broadcast(shared), Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          graft.functions.EngineNeutral.roundHalfUp(
+            lit(0.5) * log(lit(2.0)) *
+              (lit(2.0) - coalesce(col("spa"), lit(0.0)) - coalesce(col("spb"), lit(0.0))) +
+              coalesce(col("inner"), lit(0.0)), 6).as("jsd"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // 122. Positional-index phrase search: find every occurrence of an
+    //      exact 3-token phrase — the probe is the corpus's TOP
+    //      boilerplate shingle (deterministic: max df, shingle-string
+    //      tie-break), so the query is self-contained. The match runs
+    //      on the same codegen'd window-lead trigram construction as
+    //      the span family (Dedup.spanRows): one 8-byte hash per
+    //      position, matched against the broadcast probe hash — corpus
+    //      text never shuffles, and the per-doc hit aggregation moves
+    //      (doc_id, partial) pairs only.
+    "q_phrase_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probe = Dedup.frequentShingles(docs, "text", shingleK = 3, minCount = 2)
+        .orderBy(col("n").desc, col("shingle")).limit(1)
+        .select(col("shingle"))
+      val probeHash = probe.select(
+        xxhash64(element_at(split(col("shingle"), " "), 1),
+          element_at(split(col("shingle"), " "), 2),
+          element_at(split(col("shingle"), " "), 3)).as("h"))
+      // positioned trigram rows (Dedup.spanRows drops pos; this is the
+      // SpanQueries.spanOccurrences construction at k=3)
+      val par = s.sparkContext.defaultParallelism
+      val tok = docs.repartition(par, col("doc_id"))
+        .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val parts = col("col") +: (1 until 3).map(j => lead(col("col"), j).over(w))
+      tok.select(col("doc_id"), col("pos"), xxhash64(parts: _*).as("h"),
+          parts.last.isNotNull.as("full"))
+        .filter(col("full")).drop("full")
+        .join(broadcast(probeHash), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+        .orderBy("doc_id")
     })
   )
 
@@ -377,6 +461,71 @@ object SelectionQueries {
     // intersecting pairs (J > 0 requires a shared shingle) scored
     // exactly. Shingle parity at the string level; jaccard divides the
     // same two integers in both engines.
+    // token parity at the string level (Spark joins xxhash64 keys);
+    // every probability is the same exact-integer division in both
+    // engines, and the r6 floor on the final sum absorbs ln/sum
+    // accumulation-order drift (the q_lm_score convention). The
+    // closed form only needs SHARED tokens: disjoint-support mass is
+    // ½ln2·(2 − Σ∩pa − Σ∩pb)
+    "q_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), counts AS (
+        |  SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+        |), shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    sum(a.c::DOUBLE / na.n) AS spa,
+        |    sum(b.c::DOUBLE / nb.n) AS spb,
+        |    sum(0.5 * (
+        |      (a.c::DOUBLE / na.n) * ln(2 * (a.c::DOUBLE / na.n) /
+        |        ((a.c::DOUBLE / na.n) + (b.c::DOUBLE / nb.n))) +
+        |      (b.c::DOUBLE / nb.n) * ln(2 * (b.c::DOUBLE / nb.n) /
+        |        ((a.c::DOUBLE / na.n) + (b.c::DOUBLE / nb.n))))) AS inr
+        |  FROM counts a
+        |  JOIN counts b ON b.t = a.t AND a.source < b.source
+        |  JOIN totals na ON na.source = a.source
+        |  JOIN totals nb ON nb.source = b.source
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM totals a JOIN totals b ON a.source < b.source
+        |)
+        |SELECT src_a, src_b,
+        |  floor((0.5 * ln(2) * (2 - coalesce(spa, 0) - coalesce(spb, 0)) +
+        |         coalesce(inr, 0)) * 1000000 + 0.5) / 1000000.0 AS jsd
+        |FROM pairs LEFT JOIN shared USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
+    // probe = the deterministic top boilerplate shingle (max df,
+    // shingle-string tie-break — frequentShingles' exact rule); hit
+    // positions mirror the 0-based posexplode by i − 1 on DuckDB's
+    // 1-based slices
+    "q_phrase_search" ->
+      """WITH sh AS (
+        |  SELECT unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), probe AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, count(*) AS n FROM sh GROUP BY 1 HAVING count(*) >= 2)
+        |  ORDER BY n DESC, shingle LIMIT 1
+        |), t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, unnest([i FOR i IN range(1, len(toks) - 1)
+        |                         IF array_to_string(toks[i:i+2], ' ') = probe.shingle]) AS i
+        |  FROM t, probe WHERE len(toks) >= 3
+        |)
+        |SELECT doc_id, count(*) AS n_hits, CAST(min(i) - 1 AS INT) AS first_pos
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_simjoin" ->
       """WITH sh AS (
         |  SELECT id, unnest(list_distinct(

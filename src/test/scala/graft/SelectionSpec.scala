@@ -162,6 +162,41 @@ class SelectionSpec extends AnyFunSuite {
     assert(score(cdir) == appended)
   }
 
+  test("q_drift values are valid JS divergences over all source pairs") {
+    val out = queries.SelectionQueries.queries("q_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val nSrc = Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(out.length == nSrc * (nSrc - 1) / 2, "every ordered pair emits")
+    val ln2 = math.log(2.0)
+    out.foreach { case (a, b, jsd) =>
+      assert(a < b)
+      assert(jsd >= -1e-9 && jsd <= ln2 + 1e-9,
+        s"JSD out of [0, ln2] for ($a,$b): $jsd")
+    }
+  }
+
+  test("q_phrase_search hits are real occurrences of the top boilerplate shingle") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val probe = graft.functions.Dedup
+      .frequentShingles(docs, "text", shingleK = 3, minCount = 2)
+      .orderBy(col("n").desc, col("shingle")).limit(1)
+      .collect().head.getString(0)
+    val out = queries.SelectionQueries.queries("q_phrase_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    val texts = docs.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, nHits, firstPos) =>
+      val toks = texts(id).split(" ").filter(_.nonEmpty)
+      val occ = (0 to toks.length - 3)
+        .filter(i => toks.slice(i, i + 3).mkString(" ") == probe)
+      assert(occ.length.toLong == nHits, s"doc $id hit count")
+      assert(occ.head == firstPos, s"doc $id first position")
+    }
+  }
+
   test("normalized dedup collapses reformattings raw exact dedup keeps apart") {
     import spark.implicits._
     val docs = Seq(

@@ -237,12 +237,12 @@ object BenchFormat {
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"shuffle_mb":$shuf,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
   }
 
-  /** Compact keys: the SHORTEST prefix (≥3 chars after stripping the
+  /** Compact keys: the SHORTEST prefix (≥2 chars after stripping the
     * uniform `q_`) unique within the current inventory — 111 queries
     * outgrew the window at full names, fixed 9-char truncation
-    * outgrew it again at 115, the ≥5 floor outgrew it at 129, and the
-    * ≥4 floor at 136 (each time the +15-headroom gate tripped first).
-    * Unique
+    * outgrew it again at 115, the ≥5 floor outgrew it at 129, the ≥4
+    * floor at 136, and the ≥3 floor at 139 (each time the
+    * +15-headroom gate tripped first). Unique
     * by construction: a name that is a strict prefix of another emits
     * in full while the longer one extends one char past it, so the
     * JSON object can never carry duplicate keys. Keys are
@@ -253,7 +253,7 @@ object BenchFormat {
   def compactKeys(names: Seq[String]): Seq[String] = {
     val stripped = names.map(_.stripPrefix("q_"))
     stripped.map { n =>
-      (3 to n.length).map(n.take)
+      (2 to n.length).map(n.take)
         .find(p => stripped.count(_.startsWith(p)) == 1)
         .getOrElse(n)
     }

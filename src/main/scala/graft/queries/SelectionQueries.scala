@@ -299,6 +299,35 @@ object SelectionQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
         .orderBy("doc_id")
+    }),
+
+    // 123. CUSUM change-point scan per event type: the classic
+    //      level-shift statistic max_k |Σ_{i≤k}(v_i − mean)| with its
+    //      timestamp — on the distributed keyed prefix scan
+    //      (operators.PrefixScan: range shuffle + driver offsets over
+    //      the bounded event-type dimension), NEVER a
+    //      whole-sequence-in-one-task window. Exactness: values
+    //      quantize to integer cents first, so the running sums are
+    //      exact longs in ANY partition grouping and the only floating
+    //      point is per-row (p − k·mean) on identical operands in both
+    //      engines — bit-identical, unrounded. Argmax via the native
+    //      TopKPerKey (k=1), deterministic (ties → earliest ts, id).
+    "q_cusum" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val tot = e.groupBy("event_type").agg(sum("c").as("t"), count(lit(1)).as("n"))
+      val (scanned, _) = graft.operators.PrefixScan.runningPerKey(
+        e, Seq(col("event_type")), Seq(col("ts"), col("event_id")),
+        col("c"), "p", "k")
+      val sRows = scanned.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          abs(col("p") - col("k") * (col("t").cast("double") / col("n"))).as("abs_s"))
+      graft.plans.TopKPerKey.topK(sRows, Seq("event_type"),
+          Seq("abs_s" -> true, "ts" -> false, "event_id" -> false), k = 1)
+        .select(col("event_type"), col("ts").as("ts_at_max"),
+          col("abs_s").as("max_abs_cusum"))
+        .orderBy("event_type")
     })
   )
 
@@ -526,6 +555,33 @@ object SelectionQueries {
         |)
         |SELECT doc_id, count(*) AS n_hits, CAST(min(i) - 1 AS INT) AS first_pos
         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer-cent quantization makes the prefix sums exact in both
+    // engines; the only floats are per-row on identical operands, so
+    // max/argmax are bit-deterministic with the (abs_s DESC, ts, id)
+    // tie-break
+    "q_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events
+        |), tot AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS t, count(*) AS n
+        |  FROM e GROUP BY 1
+        |), pre AS (
+        |  SELECT event_type, ts, event_id,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS k
+        |  FROM e
+        |), s AS (
+        |  SELECT pre.event_type, ts, event_id,
+        |    abs(p - k * (tot.t::DOUBLE / tot.n)) AS abs_s
+        |  FROM pre JOIN tot USING (event_type)
+        |)
+        |SELECT event_type, ts AS ts_at_max, abs_s AS max_abs_cusum
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs_s DESC, ts, event_id) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q_simjoin" ->
       """WITH sh AS (
         |  SELECT id, unnest(list_distinct(

@@ -74,19 +74,19 @@ class BenchFormatSpec extends AnyFunSuite {
   test("current inventory emits collision-free unique-prefix compact keys") {
     val keys = BenchFormat.compactKeys(SparkEntry.queries.keys.toSeq.sorted)
     assert(keys.distinct.size == keys.size)
-    // bounded on both sides: ≥3 chars (or the full stripped name when
+    // bounded on both sides: ≥2 chars (or the full stripped name when
     // shorter), and never longer than the name itself
     SparkEntry.queries.keys.toSeq.sorted.zip(keys).foreach { case (n, k) =>
       val s = n.stripPrefix("q_")
       assert(s.startsWith(k), s"$k is not a prefix of $s")
-      assert(k.length >= math.min(3, s.length))
+      assert(k.length >= math.min(2, s.length))
     }
   }
 
   test("unique-prefix keys extend past shared prefixes instead of colliding") {
     val keys = BenchFormat.compactKeys(
       Seq("q_same_prefix_aa", "q_same_prefix_bb", "q_other"))
-    assert(keys == Seq("same_prefix_a", "same_prefix_b", "oth"))
+    assert(keys == Seq("same_prefix_a", "same_prefix_b", "ot"))
   }
 
   test("a name that is a strict prefix of another emits in full, uniquely") {

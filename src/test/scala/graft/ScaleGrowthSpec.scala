@@ -82,7 +82,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // dense partial-top-k — query-side tables are broadcast by
     // construction, so a flip (or a global sort sneaking past
     // TopKPerKey) shows here first
-    "q_importance", "q_rrf_fusion")
+    "q_importance", "q_rrf_fusion",
+    // q_drift shuffles one (source, token-hash) count row per token —
+    // token-linear, (#sources)²-bounded pair fan-out; q_phrase_search
+    // moves (id, pos, hash) trigram rows — token-linear; q_cusum's
+    // range exchange moves one (type, ts, id, cents) row per event —
+    // event-linear, offsets driver-bounded
+    "q_drift", "q_phrase_search", "q_cusum")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

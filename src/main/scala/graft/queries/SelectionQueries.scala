@@ -328,6 +328,26 @@ object SelectionQueries {
         .select(col("event_type"), col("ts").as("ts_at_max"),
           col("abs_s").as("max_abs_cusum"))
         .orderBy("event_type")
+    }),
+
+    // 124. N-gram novelty: per doc, the fraction of its distinct
+    //      3-shingles never seen in any EARLIER doc (by id) — the
+    //      churn/novelty signal behind dedup-aware curricula and crawl
+    //      freshness dashboards. First-seer attaches via joinKeyStats
+    //      (map-side-combined min + merge join — a boilerplate shingle
+    //      in millions of docs collapses on the mappers); the ratio
+    //      divides two exact ints, bit-identical unrounded.
+    "q_novelty" -> ((s, d) => {
+      val sh = Dedup.shingleHashes(Tables.documents(s, d), "doc_id", "text",
+          shingleK = 3)
+        .dropDuplicates("id", "h")
+      Dedup.joinKeyStats(sh, "h", Seq(min(col("id")).as("first_id")))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("first_id") === col("id"), 1)).as("n_novel"))
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+        .orderBy("doc_id")
     })
   )
 
@@ -555,6 +575,24 @@ object SelectionQueries {
         |)
         |SELECT doc_id, count(*) AS n_hits, CAST(min(i) - 1 AS INT) AS first_pos
         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+    // shingle parity at the string level (Spark joins xxhash64 keys);
+    // the novelty ratio divides the same two integers in both engines
+    "q_novelty" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), firsts AS (
+        |  SELECT shingle, min(id) AS first_id FROM sh GROUP BY 1
+        |)
+        |SELECT sh.id AS doc_id, count(*) AS n_shingles,
+        |  count(CASE WHEN f.first_id = sh.id THEN 1 END) AS n_novel,
+        |  count(CASE WHEN f.first_id = sh.id THEN 1 END)::DOUBLE / count(*) AS novelty
+        |FROM sh JOIN firsts f USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer-cent quantization makes the prefix sums exact in both
     // engines; the only floats are per-row on identical operands, so
     // max/argmax are bit-deterministic with the (abs_s DESC, ts, id)

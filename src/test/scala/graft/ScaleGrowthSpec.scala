@@ -26,6 +26,12 @@ class ScaleGrowthSpec extends AnyFunSuite {
     * measurement as Bench and ShuffleBoundSpec).
     */
   private def shuffleWrite(q: String, sf: String): Long = {
+    // drop cached lineage first: suites sharing this session persist
+    // subtrees (q_simjoin's sh, q_triangles' edges) whose CacheManager
+    // plan-match would zero THIS measurement's small-SF shuffle and
+    // inflate the growth ratio — the same hygiene Bench applies
+    // between queries
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
     val l = new Bench.TaskTotals
     spark.sparkContext.addSparkListener(l)
     try SparkEntry.queries(q)(spark, sf).write.mode("overwrite").format("noop").save()
@@ -88,7 +94,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // moves (id, pos, hash) trigram rows — token-linear; q_cusum's
     // range exchange moves one (type, ts, id, cents) row per event —
     // event-linear, offsets driver-bounded
-    "q_drift", "q_phrase_search", "q_cusum")
+    "q_drift", "q_phrase_search", "q_cusum",
+    // q_novelty shuffles one (id, shingle-hash) row per distinct
+    // shingle occurrence plus the min-aggregate — token-linear, and
+    // the merge-join-back must never flip to a broadcast build
+    "q_novelty")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.TpchExtraQueries.queries ++
       graft.queries.GovernanceQueries.queries ++
       graft.queries.SpanQueries.queries ++
-      graft.queries.SelectionQueries.queries
+      graft.queries.SelectionQueries.queries ++
+      graft.queries.ProfilingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.TpchExtraQueries.oracles ++
       graft.queries.GovernanceQueries.oracles ++
       graft.queries.SpanQueries.oracles ++
-      graft.queries.SelectionQueries.oracles
+      graft.queries.SelectionQueries.oracles ++
+      graft.queries.ProfilingQueries.oracles
 }

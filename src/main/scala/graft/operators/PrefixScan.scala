@@ -51,17 +51,23 @@ object PrefixScan {
       : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
-    val all = keys ++ ord
+    // keys materialize as named columns BEFORE the range exchange and
+    // the sorts reference those attributes, never the caller's raw
+    // expressions: an INTEGER LITERAL key (a constant grouping for a
+    // global scan) would otherwise be resolved by Sort as an ORDER BY
+    // ordinal — "sort by column 1" — silently scrambling the scan
+    // order (orderByOrdinal applies to foldable integer sort keys)
+    val keyNames = keys.indices.map(i => s"_k$i")
+    val all = keyNames.map(col) ++ ord
     val ranged = df
       .withColumn("_v", value)
+      .withColumns(keyNames.zip(keys).toMap)
       .repartitionByRange(parts, all: _*)
       .sortWithinPartitions(all: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_ONLY)
-    val keyNames = keys.indices.map(i => s"_k$i")
     val keyed = ranged
       .withColumn("_pid", shiftright(col("_mid"), 33))
-      .withColumns(keyNames.zip(keys).toMap)
     // one row per (physical partition, key) — driver-scale only for
     // bounded-dimension keys, which is this operator's contract
     val partials = keyed

@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Bpe, Dedup, EngineNeutral, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Eleventh query wave — corpus profiling, semantic dedup, privacy
+  * risk, and tokenizer training (SURVEY.md §2 rows 125-129). Algorithm
+  * families are public literature: semantic deduplication via
+  * cluster-then-pairwise-cosine (the SemDeDup recipe, Abbas et al.
+  * 2023), k-anonymity over quasi-identifiers (Sweeney 2002),
+  * lag-k autocorrelation with exact sufficient statistics, vocabulary
+  * coverage curves (the Heaps'/Zipf budgeting number behind
+  * vocab-size choices), and byte-pair-encoding merge learning
+  * (Sennrich et al. 2016 — [[graft.functions.Bpe]]).
+  */
+object ProfilingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** SemDeDup similarity threshold. The synthetic embeddings have no
+    * true near-dups (max pairwise cosine ≈ 0.5 — see
+    * q_dedup_embedding's note), so 0.3 demonstrates the operator on
+    * the most-similar tail; production callers pass ~0.9.
+    */
+  private val SemDedupTau = 0.3
+
+  val queries: Map[String, Q] = Map(
+    // 125. Semantic dedup (the SemDeDup shape): cluster the embedding
+    //      space, then drop all but one of any within-cluster pair
+    //      whose cosine clears τ — catches paraphrases exact/minhash
+    //      dedup structurally cannot. Clustering here assigns each
+    //      vector to its nearest label-centroid (r4-rounded dim-wise
+    //      means — a bounded labels × dims table, hint-broadcast
+    //      everywhere; a 100 TB deployment trains k ~ √n sampled
+    //      k-means centroids, same bounded-broadcast shape). The
+    //      pairwise stage joins on the cluster id — within-cluster
+    //      quadratic is the published algorithm's cost model, bounded
+    //      by (n/k)² per cluster, and unit vectors are normalized
+    //      ONCE so each pair costs a single dot. Keep rule: the
+    //      smaller vec_id of a qualifying pair survives (drop id_b).
+    //      All doubles are r4-rounded sequential-dot results on
+    //      identical operands in both engines.
+    "q_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(EngineNeutral.r4(avg(col("v").cast("double"))).as("cv"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x("cv")).as("cvec"))
+        .select(col("label"), graft.plans.ArrayUnit.array_unit(col("cvec")).as("uc"))
+      val units = emb
+        .select(col("vec_id"), graft.plans.ArrayUnit.array_unit(col("embedding")).as("u"))
+        .filter(col("u").isNotNull) // zero-norm vectors have no direction
+      val scored = units.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("u"), col("label"),
+          EngineNeutral.r4(Similarity.dot(col("u"), col("uc"))).as("sim"))
+      val assigned = graft.plans.TopKPerKey.topK(scored, Seq("vec_id"),
+          Seq("sim" -> true, "label" -> false), k = 1)
+        .select(col("vec_id"), col("u"), col("label").as("cluster"))
+      val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("u").as("ua"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("u").as("ub"))
+      val dropped = a.hint("merge").join(b, "cluster")
+        .filter(col("id_a") < col("id_b"))
+        .filter(EngineNeutral.r4(Similarity.dot(col("ua"), col("ub"))) >= SemDedupTau)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      assigned.select("vec_id", "cluster")
+        .join(dropped.hint("merge"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("is_dropped"), lit(false)).as("dropped"))
+        .orderBy("vec_id")
+    }),
+
+    // 126. k-anonymity risk scan over quasi-identifiers (lang, source,
+    //      100-char length bucket): group sizes plus the k < 5 re-
+    //      identification flag — the privacy-governance companion to
+    //      PII redaction (a document whose quasi-identifier combination
+    //      is near-unique is re-identifiable even with PII scrubbed).
+    //      One map-side-combinable groupBy; output is bounded by the
+    //      quasi-identifier cross product, corpus-size-independent.
+    "q_k_anonymity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          (floor(col("n_chars") / 100) * 100).cast("long").as("chars_bucket"))
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("at_risk", col("group_size") < 5)
+        .orderBy("lang", "source", "chars_bucket")),
+
+    // 127. Lag-k autocorrelation per event type (lags 1 and 2): the
+    //      seasonality/momentum diagnostic behind drift monitors.
+    //      Exactness via integer sufficient statistics: values
+    //      quantize to cents (q_cusum's convention), so Σx, Σx², Σab,
+    //      and the lagged-slice sums are exact longs in any partition
+    //      grouping, and the ACF closed form
+    //        (Σab − μ(Σa+Σb) + mμ²) / (Σx² − nμ²),  μ = S/n
+    //      is a fixed double expression on identical operands in both
+    //      engines — bit-identical, unrounded. The lag pairing is a
+    //      merge self-join on [[graft.operators.PrefixScan]] ranks
+    //      (range shuffle + driver offsets), NEVER a whole-sequence-
+    //      in-one-task window.
+    "q_acf" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val stats = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("c").as("sx"), sum(col("c") * col("c")).as("sxx"))
+      val (scanned, _) = graft.operators.PrefixScan.runningPerKey(
+        e, Seq(col("event_type")), Seq(col("ts"), col("event_id")),
+        col("c"), "p", "k")
+      val rows = scanned.select("event_type", "k", "c")
+      val perLag = Seq(1, 2).map { lag =>
+        val a = rows.select(col("event_type"), col("k"), col("c").as("ca"))
+        val b = rows.select(col("event_type"), (col("k") - lag).as("k"),
+          col("c").as("cb"))
+        a.hint("merge").join(b, Seq("event_type", "k"))
+          .groupBy("event_type")
+          .agg(sum(col("ca") * col("cb")).as("sab"), sum("ca").as("sa"),
+            sum("cb").as("sb"), count(lit(1)).as("m"))
+          .withColumn("lag", lit(lag))
+      }.reduce(_ unionByName _)
+      val mu = col("sx").cast("double") / col("n")
+      perLag.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("lag"),
+          ((col("sab") - mu * (col("sa") + col("sb")) + col("m") * mu * mu) /
+            (col("sxx") - col("n") * mu * mu)).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // 128. Vocabulary coverage curve: the smallest rare-last vocabulary
+    //      prefix covering 50/90/99% of corpus token mass — the
+    //      budgeting number behind vocab-size and min-frequency
+    //      choices. Token counts are a map-side-combinable groupBy
+    //      (vocabulary-sized, corpus-sublinear); the cumulative mass
+    //      over the (count desc, token) order is the distributed
+    //      keyed prefix scan, never a single-task global window; the
+    //      crossing test is exact integer arithmetic (cum·100 vs
+    //      total·pct) and coverage divides the same two longs in both
+    //      engines.
+    "q_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.spread(Tables.documents(s, d))
+        .select(explode(Dedup.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val (scanned, _) = graft.operators.PrefixScan.runningPerKey(
+        counts, Seq(lit(1)), Seq(col("c").desc, col("t")), col("c"), "cum", "k")
+      // total token mass = the scan's last cumulative value — computed
+      // from the PrefixScan-persisted subtree instead of re-running
+      // the tokenize→count aggregation
+      val tot = scanned.agg(max("cum").as("total"))
+      import s.implicits._
+      val pcts = Seq(50, 90, 99).toDF("pct")
+      scanned.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+        .filter(col("cum") * 100 >= col("total") * col("pct") &&
+          (col("cum") - col("c")) * 100 < col("total") * col("pct"))
+        .select(col("pct"), col("k").as("vocab_size"),
+          col("cum").as("covered_tokens"),
+          (col("cum").cast("double") / col("total")).as("coverage"))
+        .orderBy("pct")
+    }),
+
+    // 129. BPE merge learning (rows-only: the iterative data-dependent
+    //      rewrite has no portable SQL form — BpeSpec hand-computes
+    //      the merges on a known corpus and RowsOnlyInvariantsSpec
+    //      recomputes the first merge independently). Corpus-sized
+    //      work is the distributed word-frequency groupBy; the merge
+    //      loop runs on the capped dictionary — see
+    //      [[graft.functions.Bpe]] for the scale argument.
+    "q_bpe_merges" -> ((s, d) =>
+      Bpe.learnMerges(Tables.documents(s, d), "text", nMerges = 20)
+        .orderBy("rank"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // unit vectors and centroid means mirror q_dedup_embedding /
+    // q_embedding_centroid's proven parity: r4-rounded dim-wise avgs
+    // are bit-identical once rounded, and every similarity is an
+    // r4-rounded SEQUENTIAL dot product on identical operands
+    "q_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+         |  FROM embeddings
+         |), u AS (
+         |  SELECT vec_id, [x / nrm FOR x IN e] AS u
+         |  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e)
+         |  WHERE nrm <> 0
+         |), cd AS (
+         |  SELECT label, dim, floor(avg(v) * 10000 + 0.5) / 10000.0 AS cv
+         |  FROM (SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS dim
+         |        FROM e)
+         |  GROUP BY 1, 2
+         |), c AS (
+         |  SELECT label, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY 1
+         |), cu AS (
+         |  SELECT label, [x / nrm FOR x IN cvec] AS uc
+         |  FROM (SELECT label, cvec, sqrt(list_dot_product(cvec, cvec)) AS nrm
+         |        FROM c)
+         |  WHERE nrm <> 0
+         |), scored AS (
+         |  SELECT u.vec_id, cu.label,
+         |    floor(list_dot_product(u.u, cu.uc) * 10000 + 0.5) / 10000.0 AS sim
+         |  FROM u CROSS JOIN cu
+         |), assign AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, label AS cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, label) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), vv AS (
+         |  SELECT a.vec_id, a.cluster, u.u
+         |  FROM assign a JOIN u ON u.vec_id = a.vec_id
+         |), dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM vv a JOIN vv b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+         |  WHERE floor(list_dot_product(a.u, b.u) * 10000 + 0.5) / 10000.0
+         |    >= $SemDedupTau
+         |)
+         |SELECT v.vec_id, v.cluster, (d.vec_id IS NOT NULL) AS dropped
+         |FROM vv v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT lang, source, (n_chars // 100) * 100 AS chars_bucket,
+        |  count(*) AS group_size, count(*) < 5 AS at_risk
+        |FROM documents GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // cents quantization makes every sufficient statistic an exact
+    // BIGINT; the closed form is the same fixed double expression on
+    // identical operands in both engines — bit-identical, unrounded
+    "q_acf" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events
+        |), stats AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sx,
+        |    CAST(sum(c * c) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1
+        |), r AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY ts, event_id) AS k
+        |  FROM e
+        |), lagged AS (
+        |  SELECT a.event_type, l.lag,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS sab,
+        |    CAST(sum(a.c) AS BIGINT) AS sa, CAST(sum(b.c) AS BIGINT) AS sb,
+        |    count(*) AS m
+        |  FROM r a
+        |  CROSS JOIN (SELECT unnest([1, 2]) AS lag) l
+        |  JOIN r b ON b.event_type = a.event_type AND b.k = a.k + l.lag
+        |  GROUP BY 1, 2
+        |)
+        |SELECT g.event_type, g.lag,
+        |  (g.sab - (s.sx::DOUBLE / s.n) * (g.sa + g.sb)
+        |     + g.m * (s.sx::DOUBLE / s.n) * (s.sx::DOUBLE / s.n)) /
+        |  (s.sxx - s.n * (s.sx::DOUBLE / s.n) * (s.sx::DOUBLE / s.n)) AS acf
+        |FROM lagged g JOIN stats s USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+    // the crossing test is exact integer arithmetic; ties in the
+    // (count desc, token) order are total in both engines
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), counts AS (
+        |  SELECT t, count(*) AS c FROM toks GROUP BY 1
+        |), ranked AS (
+        |  SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, t) AS k,
+        |    sum(c) OVER (ORDER BY c DESC, t
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS total FROM counts
+        |)
+        |SELECT p.pct, CAST(r.k AS BIGINT) AS vocab_size,
+        |  CAST(r.cum AS BIGINT) AS covered_tokens,
+        |  r.cum::DOUBLE / tot.total AS coverage
+        |FROM (SELECT unnest([50, 90, 99]) AS pct) p
+        |CROSS JOIN tot
+        |JOIN ranked r ON r.cum * 100 >= tot.total * p.pct
+        |  AND (r.cum - r.c) * 100 < tot.total * p.pct
+        |ORDER BY p.pct""".stripMargin
+  )
+}

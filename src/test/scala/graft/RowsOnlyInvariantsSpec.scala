@@ -118,6 +118,33 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bpe_merges' first merge is the corpus's true top adjacent char pair") {
+    // independent recompute of iteration 1 with a DIFFERENT engine
+    // path: per-token adjacent character pairs (with the </w>
+    // sentinel) counted by a Spark aggregation over the RAW token
+    // stream — weighting by token occurrence is exactly the
+    // word-count weighting the driver loop uses
+    import graft.functions.Bpe
+    val first = SparkEntry.queries("q_bpe_merges")(spark, sf)
+      .orderBy("rank").limit(1)
+      .as[(Int, String, String, Long)].collect().head
+    val top = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Dedup.tokens(col("text"))).as("w"))
+      .select(explode(expr(
+        s"""transform(
+           |  sequence(1, length(w)),
+           |  i -> struct(
+           |    substring(w, i, 1) AS l,
+           |    CASE WHEN i = length(w) THEN '${Bpe.Eow}'
+           |         ELSE substring(w, i + 1, 1) END AS r))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(1).as[(String, String, Long)].collect().head
+    assert((first._2, first._3, first._4) == top,
+      s"first merge $first != independently recomputed top pair $top")
+  }
+
   test("q_ngram_jaccard values are the exact shingle-set Jaccard") {
     val texts = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect().toMap

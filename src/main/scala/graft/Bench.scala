@@ -237,25 +237,45 @@ object BenchFormat {
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"shuffle_mb":$shuf,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
   }
 
-  /** Compact keys: the SHORTEST prefix (≥2 chars after stripping the
-    * uniform `q_`) unique within the current inventory — 111 queries
-    * outgrew the window at full names, fixed 9-char truncation
-    * outgrew it again at 115, the ≥5 floor outgrew it at 129, the ≥4
-    * floor at 136, and the ≥3 floor at 139 (each time the
-    * +15-headroom gate tripped first). Unique
-    * by construction: a name that is a strict prefix of another emits
-    * in full while the longer one extends one char past it, so the
-    * JSON object can never carry duplicate keys. Keys are
-    * inventory-DEPENDENT (adding q_ann_bx next round lengthens
-    * q_ann_b's key) — cross-round per-query comparison belongs on
-    * BENCH_DETAIL.json, which keeps full names.
+  /** Compact keys, SEGMENT-abbreviated since the 147-query inventory:
+    * strip the uniform `q_`, split at the first underscore into
+    * (family, rest), abbreviate the family to its shortest prefix
+    * unique among DISTINCT family segments, and the rest to its
+    * shortest prefix unique among the SAME family's rests (full-name
+    * fallback when a strict-prefix sibling blocks uniqueness, as
+    * before). `dedup_minhash` → `ded_m`, `tpch_q21` → `tp_q21`.
+    * Scheme history: 111 queries outgrew the window at full names,
+    * fixed 9-char truncation at 115, the ≥5 prefix floor at 129, ≥4
+    * at 136, ≥3 at 139, and the flat ≥2 unique-prefix scheme at 147
+    * (each time the +15-headroom gate tripped first) — per-family
+    * abbreviation is the next denser encoding that keeps keys
+    * human-decodable. Collision-free by construction: family abbrevs
+    * are underscore-free and prefix-unique, so equal keys would need
+    * equal families AND equal rest keys — which uniqueness within the
+    * family rules out. Keys are inventory-DEPENDENT — cross-round
+    * per-query comparison belongs on BENCH_DETAIL.json, which keeps
+    * full names.
     */
   def compactKeys(names: Seq[String]): Seq[String] = {
     val stripped = names.map(_.stripPrefix("q_"))
-    stripped.map { n =>
-      (2 to n.length).map(n.take)
-        .find(p => stripped.count(_.startsWith(p)) == 1)
+    def shortest(n: String, pool: Seq[String], floor: Int): String =
+      (floor to n.length).map(n.take)
+        .find(p => pool.count(_.startsWith(p)) == 1)
         .getOrElse(n)
+    val split = stripped.map { n =>
+      n.indexOf('_') match {
+        case -1 => (n, "")
+        case i => (n.substring(0, i), n.substring(i + 1))
+      }
+    }
+    val families = split.map(_._1).distinct
+    val fab = families.map(f => f -> shortest(f, families, 1)).toMap
+    split.map { case (f, r) =>
+      if (r.isEmpty) fab(f)
+      else {
+        val sibs = split.collect { case (`f`, r2) if r2.nonEmpty => r2 }
+        fab(f) + "_" + shortest(r, sibs, 1)
+      }
     }
   }
 

@@ -6,14 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Eleventh query wave — corpus profiling, semantic dedup, privacy
-  * risk, and tokenizer training (SURVEY.md §2 rows 125-129). Algorithm
+  * risk, and tokenizer training (SURVEY.md §2 rows 125-131). Algorithm
   * families are public literature: semantic deduplication via
   * cluster-then-pairwise-cosine (the SemDeDup recipe, Abbas et al.
   * 2023), k-anonymity over quasi-identifiers (Sweeney 2002),
   * lag-k autocorrelation with exact sufficient statistics, vocabulary
   * coverage curves (the Heaps'/Zipf budgeting number behind
-  * vocab-size choices), and byte-pair-encoding merge learning
-  * (Sennrich et al. 2016 — [[graft.functions.Bpe]]).
+  * vocab-size choices), byte-pair-encoding merge learning
+  * (Sennrich et al. 2016 — [[graft.functions.Bpe]]), exact weighted
+  * medians on the keyed prefix scan, and local clustering
+  * coefficients (Watts–Strogatz) on the near-dup graph.
   */
 object ProfilingQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -161,6 +163,77 @@ object ProfilingQueries {
         .orderBy("pct")
     }),
 
+    // 130. Exact weighted median per group (median order value
+    //      weighted by quantity — the robust-center statistic where
+    //      rows carry unequal mass): smallest price whose cumulative
+    //      quantity reaches half the group total. Weights quantize to
+    //      integer centi-units so cumulative mass is an exact long in
+    //      any partition grouping; the crossing test is exact integer
+    //      arithmetic (2·cum ≥ total); the scan is the distributed
+    //      keyed prefix scan over the bounded returnflag dimension,
+    //      ordered by (price, orderkey, linenumber) — a total order,
+    //      never a whole-group single-task window.
+    "q_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("wq"))
+      val tot = li.groupBy("l_returnflag").agg(sum("wq").as("total"))
+      val (scanned, _) = graft.operators.PrefixScan.runningPerKey(
+        li, Seq(col("l_returnflag")),
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        col("wq"), "cum", "k")
+      scanned.join(broadcast(tot), "l_returnflag")
+        .filter(col("cum") * 2 >= col("total") &&
+          (col("cum") - col("wq")) * 2 < col("total"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("w_median"),
+          col("total").as("total_w100"))
+        .orderBy("l_returnflag")
+    }),
+
+    // 131. Local clustering coefficient on the near-dup graph:
+    //      2·tri(v) / (deg(v)·(deg(v)−1)) — separates true duplicate
+    //      CLIQUES (coef → 1) from hub-and-spoke boilerplate stars
+    //      (coef → 0), the per-node refinement of q_triangles' count.
+    //      Same degree-oriented triangle machinery (wedges at the
+    //      lowest-ordered apex, closed by a merge-hinted semi-join,
+    //      O(√m) oriented out-degree); the ratio divides exact longs —
+    //      bit-identical, unrounded. Edge/oriented lists persisted
+    //      (edge-sized) per the family convention.
+    "q_clustering_coef" -> ((s, d) => {
+      val edges = Dedup.sharedShingleEdges(Tables.documents(s, d),
+          "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val dir = sym
+        .join(deg.select(col("u"), col("deg").as("deg_u")).hint("merge"), "u")
+        .join(deg.select(col("u").as("v"), col("deg").as("deg_v")).hint("merge"), "v")
+        .filter(col("deg_u") < col("deg_v") ||
+          (col("deg_u") === col("deg_v") && col("u") < col("v")))
+        .select("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val wedges = dir.select(col("u"), col("v").as("v1"))
+        .join(dir.select(col("u"), col("v").as("v2")), "u")
+        .filter(col("v1") =!= col("v2"))
+      val tris = wedges.join(
+        dir.select(col("u").as("v1"), col("v").as("v2")).hint("merge"),
+        Seq("v1", "v2"), "left_semi")
+      val triPerNode = tris
+        .select(explode(array(col("u"), col("v1"), col("v2"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("n_tri"))
+      deg.join(triPerNode.hint("merge"), Seq("u"), "left")
+        .select(col("u").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") >= 2,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("deg") * (col("deg") - 1)))
+            .otherwise(lit(0.0)).as("coef"))
+        .orderBy("doc_id")
+    }),
+
     // 129. BPE merge learning (rows-only: the iterative data-dependent
     //      rewrite has no portable SQL form — BpeSpec hand-computes
     //      the merges on a known corpus and RowsOnlyInvariantsSpec
@@ -220,6 +293,68 @@ object ProfilingQueries {
          |SELECT v.vec_id, v.cluster, (d.vec_id IS NOT NULL) AS dropped
          |FROM vv v LEFT JOIN dropped d ON d.vec_id = v.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+    // centi-unit weights make cumulative mass exact; the crossing row
+    // is unique under the (price, orderkey, linenumber) total order
+    // and the reported median is a raw data value — no float math
+    "q_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS wq
+        |  FROM lineitem
+        |), tot AS (
+        |  SELECT l_returnflag, CAST(sum(wq) AS BIGINT) AS total
+        |  FROM li GROUP BY 1
+        |), scanned AS (
+        |  SELECT l_returnflag, l_extendedprice, wq,
+        |    sum(wq) OVER (PARTITION BY l_returnflag
+        |                  ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM li
+        |)
+        |SELECT s.l_returnflag, s.l_extendedprice AS w_median,
+        |  t.total AS total_w100
+        |FROM scanned s JOIN tot t USING (l_returnflag)
+        |WHERE s.cum * 2 >= t.total AND (s.cum - s.wq) * 2 < t.total
+        |ORDER BY s.l_returnflag""".stripMargin,
+    // same edge rule as q_triangles/q_dedup_clusters; the coefficient
+    // divides 2.0·n_tri by deg·(deg−1) — identical exact operands in
+    // both engines, bit-identical unrounded
+    "q_clustering_coef" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), kept AS (
+        |  SELECT id, shingle FROM (
+        |    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df BETWEEN 2 AND 20
+        |), edges AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges
+        |), deg AS (
+        |  SELECT u, count(*) AS deg FROM sym GROUP BY 1
+        |), tri AS (
+        |  SELECT a.id_a AS x, a.id_b AS y, b.id_b AS z
+        |  FROM edges a JOIN edges b ON b.id_a = a.id_b
+        |  JOIN edges c ON c.id_a = a.id_a AND c.id_b = b.id_b
+        |), tpn AS (
+        |  SELECT id AS u, count(*) AS n_tri
+        |  FROM (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY 1
+        |)
+        |SELECT d.u AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |       THEN 2.0 * coalesce(t.n_tri, 0) / (d.deg * (d.deg - 1))
+        |       ELSE 0.0 END AS coef
+        |FROM deg d LEFT JOIN tpn t USING (u)
+        |ORDER BY doc_id""".stripMargin,
     "q_k_anonymity" ->
       """SELECT lang, source, (n_chars // 100) * 100 AS chars_bucket,
         |  count(*) AS group_size, count(*) < 5 AS at_risk

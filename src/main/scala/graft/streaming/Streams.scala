@@ -422,6 +422,51 @@ object Streams {
     q
   }
 
+  /** Streaming semantic dedup: each micro-batch of vectors is judged
+    * against the PERSISTED SemDeDup index
+    * ([[graft.functions.Semdedup.writeIndex]] — trained centroids +
+    * the full member set under a [[graft.operators.Versioned]] root),
+    * then the batch's vectors grow the member set by O(batch) — the
+    * online form of q_semdedup, structurally [[spanDedupIngest]] on
+    * the embedding side. Per-batch verdicts (id, cluster, dropped) go
+    * to `outPath` under the `batch_id=N` dynamic-partition overwrite;
+    * index growth is the first-delivery-wins anti-join append, so a
+    * checkpoint replay re-scores against the same members it saw
+    * (already-appended ids never match themselves) and commits an
+    * empty delta — verdicts are replay-stable and the index holds one
+    * row per vector id.
+    */
+  def semdedupIngest(stream: DataFrame, indexPath: String, outPath: String,
+                     checkpoint: String, tau: Double,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+            .getOrElse(throw new IllegalStateException(
+              s"no committed semdedup index at $indexPath — " +
+                "build one with Semdedup.writeIndex first"))
+          val centroids = graft.functions.Semdedup.readCentroidsFrom(spark, vdir)
+          val members = graft.functions.Semdedup.readMembersFrom(spark, vdir)
+          graft.functions.Semdedup
+            .dedupIncrement(batch, members, tau, centroids, idCol, vecCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+          graft.functions.Semdedup.appendIndex(batch, indexPath, idCol, vecCol)
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming BM25 retrieval: each micro-batch of QUERY documents
     * retrieves its top-k corpus hits from a PERSISTED lexical index
     * ([[graft.functions.Retrieval.writeLexicalIndex]] — tf/df/stats

@@ -71,30 +71,40 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("\"queries\":{}"))
   }
 
-  test("current inventory emits collision-free unique-prefix compact keys") {
-    val keys = BenchFormat.compactKeys(SparkEntry.queries.keys.toSeq.sorted)
+  test("current inventory emits collision-free, decodable segment keys") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val keys = BenchFormat.compactKeys(names)
     assert(keys.distinct.size == keys.size)
-    // bounded on both sides: ≥2 chars (or the full stripped name when
-    // shorter), and never longer than the name itself
-    SparkEntry.queries.keys.toSeq.sorted.zip(keys).foreach { case (n, k) =>
+    // decodability: the key's (family, rest) halves are prefixes of
+    // the name's (family, rest) halves — a reader can match keys back
+    // to inventory names without a lookup table
+    names.zip(keys).foreach { case (n, k) =>
       val s = n.stripPrefix("q_")
-      assert(s.startsWith(k), s"$k is not a prefix of $s")
-      assert(k.length >= math.min(2, s.length))
+      val (sf, sr) = s.indexOf('_') match {
+        case -1 => (s, ""); case i => (s.substring(0, i), s.substring(i + 1))
+      }
+      k.indexOf('_') match {
+        case -1 =>
+          assert(sr.isEmpty && sf.startsWith(k), s"$k does not decode to $s")
+        case i =>
+          assert(sf.startsWith(k.substring(0, i)) &&
+            sr.startsWith(k.substring(i + 1)), s"$k does not decode to $s")
+      }
     }
   }
 
-  test("unique-prefix keys extend past shared prefixes instead of colliding") {
+  test("family rests extend past shared prefixes instead of colliding") {
     val keys = BenchFormat.compactKeys(
       Seq("q_same_prefix_aa", "q_same_prefix_bb", "q_other"))
-    assert(keys == Seq("same_prefix_a", "same_prefix_b", "ot"))
+    assert(keys == Seq("s_prefix_a", "s_prefix_b", "o"))
   }
 
-  test("a name that is a strict prefix of another emits in full, uniquely") {
-    // 'distinct' can never be unique-prefixed against 'distinct_count';
-    // it must fall back to the full name while the longer one extends
-    // one char past it
+  test("a family name that is also a standalone query stays unique") {
+    // 'distinct' alone abbreviates to the family key; 'distinct_count'
+    // carries a rest — structurally distinct (family keys are
+    // underscore-free, member keys never are)
     val keys = BenchFormat.compactKeys(Seq("q_distinct", "q_distinct_count"))
-    assert(keys == Seq("distinct", "distinct_"))
+    assert(keys == Seq("d", "d_c"))
     assert(keys.distinct.size == 2)
   }
 

@@ -34,7 +34,16 @@ object SkewStress {
     // (the PPJoin scale story, measured); q_triangles rides the
     // df-banded edge machinery, so the planted span must be excluded
     // by the maxDf guard rather than densify the graph
-    "q_simjoin", "q_triangles")
+    "q_simjoin", "q_triangles",
+    // wave-11 arrivals: the planted span makes its eight tokens the
+    // corpus's mega-count vocabulary entries — q_vocab_coverage's
+    // count aggregation must collapse them map-side and the prefix
+    // scan must spread the vocab rows; q_novelty and
+    // q_clustering_coef ride the same shingle-df machinery as
+    // jaccard/triangles; q_phrase_search's probe IS the planted span's
+    // top shingle under skew — the per-position match must stay
+    // hash-vs-broadcast with doc-bounded aggregation
+    "q_vocab_coverage", "q_novelty", "q_clustering_coef", "q_phrase_search")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/repo/tmp/sf0.1skew"

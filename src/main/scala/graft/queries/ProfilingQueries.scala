@@ -234,6 +234,43 @@ object ProfilingQueries {
         .orderBy("doc_id")
     }),
 
+    // 132. Hard-negative mining for contrastive training: per query
+    //      vector, the top-3 most similar vectors with a DIFFERENT
+    //      label — the negatives that actually move an embedding
+    //      model (near-duplicates of the anchor that must be pushed
+    //      apart). Same plan scaffold as q_ann_bruteforce: bounded
+    //      query set broadcast with its labels, per-partition partial
+    //      top-k through the native bounded-heap TopKPerKey (≤k rows
+    //      per query per partition shuffle), rank window touches ≤k
+    //      rows per key. The label-mismatch predicate rides the
+    //      broadcast join condition, so same-label pairs are never
+    //      scored.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def unit(c: org.apache.spark.sql.Column) =
+        graft.plans.ArrayUnit.array_unit(c)
+      val queries = broadcast(emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), unit(col("embedding")).as("qvec"),
+          col("label").as("q_label"))
+        .filter(col("qvec").isNotNull))
+      val corpus = emb
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("neighbor_id"), unit(col("embedding")).as("cvec"),
+          col("label").as("neighbor_label"))
+        .filter(col("cvec").isNotNull)
+      val scored = corpus.join(queries, col("q_label") =!= col("neighbor_label"))
+        .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+          EngineNeutral.r4(Similarity.dot(col("qvec"), col("cvec"))).as("sim"))
+      val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+        Seq("sim" -> true, "neighbor_id" -> false), k = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("neighbor_label"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // 129. BPE merge learning (rows-only: the iterative data-dependent
     //      rewrite has no portable SQL form — BpeSpec hand-computes
     //      the merges on a known corpus and RowsOnlyInvariantsSpec
@@ -293,6 +330,24 @@ object ProfilingQueries {
          |SELECT v.vec_id, v.cluster, (d.vec_id IS NOT NULL) AS dropped
          |FROM vv v LEFT JOIN dropped d ON d.vec_id = v.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+    // q_ann_bruteforce's proven direct-cosine ↔ normalized-dot parity
+    // (r4 absorbs the operation-order difference), plus the label
+    // filter and the neighbor label in the output
+    "q_hard_negatives" ->
+      """SELECT query_id, rank, neighbor_id, neighbor_label, sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    c.label AS neighbor_label,
+        |    floor(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) * 10000 + 0.5) / 10000.0 AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      floor(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) * 10000 + 0.5) / 10000.0 DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        |  WHERE q.vec_id < 50)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // centi-unit weights make cumulative mass exact; the crossing row
     // is unique under the (price, orderkey, linenumber) total order
     // and the reported median is a raw data value — no float math

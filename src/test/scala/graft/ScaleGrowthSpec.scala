@@ -98,7 +98,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // q_novelty shuffles one (id, shingle-hash) row per distinct
     // shingle occurrence plus the min-aggregate — token-linear, and
     // the merge-join-back must never flip to a broadcast build
-    "q_novelty")
+    "q_novelty",
+    // wave-11 arrivals: q_semdedup shuffles assigned (id, cluster,
+    // unit-vector) rows into the per-cluster merge join — row-linear
+    // (pair volume is compute inside tasks, not exchange; the
+    // centroid table must STAY a bounded broadcast); q_acf and
+    // q_weighted_median move one row per event/lineitem through the
+    // PrefixScan range exchange plus driver-bounded offsets;
+    // q_vocab_coverage's exchanges are the token-count aggregation
+    // (vocabulary-sized, corpus-sublinear) and the vocab-row scan
+    "q_semdedup", "q_acf", "q_weighted_median", "q_vocab_coverage")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>
@@ -147,8 +156,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // the same shingle-df corpus property the banded candidate volume
     // measures (prefix candidates ⊆ all intersecting pairs; triangle
     // edges ARE the banded blocking's output)
+    // q_clustering_coef rides the identical edge list + wedge volume
+    // as q_triangles (same blocking, same orientation)
     val failures = Seq("q_ngram_jaccard", "q_dedup_clusters", "q_containment",
-      "q_simjoin", "q_triangles").flatMap { q =>
+      "q_simjoin", "q_triangles", "q_clustering_coef").flatMap { q =>
       val b01 = shuffleWrite(q, small)
       val b10 = shuffleWrite(q, big)
       val ratio = b10.toDouble / math.max(b01, 1L)

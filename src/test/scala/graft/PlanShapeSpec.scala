@@ -195,4 +195,31 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(aggs >= 2, s"$q has $aggs HashAggregate nodes — partial agg missing?\n$p")
     }
   }
+
+  test("wave-11 shapes: centroids broadcast, token counts map-side-combined, native top-k") {
+    // q_semdedup: the bounded labels×dims centroid table must ride a
+    // broadcast into both the assignment cross join and nothing else
+    // may turn cartesian; the within-cluster pairwise join stays a
+    // key join (merge-hinted — a planner broadcast of the aggregate-
+    // derived assignment side is the 100 TB failure mode)
+    val sd = plan("q_semdedup")
+    assert(sd.contains("BroadcastNestedLoopJoin") || sd.contains("BroadcastExchange"),
+      s"q_semdedup: centroid side no longer broadcasts:\n$sd")
+    assert(sd.contains("SortMergeJoin"),
+      s"q_semdedup: the within-cluster pairwise join lost its merge form:\n$sd")
+    // q_vocab_coverage: the token-count aggregation must stay
+    // partial->final — a mega-token (planted boilerplate) collapses on
+    // the mappers or it hot-keys the count exchange
+    val vc = plan("q_vocab_coverage")
+    assert("HashAggregate".r.findAllIn(vc).size >= 2,
+      s"q_vocab_coverage lost map-side combine on token counts:\n$vc")
+    // q_hard_negatives: ranking rides the native bounded-heap operator
+    val hn = plan("q_hard_negatives")
+    assert(hn.contains("TopK"),
+      s"q_hard_negatives no longer uses the native TopKPerKey operator:\n$hn")
+    // the label-mismatch predicate makes the scoring join non-equi —
+    // legal ONLY because the build side is the bounded query set
+    assert(hn.contains("BroadcastNestedLoopJoin"),
+      s"q_hard_negatives: the query side must broadcast:\n$hn")
+  }
 }

@@ -138,13 +138,55 @@ object Dedup {
     rows.join(stats.hint("merge"), Seq(key), joinType)
   }
 
+  /** Build (or atomically refresh) a persisted HASH-SET index under a
+    * [[graft.operators.Versioned]] root from an `h`-columned frame —
+    * the generic membership artifact behind the span index (k-word
+    * span hashes), the streaming funnel's exact-dedup index
+    * (whole-text hashes), and any future seen-set. Hashes live in a
+    * `grams/` subdir so O(batch) `delta_N/grams` appends union
+    * cleanly on the read side. Returns the committed version dir.
+    */
+  def writeHashIndex(hashes: DataFrame, indexPath: String): String =
+    graft.operators.Versioned.commitNew(hashes.sparkSession, indexPath) { dir =>
+      hashes.select(col("h")).distinct().write.parquet(s"$dir/grams")
+    }
+
+  /** The hash set of a committed version dir: base + appended deltas
+    * (a SET — duplicates across crash branches are harmless, see
+    * [[readSpanIndex]]).
+    */
+  def readHashIndex(spark: org.apache.spark.sql.SparkSession,
+                    versionDir: String): DataFrame =
+    graft.operators.Versioned.listDeltas(spark, versionDir)
+      .foldLeft(spark.read.parquet(s"$versionDir/grams")) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(s"$d/grams"))
+      }
+
+  /** Grow a hash index by O(batch): only hashes the index lacks land
+    * as an atomic delta (empty delta → nothing committed, replays
+    * idempotent). The index side of the anti join is unbounded —
+    * merge, never a planner broadcast.
+    */
+  def appendHashIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, versionDir: String,
+                      hashes: DataFrame): Unit = {
+    val idx = readHashIndex(spark, versionDir)
+    val fresh = hashes.select(col("h")).distinct()
+      .join(idx.hint("merge"), Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      if (!fresh.isEmpty)
+        graft.operators.Versioned.commitDelta(spark, indexPath, versionDir) {
+          d => fresh.write.parquet(s"$d/grams")
+        }
+    } finally { fresh.unpersist(); () }
+  }
+
   /** Build (or atomically refresh) the persisted span-hash index the
     * incremental/streaming span-dedup face probes: the distinct
     * 64-bit k-word span hashes of `df`, under a
-    * [[graft.operators.Versioned]] root. Hashes live in a `grams/`
-    * subdir of the version dir so O(batch) `delta_N/grams` appends
-    * union cleanly on the read side (same layout discipline as the
-    * IVF cells). Returns the committed version dir.
+    * [[graft.operators.Versioned]] root. Layout is [[writeHashIndex]]
+    * on the span hashes. Returns the committed version dir.
     */
   def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
                      k: Int, indexPath: String): String =

@@ -422,6 +422,110 @@ object Streams {
     q
   }
 
+  /** Streaming curation funnel — the online face of q_curate_e2e:
+    * each micro-batch of documents runs quality scoring → language
+    * gate → exact dedup against a persisted seen-hash index → span
+    * dup-frac trim against the persisted span index, then grows both
+    * indexes by O(batch). Kept docs land under `outPath/batch_id=N`;
+    * per-batch funnel-stage counts (the streaming form of the batch
+    * query's Observe tripwires) land as one row under
+    * `statsPath/batch_id=N`.
+    *
+    * Index discipline ([[graft.functions.Dedup.writeHashIndex]] ×2 —
+    * bootstrap both with an empty frame or a corpus build):
+    * the exact index grows with QUALITY-PASSING hashes (what the
+    * batch funnel's dedup stage sees), the span index with KEPT
+    * (post-dedup, pre-trim) docs' spans (what the batch funnel's span
+    * df counts). Value-level exactly-once: a re-delivered document's
+    * hash is already indexed, so it re-emits NOTHING under the new
+    * batch_id — consumers union kept rows across partitions without
+    * dedup. Crash replays self-heal in either order: output written
+    * but index not grown → identical recompute overwrites the same
+    * partition, then the append lands; index grown but checkpoint
+    * uncommitted → the replay keeps nothing new and the original
+    * partition rows stand.
+    */
+  def curateIngest(stream: DataFrame, exactIndexPath: String,
+                   spanIndexPath: String, outPath: String, statsPath: String,
+                   checkpoint: String, idCol: String = "doc_id",
+                   textCol: String = "text", minWords: Int = 10,
+                   maxDupFrac: Double = 0.5, spanK: Int = 8): StreamingQuery = {
+    require(minWords >= spanK,
+      s"minWords ($minWords) must be ≥ spanK ($spanK): every doc past the " +
+        "quality gate must produce at least one full span")
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          def vdir(p: String) = graft.operators.Versioned.resolve(spark, p)
+            .getOrElse(throw new IllegalStateException(
+              s"no committed index at $p — bootstrap with Dedup.writeHashIndex"))
+          val (exactV, spanV) = (vdir(exactIndexPath), vdir(spanIndexPath))
+          val ta = graft.functions.TextAnalysis
+          val scored = batch
+            .select(col(idCol), col(textCol),
+              ta.nWords(col(textCol)).as("n_words"),
+              ta.langIdScored(col(textCol)).as("lang_guess"),
+              xxhash64(col(textCol)).as("h"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          try {
+            val nScored = scored.count()
+            val filtered = scored
+              .filter(col("n_words") >= minWords && col("lang_guess") =!= "unk")
+            val nFiltered = filtered.count()
+            // exact dedup: first-id-wins within the batch, then drop
+            // anything some earlier batch already holds (index side is
+            // unbounded → merge, never a planner broadcast)
+            val firsts = filtered.groupBy("h").agg(min(col(idCol)).as("_keep"))
+            val seen = graft.functions.Dedup.readHashIndex(spark, exactV)
+            val kept = filtered
+              .join(firsts, Seq("h")).filter(col(idCol) === col("_keep"))
+              .join(seen.hint("merge"), Seq("h"), "left_anti")
+              .drop("_keep")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+            try {
+              val nKept = kept.count()
+              val spanScores = graft.functions.Dedup.spanDedupIncrement(
+                kept.select(col(idCol), col(textCol)),
+                graft.functions.Dedup.readSpanIndex(spark, spanV),
+                idCol, textCol, spanK)
+              val out = kept
+                .join(spanScores.select(col(idCol), col("dup_frac")).hint("merge"),
+                  Seq(idCol))
+                .filter(col("dup_frac") <= maxDupFrac)
+                .select(col(idCol), col("lang_guess"), col("n_words"),
+                  col("dup_frac"))
+                .withColumn("batch_id", lit(batchId))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+              try {
+                val nTrimmed = out.count()
+                out.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id").parquet(outPath)
+                import spark.implicits._
+                Seq((batchId, nScored, nFiltered, nKept, nTrimmed))
+                  .toDF("batch_id", "scored", "filtered", "kept", "trimmed")
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id").parquet(statsPath)
+                // O(batch) index growth, funnel-stage-matched (see doc)
+                graft.functions.Dedup.appendHashIndex(spark, exactIndexPath,
+                  exactV, filtered.select("h"))
+                graft.functions.Dedup.appendHashIndex(spark, spanIndexPath,
+                  spanV, graft.functions.Dedup
+                    .spanRows(kept, idCol, textCol, spanK).select("h").distinct())
+              } finally out.unpersist()
+            } finally kept.unpersist()
+          } finally scored.unpersist()
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming semantic dedup: each micro-batch of vectors is judged
     * against the PERSISTED SemDeDup index
     * ([[graft.functions.Semdedup.writeIndex]] — trained centroids +

@@ -270,13 +270,30 @@ object BenchFormat {
     }
     val families = split.map(_._1).distinct
     val fab = families.map(f => f -> shortest(f, families, 1)).toMap
-    split.map { case (f, r) =>
-      if (r.isEmpty) fab(f)
+    val restKey = split.map { case (f, r) =>
+      if (r.isEmpty) ""
       else {
         val sibs = split.collect { case (`f`, r2) if r2.nonEmpty => r2 }
-        fab(f) + "_" + shortest(r, sibs, 1)
+        shortest(r, sibs, 1)
       }
     }
+    // the '_' separator drops wherever the bare concatenation is
+    // already unique (150 queries outgrew the separated form) —
+    // collisions (possible because strict-prefix families fall back
+    // to full names, breaking prefix-freeness) keep the separator,
+    // and any residual duplicate takes the full stripped name
+    val sepForm = split.zip(restKey).map { case ((f, r), rk) =>
+      if (r.isEmpty) fab(f) else fab(f) + "_" + rk
+    }
+    val bareForm = split.zip(restKey).map { case ((f, r), rk) =>
+      if (r.isEmpty) fab(f) else fab(f) + rk
+    }
+    val bareCounts = bareForm.groupBy(identity).view.mapValues(_.size).toMap
+    val merged = bareForm.zip(sepForm).map { case (b, s) =>
+      if (bareCounts(b) == 1) b else s
+    }
+    val mergedCounts = merged.groupBy(identity).view.mapValues(_.size).toMap
+    merged.zip(stripped).map { case (k, n) => if (mergedCounts(k) == 1) k else n }
   }
 
   /** Per-query seconds at ~2 significant figures (full 3-decimal

@@ -271,6 +271,49 @@ object ProfilingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // 133. Full k-core decomposition of the near-dup graph (rows-only:
+    //      the shrink-until-stable fixpoint has no SQL form — standard
+    //      recursive CTEs only append; KCoreSpec pins exact equality
+    //      with a sequential min-degree-peel reference, and the
+    //      rows-only invariant recomputes THIS query's output against
+    //      that reference on the gate corpus). Coreness separates
+    //      duplicate COMMUNITIES (high core) from template-glued
+    //      stars (1-core) — the density governance number behind
+    //      cluster-level dedup decisions. Scale: see
+    //      [[graft.operators.KCore]] (lineage-truncated peeling,
+    //      shuffle bounded by the shrinking edge set).
+    "q_coreness" -> ((s, d) => {
+      val edges = Dedup.sharedShingleEdges(Tables.documents(s, d),
+          "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+        .select("id_a", "id_b")
+      graft.operators.KCore.coreness(edges)
+        .select(col("id").as("doc_id"), col("coreness"))
+        .orderBy("doc_id")
+    }),
+
+    // 134. Mergeable per-source distinct-token sketches (rows-only:
+    //      DataSketches HLL internals have no portable SQL oracle —
+    //      the invariant spec pins the MERGEABILITY law: the union of
+    //      per-source sketches estimates EXACTLY what one whole-corpus
+    //      sketch estimates, plus a 5% error floor vs exact counts).
+    //      This is the 100 TB distinct-counting workflow: sketch per
+    //      partition/source/day at ingest (map-side-combinable agg
+    //      buffers), persist the sketches, merge on demand — never
+    //      re-scan the corpus for a new grouping of an old question.
+    "q_hll_union" -> ((s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("t"))
+      val per = toks.groupBy("source")
+        .agg(hll_sketch_agg(col("t")).as("sk"))
+      per.select(col("source"),
+          hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .unionByName(per.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
+          .withColumn("source", lit("ALL"))
+          .select("source", "est_distinct"))
+        .orderBy("source")
+    }),
+
     // 129. BPE merge learning (rows-only: the iterative data-dependent
     //      rewrite has no portable SQL form — BpeSpec hand-computes
     //      the merges on a known corpus and RowsOnlyInvariantsSpec

@@ -75,36 +75,36 @@ class BenchFormatSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val keys = BenchFormat.compactKeys(names)
     assert(keys.distinct.size == keys.size)
-    // decodability: the key's (family, rest) halves are prefixes of
-    // the name's (family, rest) halves — a reader can match keys back
-    // to inventory names without a lookup table
+    // decodability: some split of the key yields a prefix of the
+    // name's family and a prefix of its rest (separator-free keys
+    // concatenate the two halves; '_'-keeping keys split there) — a
+    // reader can match keys back to inventory names with the
+    // inventory in hand (full names stay in BENCH_DETAIL.json)
     names.zip(keys).foreach { case (n, k) =>
       val s = n.stripPrefix("q_")
       val (sf, sr) = s.indexOf('_') match {
         case -1 => (s, ""); case i => (s.substring(0, i), s.substring(i + 1))
       }
-      k.indexOf('_') match {
-        case -1 =>
-          assert(sr.isEmpty && sf.startsWith(k), s"$k does not decode to $s")
-        case i =>
-          assert(sf.startsWith(k.substring(0, i)) &&
-            sr.startsWith(k.substring(i + 1)), s"$k does not decode to $s")
-      }
+      val decodes = (0 to k.length).exists { i =>
+        val (kf, kr0) = (k.substring(0, i), k.substring(i))
+        val kr = kr0.stripPrefix("_")
+        sf.startsWith(kf) && sr.startsWith(kr)
+      } || s.startsWith(k) // full-name fallback
+      assert(decodes, s"$k does not decode to $s")
     }
   }
 
   test("family rests extend past shared prefixes instead of colliding") {
     val keys = BenchFormat.compactKeys(
       Seq("q_same_prefix_aa", "q_same_prefix_bb", "q_other"))
-    assert(keys == Seq("s_prefix_a", "s_prefix_b", "o"))
+    assert(keys == Seq("sprefix_a", "sprefix_b", "o"))
   }
 
   test("a family name that is also a standalone query stays unique") {
     // 'distinct' alone abbreviates to the family key; 'distinct_count'
-    // carries a rest — structurally distinct (family keys are
-    // underscore-free, member keys never are)
+    // concatenates the rest — distinct strings by the collision check
     val keys = BenchFormat.compactKeys(Seq("q_distinct", "q_distinct_count"))
-    assert(keys == Seq("d", "d_c"))
+    assert(keys == Seq("d", "dc"))
     assert(keys.distinct.size == 2)
   }
 

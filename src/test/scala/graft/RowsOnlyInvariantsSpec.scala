@@ -118,6 +118,65 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_coreness equals a sequential min-degree-peel reference on the gate corpus") {
+    val got = SparkEntry.queries("q_coreness")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty && got.values.max >= 2,
+      s"degenerate graph: max coreness ${if (got.isEmpty) -1 else got.values.max}")
+    // independent reference: textbook peeling over the collected edges
+    val edges = graft.functions.Dedup.sharedShingleEdges(
+        Tables.documents(spark, sf), "doc_id", "text",
+        shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      k = math.max(k, adj.valuesIterator.map(_.size).min.toLong)
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (v, ns) if ns.size <= k => v }.toSeq
+        changed = drop.nonEmpty
+        drop.foreach { v =>
+          want(v) = k
+          adj.remove(v).foreach(_.foreach(n => adj.get(n).foreach(_ -= v)))
+        }
+      }
+    }
+    assert(got == want.toMap, "distributed peeling diverged from the reference")
+  }
+
+  test("q_hll_union: sketches merge exactly and estimates stay within 5% of exact") {
+    val rows = SparkEntry.queries("q_hll_union")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    // mergeability law: the union of per-source sketches must estimate
+    // EXACTLY what one whole-corpus sketch estimates (same binary
+    // state, not just similar numbers)
+    val whole = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Dedup.tokens(col("text"))).as("t"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("t"))).as("e"))
+      .as[Long].collect().head
+    assert(rows("ALL") == whole,
+      s"union-of-parts ${rows("ALL")} != whole-corpus sketch $whole")
+    // error floor vs exact distincts, per source and globally
+    val exact = Tables.documents(spark, sf)
+      .select(col("source"), explode(graft.functions.Dedup.tokens(col("text"))).as("t"))
+      .groupBy("source").agg(countDistinct("t").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Dedup.tokens(col("text"))).as("t"))
+      .agg(countDistinct("t")).as[Long].collect().head
+    (exact + ("ALL" -> exactAll)).foreach { case (src, n) =>
+      val rel = math.abs(rows(src) - n).toDouble / n
+      assert(rel <= 0.05, f"$src: est ${rows(src)} vs exact $n relErr $rel%.4f")
+    }
+  }
+
   test("q_bpe_merges' first merge is the corpus's true top adjacent char pair") {
     // independent recompute of iteration 1 with a DIFFERENT engine
     // path: per-token adjacent character pairs (with the </w>

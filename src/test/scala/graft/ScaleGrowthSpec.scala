@@ -157,9 +157,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // measures (prefix candidates ⊆ all intersecting pairs; triangle
     // edges ARE the banded blocking's output)
     // q_clustering_coef rides the identical edge list + wedge volume
-    // as q_triangles (same blocking, same orientation)
+    // as q_triangles (same blocking, same orientation); q_coreness
+    // peels the same edge set — its shuffle is (peel-depth ×
+    // shrinking-edges), edge-volume-shaped with a slowly-growing
+    // depth factor, so it shares this invariant rather than the flat
+    // ≤14× bound
     val failures = Seq("q_ngram_jaccard", "q_dedup_clusters", "q_containment",
-      "q_simjoin", "q_triangles", "q_clustering_coef").flatMap { q =>
+      "q_simjoin", "q_triangles", "q_clustering_coef", "q_coreness").flatMap { q =>
       val b01 = shuffleWrite(q, small)
       val b10 = shuffleWrite(q, big)
       val ratio = b10.toDouble / math.max(b01, 1L)

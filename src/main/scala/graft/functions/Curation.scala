@@ -212,23 +212,15 @@ object Curation {
     */
   def writeDecontamIndex(bench: DataFrame, idCol: String, textCol: String,
                          k: Int, indexPath: String): String =
-    graft.operators.Versioned.commitNew(bench.sparkSession, indexPath) { dir =>
-      Dedup.spanRows(bench, idCol, textCol, k)
-        .select(col("h")).distinct()
-        .write.parquet(s"$dir/grams")
-    }
+    Dedup.writeHashIndex(Dedup.spanRows(bench, idCol, textCol, k), indexPath)
 
   /** The gram set of a committed decontam-index version dir: base +
-    * every appended delta. Rows may repeat across deltas after a
-    * crashed-and-retried append; consumers treat the index as a SET
-    * ([[decontamOverlapGrams]] re-distincts defensively), so
-    * duplicates are harmless and never re-deduped here.
+    * every appended delta ([[Dedup.readHashIndex]] — rows may repeat
+    * across crash branches; [[decontamOverlapGrams]] re-distincts
+    * defensively, so duplicates are harmless).
     */
   def readDecontamIndex(spark: SparkSession, versionDir: String): DataFrame =
-    graft.operators.Versioned.listDeltas(spark, versionDir)
-      .foldLeft(spark.read.parquet(s"$versionDir/grams")) { (acc, d) =>
-        acc.unionByName(spark.read.parquet(s"$d/grams"))
-      }
+    Dedup.readHashIndex(spark, versionDir)
 
   /** O(new-suite) benchmark refresh: eval suites grow by ADDITION (a
     * new benchmark version adds tasks, it doesn't retract published

@@ -156,20 +156,41 @@ object Dedup {
     * [[readSpanIndex]]).
     */
   def readHashIndex(spark: org.apache.spark.sql.SparkSession,
-                    versionDir: String): DataFrame =
-    graft.operators.Versioned.listDeltas(spark, versionDir)
-      .foldLeft(spark.read.parquet(s"$versionDir/grams")) { (acc, d) =>
-        acc.unionByName(spark.read.parquet(s"$d/grams"))
-      }
+                    versionDir: String,
+                    excludeTag: Option[String] = None): DataFrame = {
+    val all = graft.operators.Versioned.listDeltas(spark, versionDir)
+    val deltas = excludeTag match {
+      case None => all
+      case Some(t) =>
+        // a STREAMING replay must score against the pre-append view of
+        // the index: deltas committed by an earlier run of the SAME
+        // micro-batch (tagged by appendHashIndex) are excluded, so a
+        // crash between the append and the checkpoint commit re-scores
+        // identically instead of matching the batch's own hashes (a
+        // hash-only index cannot exclude "self" any other way)
+        val conf = spark.sessionState.newHadoopConf()
+        all.filterNot { d =>
+          val p = new org.apache.hadoop.fs.Path(d, s"_TAG_$t")
+          p.getFileSystem(conf).exists(p)
+        }
+    }
+    deltas.foldLeft(spark.read.parquet(s"$versionDir/grams")) { (acc, d) =>
+      acc.unionByName(spark.read.parquet(s"$d/grams"))
+    }
+  }
 
   /** Grow a hash index by O(batch): only hashes the index lacks land
     * as an atomic delta (empty delta → nothing committed, replays
     * idempotent). The index side of the anti join is unbounded —
-    * merge, never a planner broadcast.
+    * merge, never a planner broadcast. The anti join always sees the
+    * FULL index (tags excluded nothing here), so a replayed append
+    * whose delta already landed commits nothing. `tag` marks the
+    * delta with the writer's batch identity for
+    * [[readHashIndex]]'s replay exclusion.
     */
   def appendHashIndex(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, versionDir: String,
-                      hashes: DataFrame): Unit = {
+                      hashes: DataFrame, tag: Option[String] = None): Unit = {
     val idx = readHashIndex(spark, versionDir)
     val fresh = hashes.select(col("h")).distinct()
       .join(idx.hint("merge"), Seq("h"), "left_anti")
@@ -177,7 +198,13 @@ object Dedup {
     try {
       if (!fresh.isEmpty)
         graft.operators.Versioned.commitDelta(spark, indexPath, versionDir) {
-          d => fresh.write.parquet(s"$d/grams")
+          d =>
+            fresh.write.parquet(s"$d/grams")
+            tag.foreach { t =>
+              val p = new org.apache.hadoop.fs.Path(d, s"_TAG_$t")
+              val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+              fs.create(p, true).close()
+            }
         }
     } finally { fresh.unpersist(); () }
   }
@@ -190,22 +217,17 @@ object Dedup {
     */
   def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
                      k: Int, indexPath: String): String =
-    graft.operators.Versioned.commitNew(df.sparkSession, indexPath) { dir =>
-      spanRows(df, idCol, textCol, k).select(col("h")).distinct()
-        .write.parquet(s"$dir/grams")
-    }
+    writeHashIndex(spanRows(df, idCol, textCol, k), indexPath)
 
   /** The span-hash set of a committed version dir: base + every
-    * appended delta. Rows may repeat across branches after crashes —
-    * consumers treat the index as a SET (semi/anti join membership),
-    * so duplicates are harmless and never re-deduped here.
+    * appended delta ([[readHashIndex]] — rows may repeat across crash
+    * branches; consumers treat the index as a SET). `excludeTag`
+    * passes through for streaming replay exclusion.
     */
   def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
-                    versionDir: String): DataFrame =
-    graft.operators.Versioned.listDeltas(spark, versionDir)
-      .foldLeft(spark.read.parquet(s"$versionDir/grams")) { (acc, d) =>
-        acc.unionByName(spark.read.parquet(s"$d/grams"))
-      }
+                    versionDir: String,
+                    excludeTag: Option[String] = None): DataFrame =
+    readHashIndex(spark, versionDir, excludeTag)
 
   /** Incremental span-level dedup of one batch against a persisted
     * span-hash index: per-doc (idCol, n_spans, n_dup, dup_frac) where

@@ -41,8 +41,10 @@ object Selection {
     * exchange is reused, but the model writer consumes it in SEVERAL
     * write actions, where cross-action exchange reuse does not apply
     * and an unpersisted counts would re-tokenize the corpus per
-    * write. Lazy return → the family's can't-unpersist-here
-    * convention (ngramJaccard's sh).
+    * write. The lazily-returned face (tokenLogRatios) follows the
+    * family's can't-unpersist-here convention (ngramJaccard's sh);
+    * the model writer/appender consume fully inside their commit
+    * callbacks and unpersist there.
     */
   private def tokenCounts(corpus: DataFrame, textCol: String,
                           isTarget: Column): DataFrame =
@@ -110,10 +112,17 @@ object Selection {
     graft.operators.Versioned.commitNew(corpus.sparkSession, modelPath) { dir =>
       corpus.select(col(idCol).as("id")).write.parquet(s"$dir/ids")
       val counts = tokenCounts(corpus, textCol, isTarget)
-      counts.write.parquet(s"$dir/counts")
-      val (lr, defaults) = lrFromCounts(counts)
-      lr.write.parquet(s"$dir/lr")
-      defaults.write.parquet(s"$dir/defaults")
+      try {
+        counts.write.parquet(s"$dir/counts")
+        val (lr, defaults) = lrFromCounts(counts)
+        lr.write.parquet(s"$dir/lr")
+        defaults.write.parquet(s"$dir/defaults")
+      } finally {
+        // unlike the lazy-return faces, every consumer completed above
+        // — holding the vocabulary-sized cache past this write would
+        // pin one more table per model build in a long-lived session
+        counts.unpersist(); ()
+      }
     }
 
   /** Grow the training pools by O(batch): already-trained ids are
@@ -144,7 +153,9 @@ object Selection {
       if (fresh.isEmpty) None
       else Some(graft.operators.Versioned.commitDelta(spark, modelPath, vdir) { d =>
         fresh.select(col(idCol).as("id")).write.parquet(s"$d/ids")
-        tokenCounts(fresh, textCol, isTarget).write.parquet(s"$d/counts")
+        val counts = tokenCounts(fresh, textCol, isTarget)
+        try counts.write.parquet(s"$d/counts")
+        finally { counts.unpersist(); () } // single consumer — see writeImportanceModel
       })
     } finally { fresh.unpersist(); () }
   }

@@ -60,12 +60,17 @@ object KCore {
     * the k-core and the (k+1)-core keep the last level they survived.
     */
   def coreness(edges: DataFrame): DataFrame = {
+    // materialize the caller's edge subtree ONCE: levels and the first
+    // peel both consume it, and callers often pass an expensive
+    // unpersisted pipeline (q_coreness hands the whole shared-shingle
+    // blocking here)
+    val e0 = materialize(edges.select("id_a", "id_b"))
     var levels = materialize(
-      edges.select(col("id_a").as("u"))
-        .unionAll(edges.select(col("id_b").as("u")))
+      e0.select(col("id_a").as("u"))
+        .unionAll(e0.select(col("id_b").as("u")))
         .distinct()
         .withColumn("c", lit(0L)))
-    var cur = edges.select("id_a", "id_b")
+    var cur: DataFrame = e0
     var k = 1
     var done = false
     while (!done) {

@@ -101,13 +101,25 @@ object PrefixScan {
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsetRows, 1), offSchema)
     val w = Window.partitionBy(("_pid" +: keyNames).map(col): _*).orderBy(col("_mid"))
+    // the offset join must be NULL-SAFE on the key columns: a nullable
+    // dimension key puts its null rows in one groupBy group (whose
+    // offsets the driver computes), but plain equality never matches
+    // null = null — every null-keyed row would coalesce to offset 0
+    // and silently restart its running totals at each partition
+    // boundary
+    val offRenamed = offDf.toDF(
+      ("_opid" +: keyNames.map("_o" + _)) ++ Seq("_offs", "_offc"): _*)
+    val joinCond = keyNames
+      .map(n => col(n) <=> col("_o" + n))
+      .foldLeft(col("_pid") === col("_opid"))(_ && _)
     val out = keyed
-      .join(broadcast(offDf), ("_pid" +: keyNames).toSeq, "left")
+      .join(broadcast(offRenamed), joinCond, "left")
       .withColumn(sumCol,
         sum(col("_v")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
           coalesce(col("_offs"), lit(0L)))
       .withColumn(rankCol, row_number().over(w) + coalesce(col("_offc"), lit(0L)))
-      .drop((Seq("_v", "_mid", "_pid", "_offs", "_offc") ++ keyNames): _*)
+      .drop((Seq("_v", "_mid", "_pid", "_opid", "_offs", "_offc") ++
+        keyNames ++ keyNames.map("_o" + _)): _*)
     (out, () => { ranged.unpersist(); () })
   }
 }

@@ -59,9 +59,16 @@ object ProfilingQueries {
       val scored = units.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("u"), col("label"),
           EngineNeutral.r4(Similarity.dot(col("u"), col("uc"))).as("sim"))
+      // persisted: assignment feeds the pair join's a side, b side,
+      // and the final verdict join — without it each consumer replays
+      // the normalize → cross join → TopK chain (no cross-consumer
+      // exchange reuse). Vector-count-sized, MEMORY_ONLY per the
+      // family convention; Bench/Verify clear cached lineage between
+      // queries.
       val assigned = graft.plans.TopKPerKey.topK(scored, Seq("vec_id"),
           Seq("sim" -> true, "label" -> false), k = 1)
         .select(col("vec_id"), col("u"), col("label").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("u").as("ua"))
       val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("u").as("ub"))
       val dropped = a.hint("merge").join(b, "cluster")

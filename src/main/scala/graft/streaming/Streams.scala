@@ -393,7 +393,14 @@ object Streams {
             .getOrElse(throw new IllegalStateException(
               s"no committed span index at $spanIndexPath — " +
                 "build one with Dedup.writeSpanIndex first"))
-          val idx = graft.functions.Dedup.readSpanIndex(spark, vdir)
+          // scoring reads the PRE-APPEND view: the batch's own delta
+          // (tagged below) is excluded, so a checkpoint replay that
+          // crashed between the append and the checkpoint commit
+          // re-scores identically instead of matching its own spans
+          // (which would overwrite the partition with dup_frac = 1.0)
+          val tag = batchTag(checkpoint, batchId)
+          val idx = graft.functions.Dedup
+            .readSpanIndex(spark, vdir, excludeTag = Some(tag))
           graft.functions.Dedup
             .spanDedupIncrement(batch, idx, idCol, textCol, k)
             .withColumn("batch_id", lit(batchId))
@@ -401,19 +408,11 @@ object Streams {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(outPath)
-          // O(batch) index growth: only hashes the index lacks; the
-          // index side of the anti join is unbounded → merge, never
-          // a planner broadcast
-          val newH = graft.functions.Dedup
-            .spanRows(batch, idCol, textCol, k).select(col("h")).distinct()
-            .join(idx.select(col("h")).hint("merge"), Seq("h"), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-          try {
-            if (!newH.isEmpty)
-              graft.operators.Versioned.commitDelta(spark, spanIndexPath, vdir) {
-                d => newH.write.parquet(s"$d/grams")
-              }
-          } finally newH.unpersist()
+          // O(batch) index growth; the append's anti join sees the
+          // FULL index, so a replayed append commits nothing
+          graft.functions.Dedup.appendHashIndex(spark, spanIndexPath, vdir,
+            graft.functions.Dedup.spanRows(batch, idCol, textCol, k),
+            tag = Some(tag))
           ()
         }
       }
@@ -421,6 +420,15 @@ object Streams {
     q.processAllAvailable()
     q
   }
+
+  /** Delta tag for one (stream, micro-batch): batch ids restart per
+    * checkpoint, so the tag folds the checkpoint path in — two
+    * streams growing one index never collide on a tag (index
+    * mutations are single-writer via the Versioned `_LOCK` anyway;
+    * the tag only has to be unique per logical batch).
+    */
+  private def batchTag(checkpoint: String, batchId: Long): String =
+    f"${checkpoint.hashCode & 0xffffffffL}%08x_b$batchId"
 
   /** Streaming curation funnel — the online face of q_curate_e2e:
     * each micro-batch of documents runs quality scoring → language
@@ -439,11 +447,13 @@ object Streams {
     * df counts). Value-level exactly-once: a re-delivered document's
     * hash is already indexed, so it re-emits NOTHING under the new
     * batch_id — consumers union kept rows across partitions without
-    * dedup. Crash replays self-heal in either order: output written
-    * but index not grown → identical recompute overwrites the same
-    * partition, then the append lands; index grown but checkpoint
-    * uncommitted → the replay keeps nothing new and the original
-    * partition rows stand.
+    * dedup. Crash replays self-heal at ANY point: both index reads
+    * exclude this batch's own tagged deltas
+    * ([[graft.functions.Dedup.readHashIndex]]), so a replay after
+    * zero, one, or both appends recomputes the identical kept set and
+    * stats, overwrites its partitions value-identically, and lands
+    * whichever append is still missing (the appends' anti joins see
+    * the full index, so an already-landed delta commits nothing).
     */
   def curateIngest(stream: DataFrame, exactIndexPath: String,
                    spanIndexPath: String, outPath: String, statsPath: String,
@@ -462,6 +472,12 @@ object Streams {
             .getOrElse(throw new IllegalStateException(
               s"no committed index at $p — bootstrap with Dedup.writeHashIndex"))
           val (exactV, spanV) = (vdir(exactIndexPath), vdir(spanIndexPath))
+          // both reads exclude this batch's own (tagged) deltas, so a
+          // checkpoint replay AFTER either append recomputes the same
+          // kept set and stats as the original run — the output
+          // overwrite is then value-identical and the missing second
+          // append (if the crash fell between the two) finally lands
+          val tag = batchTag(checkpoint, batchId)
           val ta = graft.functions.TextAnalysis
           val scored = batch
             .select(col(idCol), col(textCol),
@@ -478,7 +494,8 @@ object Streams {
             // anything some earlier batch already holds (index side is
             // unbounded → merge, never a planner broadcast)
             val firsts = filtered.groupBy("h").agg(min(col(idCol)).as("_keep"))
-            val seen = graft.functions.Dedup.readHashIndex(spark, exactV)
+            val seen = graft.functions.Dedup.readHashIndex(spark, exactV,
+              excludeTag = Some(tag))
             val kept = filtered
               .join(firsts, Seq("h")).filter(col(idCol) === col("_keep"))
               .join(seen.hint("merge"), Seq("h"), "left_anti")
@@ -488,7 +505,8 @@ object Streams {
               val nKept = kept.count()
               val spanScores = graft.functions.Dedup.spanDedupIncrement(
                 kept.select(col(idCol), col(textCol)),
-                graft.functions.Dedup.readSpanIndex(spark, spanV),
+                graft.functions.Dedup.readSpanIndex(spark, spanV,
+                  excludeTag = Some(tag)),
                 idCol, textCol, spanK)
               val out = kept
                 .join(spanScores.select(col(idCol), col("dup_frac")).hint("merge"),
@@ -511,10 +529,11 @@ object Streams {
                   .partitionBy("batch_id").parquet(statsPath)
                 // O(batch) index growth, funnel-stage-matched (see doc)
                 graft.functions.Dedup.appendHashIndex(spark, exactIndexPath,
-                  exactV, filtered.select("h"))
+                  exactV, filtered.select("h"), tag = Some(tag))
                 graft.functions.Dedup.appendHashIndex(spark, spanIndexPath,
                   spanV, graft.functions.Dedup
-                    .spanRows(kept, idCol, textCol, spanK).select("h").distinct())
+                    .spanRows(kept, idCol, textCol, spanK).select("h").distinct(),
+                  tag = Some(tag))
               } finally out.unpersist()
             } finally kept.unpersist()
           } finally scored.unpersist()

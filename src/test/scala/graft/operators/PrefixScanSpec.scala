@@ -24,6 +24,28 @@ class PrefixScanSpec extends AnyFunSuite {
       .toSet
   }
 
+  test("null-valued keys accumulate across partitions (null-safe offset join)") {
+    // the null group must carry its cross-partition offsets like any
+    // other key: the broadcast join back uses <=> — plain equality
+    // never matches null = null, which would silently restart the
+    // null group's running totals at every partition boundary
+    val rows = (1L to 400L).map(o => (if (o % 2 == 0) "a" else null, o, 1L))
+    val df = rows.toDF("k", "o", "v")
+    val (scanned, release) = PrefixScan.runningPerKey(
+      df, Seq(col("k")), Seq(col("o")), col("v"), "p", "r")
+    val got = scanned.select("k", "o", "p", "r")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toSet
+    release()
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      rs.sortBy(_._2).zipWithIndex.map { case ((_, o, _), i) =>
+        (Option(k), o, i + 1L, i + 1L)
+      }
+    }.toSet
+    assert(got == want, "null-keyed running totals restarted mid-sequence")
+  }
+
   test("runningPerKey equals the window reference across many partitions") {
     // enough rows that the range shuffle genuinely splits every key
     // across partitions (4 test threads → 4 range partitions)

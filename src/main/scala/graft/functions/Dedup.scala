@@ -243,8 +243,17 @@ object Dedup {
     * unbounded — it must NEVER ride a planner broadcast).
     */
   def spanDedupIncrement(batch: DataFrame, index: DataFrame, idCol: String,
-                         textCol: String, k: Int): DataFrame = {
-    val spans = spanRows(batch, idCol, textCol, k).dropDuplicates("id", "h")
+                         textCol: String, k: Int): DataFrame =
+    spanDedupIncrementSpans(spanRows(batch, idCol, textCol, k), index, idCol)
+
+  /** [[spanDedupIncrement]] over PRECOMPUTED (id, h) span rows — the
+    * streaming faces compute the batch's spans once (persisted) and
+    * feed both this scorer and the index append, instead of running
+    * the tokenize → explode → window chain twice per micro-batch.
+    */
+  def spanDedupIncrementSpans(spanRows: DataFrame, index: DataFrame,
+                              idCol: String): DataFrame = {
+    val spans = spanRows.select(col("id"), col("h")).dropDuplicates("id", "h")
     val withDf = joinKeyStats(spans, "h",
       Seq(count(lit(1)).as("nd")), col("nd") >= 2, "left")
     val idx = index.select(col("h")).distinct().withColumn("seen", lit(1))

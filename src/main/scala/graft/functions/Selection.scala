@@ -44,7 +44,12 @@ object Selection {
     * write. The lazily-returned face (tokenLogRatios) follows the
     * family's can't-unpersist-here convention (ngramJaccard's sh);
     * the model writer/appender consume fully inside their commit
-    * callbacks and unpersist there.
+    * callbacks and unpersist there. CAVEAT for sessions mixing the
+    * two faces on the SAME corpus/args: Spark's cache is keyed by
+    * analyzed plan, so the writer's unpersist would also evict a
+    * live tokenLogRatios cache of the identical plan — write the
+    * model FIRST and derive in-job ratios from readImportanceModel
+    * (bit-identical by contract) instead of holding both.
     */
   private def tokenCounts(corpus: DataFrame, textCol: String,
                           isTarget: Column): DataFrame =

@@ -398,21 +398,28 @@ object Streams {
           // crashed between the append and the checkpoint commit
           // re-scores identically instead of matching its own spans
           // (which would overwrite the partition with dup_frac = 1.0)
-          val tag = batchTag(checkpoint, batchId)
+          val tag = batchTag(spark, checkpoint, batchId)
           val idx = graft.functions.Dedup
             .readSpanIndex(spark, vdir, excludeTag = Some(tag))
-          graft.functions.Dedup
-            .spanDedupIncrement(batch, idx, idCol, textCol, k)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(outPath)
-          // O(batch) index growth; the append's anti join sees the
-          // FULL index, so a replayed append commits nothing
-          graft.functions.Dedup.appendHashIndex(spark, spanIndexPath, vdir,
-            graft.functions.Dedup.spanRows(batch, idCol, textCol, k),
-            tag = Some(tag))
+          // spans computed ONCE per batch (persisted): the scorer and
+          // the index append both consume them — unpersisted, the
+          // tokenize → explode → window chain would run twice
+          val spans = graft.functions.Dedup
+            .spanRows(batch, idCol, textCol, k)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          try {
+            graft.functions.Dedup
+              .spanDedupIncrementSpans(spans, idx, idCol)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
+            // O(batch) index growth; the append's anti join sees the
+            // FULL index, so a replayed append commits nothing
+            graft.functions.Dedup.appendHashIndex(spark, spanIndexPath, vdir,
+              spans, tag = Some(tag))
+          } finally { spans.unpersist(); () }
           ()
         }
       }
@@ -421,14 +428,32 @@ object Streams {
     q
   }
 
-  /** Delta tag for one (stream, micro-batch): batch ids restart per
-    * checkpoint, so the tag folds the checkpoint path in — two
-    * streams growing one index never collide on a tag (index
-    * mutations are single-writer via the Versioned `_LOCK` anyway;
-    * the tag only has to be unique per logical batch).
+  /** Delta tag for one (stream, micro-batch). The stream identity is
+    * the CHECKPOINT'S OWN QUERY ID (the uuid Spark writes to
+    * `<checkpoint>/metadata` at query start): stable across restarts
+    * of the same checkpoint — a crash replay must match the tag its
+    * previous incarnation wrote — but regenerated when a checkpoint
+    * is deleted and recreated, so a reprocessing run's batch 0 never
+    * aliases the old incarnation's batch-0 delta (path-derived tags
+    * had exactly that bug: stale `_TAG_` files live in the index
+    * forever while recreated checkpoints restart batch ids at 0).
     */
-  private def batchTag(checkpoint: String, batchId: Long): String =
-    f"${checkpoint.hashCode & 0xffffffffL}%08x_b$batchId"
+  private def batchTag(spark: SparkSession, checkpoint: String,
+                       batchId: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val id =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try {
+          val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+            .map(_.group(1).replaceAll("[^A-Za-z0-9-]", ""))
+            .getOrElse(f"${checkpoint.hashCode & 0xffffffffL}%08x")
+        } finally in.close()
+      } else f"${checkpoint.hashCode & 0xffffffffL}%08x"
+    s"${id}_b$batchId"
+  }
 
   /** Streaming curation funnel — the online face of q_curate_e2e:
     * each micro-batch of documents runs quality scoring → language
@@ -477,13 +502,16 @@ object Streams {
           // kept set and stats as the original run — the output
           // overwrite is then value-identical and the missing second
           // append (if the crash fell between the two) finally lands
-          val tag = batchTag(checkpoint, batchId)
+          val tag = batchTag(spark, checkpoint, batchId)
           val ta = graft.functions.TextAnalysis
+          // 128-bit md5 text keys — the batch funnel's (and
+          // Dedup.exact's) width: a PERMANENT drop decision at corpus
+          // scale cannot ride a 64-bit key's birthday bound
           val scored = batch
             .select(col(idCol), col(textCol),
               ta.nWords(col(textCol)).as("n_words"),
               ta.langIdScored(col(textCol)).as("lang_guess"),
-              xxhash64(col(textCol)).as("h"))
+              unhex(md5(col(textCol).cast("binary"))).as("h"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
           try {
             val nScored = scored.count()
@@ -503,11 +531,15 @@ object Streams {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
             try {
               val nKept = kept.count()
-              val spanScores = graft.functions.Dedup.spanDedupIncrement(
-                kept.select(col(idCol), col(textCol)),
+              // spans computed ONCE (persisted): scorer + index append
+              val spans = graft.functions.Dedup
+                .spanRows(kept, idCol, textCol, spanK)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+              val spanScores = graft.functions.Dedup.spanDedupIncrementSpans(
+                spans,
                 graft.functions.Dedup.readSpanIndex(spark, spanV,
                   excludeTag = Some(tag)),
-                idCol, textCol, spanK)
+                idCol)
               val out = kept
                 .join(spanScores.select(col(idCol), col("dup_frac")).hint("merge"),
                   Seq(idCol))
@@ -531,10 +563,8 @@ object Streams {
                 graft.functions.Dedup.appendHashIndex(spark, exactIndexPath,
                   exactV, filtered.select("h"), tag = Some(tag))
                 graft.functions.Dedup.appendHashIndex(spark, spanIndexPath,
-                  spanV, graft.functions.Dedup
-                    .spanRows(kept, idCol, textCol, spanK).select("h").distinct(),
-                  tag = Some(tag))
-              } finally out.unpersist()
+                  spanV, spans, tag = Some(tag))
+              } finally { out.unpersist(); spans.unpersist(); () }
             } finally kept.unpersist()
           } finally scored.unpersist()
           ()

@@ -33,7 +33,7 @@ class CurateIngestSpec extends AnyFunSuite {
     */
   private def reference(batches: Seq[Seq[(Long, String)]])
       : (Seq[(Long, Double)], Seq[(Long, Long, Long, Long, Long)]) = {
-    val seenHashes = scala.collection.mutable.Set.empty[Long]
+    val seenHashes = scala.collection.mutable.Set.empty[String]
     val seenSpans = scala.collection.mutable.Set.empty[Seq[String]]
     val keptOut = Seq.newBuilder[(Long, Double)]
     val stats = Seq.newBuilder[(Long, Long, Long, Long, Long)]
@@ -47,10 +47,10 @@ class CurateIngestSpec extends AnyFunSuite {
         .select(col("doc_id"), col("text"),
           TextAnalysis.nWords(col("text")).as("nw"),
           TextAnalysis.langIdScored(col("text")).as("lg"),
-          xxhash64(col("text")).as("h"))
+          md5(col("text").cast("binary")).as("h"))
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong,
-          r.getString(3), r.getLong(4)))
+          r.getString(3), r.getString(4)))
         .sortBy(_._1)
       val filtered = df.filter { case (_, _, nw, lg, _) => nw >= MinWords && lg != "unk" }
       val batchFirst = filtered.groupBy(_._5).view.mapValues(_.map(_._1).min).toMap
@@ -84,10 +84,10 @@ class CurateIngestSpec extends AnyFunSuite {
     val third = docs.length / 3
     val (b1, rest) = docs.toSeq.splitAt(third)
     val (b2, b3) = rest.splitAt(third)
-    // bootstrap both indexes empty
-    val empty = Seq.empty[Long].toDF("h")
-    Dedup.writeHashIndex(empty, s"$dir/exact")
-    Dedup.writeHashIndex(empty, s"$dir/span")
+    // bootstrap both indexes empty (exact keys are 16-byte md5
+    // binaries, span keys 8-byte xxhash64 longs)
+    Dedup.writeHashIndex(Seq.empty[Array[Byte]].toDF("h"), s"$dir/exact")
+    Dedup.writeHashIndex(Seq.empty[Long].toDF("h"), s"$dir/span")
     val ch = Streams.Channel[(Long, String)](spark)
     ch.send(b1: _*)
     val q = Streams.curateIngest(ch.toDS.toDF("doc_id", "text"),

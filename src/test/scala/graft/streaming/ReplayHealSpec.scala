@@ -66,14 +66,53 @@ class ReplayHealSpec extends AnyFunSuite {
     assert(graft.operators.Versioned.listDeltas(spark, vdir).size == 1)
   }
 
+  test("recreated checkpoint (batch ids reset to 0) never aliases the old incarnation's tags") {
+    // deleting and recreating a checkpoint is routine reprocessing:
+    // the new incarnation's batch 0 must NOT exclude the OLD
+    // incarnation's batch-0 delta (tags fold in the checkpoint's own
+    // query id, which regenerates on recreation) — under a
+    // path-derived tag the re-processed docs would dodge the seen set
+    // and re-emit, violating value-level exactly-once
+    val dir = java.nio.file.Files.createTempDirectory("graft_tag_alias").toString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$dir/in")
+    Dedup.writeHashIndex(Seq.empty[Array[Byte]].toDF("h"), s"$dir/exact")
+    Dedup.writeHashIndex(Seq.empty[Long].toDF("h"), s"$dir/span")
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$dir/in")
+    val q1 = Streams.curateIngest(stream(), s"$dir/exact", s"$dir/span",
+      s"$dir/out", s"$dir/stats", s"$dir/ckpt")
+    q1.stop()
+    val kept0 = spark.read.parquet(s"$dir/out").count()
+    assert(kept0 > 0)
+    // recreate: delete the checkpoint, keep indexes and output
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/ckpt"))
+    val q2 = Streams.curateIngest(stream(), s"$dir/exact", s"$dir/span",
+      s"$dir/out", s"$dir/stats", s"$dir/ckpt")
+    q2.stop()
+    // the reprocessing batch (a NEW incarnation's batch 0) saw every
+    // hash in the index — it must keep nothing and grow nothing
+    assert(spark.read.parquet(s"$dir/out").count() == kept0,
+      "reprocessed docs re-emitted: the new incarnation excluded the old tags")
+    Seq("exact", "span").foreach { ix =>
+      val vd = graft.operators.Versioned.resolve(spark, s"$dir/$ix").get
+      assert(graft.operators.Versioned.listDeltas(spark, vd).size <= 1,
+        s"$ix index grew on reprocessing")
+    }
+  }
+
   test("curateIngest: replay AFTER both appends recomputes kept set and stats identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_rs").toString
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     docs.coalesce(1).write.parquet(s"$dir/in")
-    val empty = Seq.empty[Long].toDF("h")
-    Dedup.writeHashIndex(empty, s"$dir/exact")
-    Dedup.writeHashIndex(empty, s"$dir/span")
+    Dedup.writeHashIndex(Seq.empty[Array[Byte]].toDF("h"), s"$dir/exact")
+    Dedup.writeHashIndex(Seq.empty[Long].toDF("h"), s"$dir/span")
     def stream() = spark.readStream
       .schema("doc_id LONG, text STRING").parquet(s"$dir/in")
     val q1 = Streams.curateIngest(stream(), s"$dir/exact", s"$dir/span",

@@ -8,6 +8,16 @@ import org.apache.spark.sql.functions._
   * avg over tokens of ln p̂_target − ln p̂_raw with Laplace smoothing
   * over the shared vocabulary.
   *
+  * The model is keyed on a FIXED bucket count, not the raw token
+  * hash — Xie et al.'s actual recipe (hashed n-gram features): tokens
+  * hash into `nBuckets` cells (default 2²⁰), so the (bucket → counts)
+  * and (bucket → log-ratio) tables are bounded at ~8-16 MB at ANY
+  * corpus size. Without the bound, Heaps' law puts a crawl-scale
+  * vocabulary at 10⁸-10⁹ distinct tokens and the score-time broadcast
+  * of the log-ratio table dies at exactly the scale this operator
+  * exists for. Bucket collisions merge token statistics — the
+  * standard hashing-trick trade, shared by the reference recipe.
+  *
   * Two faces, the decontamination discipline: [[tokenLogRatios]] +
   * [[scoreAgainst]] compute model and scores in one job (the gated
   * `q_importance` shape), while [[writeImportanceModel]] persists the
@@ -23,12 +33,12 @@ import org.apache.spark.sql.functions._
   * DERIVED `lr/` and `defaults/` caches the deltaless fast path
   * serves. [[appendImportanceModel]] grows the pools by O(batch)
   * count deltas; readers with deltas re-derive from merged counts at
-  * VOCABULARY scale; [[compactImportanceModel]] folds deltas and
-  * refreshes the caches.
+  * BUCKET scale (≤ nBuckets rows); [[compactImportanceModel]] folds
+  * deltas and refreshes the caches.
   *
-  * Scale shape: one corpus tokenization feeds a single (token-hash →
+  * Scale shape: one corpus tokenization feeds a single (bucket →
   * target-count, raw-count) aggregate whose exchange the scalar stats
-  * row reuses; the log-ratio table is vocabulary-sized and broadcasts
+  * row reuses; the log-ratio table is ≤ nBuckets rows and broadcasts
   * at score time; the per-doc aggregation shuffles (id, partial)
   * pairs only. Batch documents may contain tokens in NEITHER training
   * pool — those take the model's `lr_unseen` scalar (both Laplace
@@ -36,8 +46,25 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** The additive (h → ct, cr) aggregate both faces derive from.
-    * Persisted (MEMORY_ONLY, vocabulary-sized): within one job the
+  /** Default model width: 2²⁰ buckets ≈ 8 MB of (bucket, lr) pairs —
+    * comfortably under any broadcast threshold, at any corpus size.
+    */
+  val DefaultBuckets: Int = 1 << 20
+
+  /** Engine-neutral bounded bucket of a token: the low 60 bits of its
+    * md5 (15 hex chars — within a signed long) mod `nBuckets`.
+    * md5-derived rather than xxhash64 so the DuckDB oracle computes
+    * the IDENTICAL bucket: `('0x' || substr(md5(t),1,15))::BIGINT %
+    * n`. md5 and conv are codegen'd Catalyst expressions — the cost
+    * over xxhash64 is per-token constant, paid once per aggregate.
+    */
+  def tokenBucket(t: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
+  /** The additive (h → ct, cr) aggregate both faces derive from
+    * (h = bounded token bucket, ≤ nBuckets distinct values).
+    * Persisted (MEMORY_ONLY, bucket-bounded): within one job the
     * exchange is reused, but the model writer consumes it in SEVERAL
     * write actions, where cross-action exchange reuse does not apply
     * and an unpersisted counts would re-tokenize the corpus per
@@ -52,11 +79,11 @@ object Selection {
     * (bit-identical by contract) instead of holding both.
     */
   private def tokenCounts(corpus: DataFrame, textCol: String,
-                          isTarget: Column): DataFrame =
+                          isTarget: Column, nBuckets: Int): DataFrame =
     corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(isTarget.as("is_tgt"), explode(Dedup.tokens(col(textCol))).as("t"))
-      .select(col("is_tgt"), xxhash64(col("t")).as("h"))
+      .select(col("is_tgt"), tokenBucket(col("t"), nBuckets).as("h"))
       .groupBy("h").agg(
         sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("cr"))
@@ -66,7 +93,11 @@ object Selection {
     * closed forms whichever face computes them, so indexed scoring is
     * bit-identical to in-job scoring.
     */
-  private def lrFromCounts(counts: DataFrame): (DataFrame, DataFrame) = {
+  private def lrFromCounts(counts: DataFrame,
+                           nBuckets: Int): (DataFrame, DataFrame) = {
+    // v = OCCUPIED buckets (the smoothing support), same closed form
+    // as the unbucketed model; n_buckets rides the defaults row so a
+    // persisted model self-describes its hash space to every reader
     val stats = counts.agg(count(lit(1)).as("v"),
       sum("ct").as("nt"), sum("cr").as("nr"))
     val lr = counts.crossJoin(broadcast(stats))
@@ -76,9 +107,17 @@ object Selection {
     val defaults = stats.select(
       (log(lit(1.0) / (col("nt") + col("v"))) -
         log(lit(1.0) / (col("nr") + col("v")))).as("lr_unseen"),
-      col("v"), col("nt"), col("nr"))
+      col("v"), col("nt"), col("nr"), lit(nBuckets).as("n_buckets"))
     (lr, defaults)
   }
+
+  /** The committed model's bucket count, from its stored defaults row
+    * (one-row pruned parquet read — metadata-cheap, delta-independent:
+    * deltas inherit the base version's hash space by construction).
+    */
+  private def storedBuckets(spark: SparkSession, versionDir: String): Int =
+    spark.read.parquet(s"$versionDir/defaults")
+      .select("n_buckets").first().getInt(0)
 
   /** (lr, defaults): the per-token log-ratio table
     * (h = xxhash64(token), lr) over the training corpus's vocabulary,
@@ -87,19 +126,24 @@ object Selection {
     * distribution (true) and the raw pool (false).
     */
   def tokenLogRatios(corpus: DataFrame, textCol: String,
-                     isTarget: Column): (DataFrame, DataFrame) =
-    lrFromCounts(tokenCounts(corpus, textCol, isTarget))
+                     isTarget: Column,
+                     nBuckets: Int = DefaultBuckets): (DataFrame, DataFrame) =
+    lrFromCounts(tokenCounts(corpus, textCol, isTarget, nBuckets), nBuckets)
 
   /** Score documents against a log-ratio model: per doc, token count
     * and the r6-rounded mean log-ratio (out-of-vocabulary tokens take
-    * `lr_unseen`). The model tables broadcast; only the per-doc
-    * aggregation shuffles.
+    * `lr_unseen`). The model tables broadcast — ALWAYS legal, because
+    * the lr table is bounded by `nBuckets` rows; only the per-doc
+    * aggregation shuffles. `nBuckets` must match the model that
+    * produced `lr` ([[scoreImportanceIndexed]] reads it from the
+    * stored defaults row).
     */
   def scoreAgainst(docs: DataFrame, idCol: String, textCol: String,
-                   lr: DataFrame, defaults: DataFrame): DataFrame =
+                   lr: DataFrame, defaults: DataFrame,
+                   nBuckets: Int = DefaultBuckets): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("t"))
-      .select(col(idCol), xxhash64(col("t")).as("h"))
+      .select(col(idCol), tokenBucket(col("t"), nBuckets).as("h"))
       .join(broadcast(lr), Seq("h"), "left")
       .crossJoin(broadcast(defaults.select("lr_unseen")))
       .groupBy(col(idCol))
@@ -113,13 +157,14 @@ object Selection {
     * costs a pruned id-column scan.
     */
   def writeImportanceModel(corpus: DataFrame, idCol: String, textCol: String,
-                           isTarget: Column, modelPath: String): String =
+                           isTarget: Column, modelPath: String,
+                           nBuckets: Int = DefaultBuckets): String =
     graft.operators.Versioned.commitNew(corpus.sparkSession, modelPath) { dir =>
       corpus.select(col(idCol).as("id")).write.parquet(s"$dir/ids")
-      val counts = tokenCounts(corpus, textCol, isTarget)
+      val counts = tokenCounts(corpus, textCol, isTarget, nBuckets)
       try {
         counts.write.parquet(s"$dir/counts")
-        val (lr, defaults) = lrFromCounts(counts)
+        val (lr, defaults) = lrFromCounts(counts, nBuckets)
         lr.write.parquet(s"$dir/lr")
         defaults.write.parquet(s"$dir/defaults")
       } finally {
@@ -158,7 +203,10 @@ object Selection {
       if (fresh.isEmpty) None
       else Some(graft.operators.Versioned.commitDelta(spark, modelPath, vdir) { d =>
         fresh.select(col(idCol).as("id")).write.parquet(s"$d/ids")
-        val counts = tokenCounts(fresh, textCol, isTarget)
+        // deltas MUST hash into the base version's bucket space —
+        // additive count merges are only meaningful on shared keys
+        val counts = tokenCounts(fresh, textCol, isTarget,
+          storedBuckets(spark, vdir))
         try counts.write.parquet(s"$d/counts")
         finally { counts.unpersist(); () } // single consumer — see writeImportanceModel
       })
@@ -183,7 +231,7 @@ object Selection {
           (acc, d) => acc.unionByName(spark.read.parquet(s"$d/counts"))
         }
         .groupBy("h").agg(sum("ct").as("ct"), sum("cr").as("cr"))
-      lrFromCounts(merged)
+      lrFromCounts(merged, storedBuckets(spark, versionDir))
     }
   }
 
@@ -211,7 +259,8 @@ object Selection {
         }
         .groupBy("h").agg(sum("ct").as("ct"), sum("cr").as("cr"))
         .write.parquet(s"$dir/counts")
-      val (lr, defaults) = lrFromCounts(spark.read.parquet(s"$dir/counts"))
+      val (lr, defaults) = lrFromCounts(spark.read.parquet(s"$dir/counts"),
+        storedBuckets(spark, vdir))
       lr.write.parquet(s"$dir/lr")
       defaults.write.parquet(s"$dir/defaults")
     }
@@ -223,6 +272,7 @@ object Selection {
                              batch: DataFrame, idCol: String,
                              textCol: String): DataFrame = {
     val (lr, defaults) = readImportanceModel(spark, versionDir)
-    scoreAgainst(batch, idCol, textCol, lr, defaults)
+    scoreAgainst(batch, idCol, textCol, lr, defaults,
+      storedBuckets(spark, versionDir))
   }
 }

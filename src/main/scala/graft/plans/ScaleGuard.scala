@@ -275,4 +275,67 @@ object ScaleGuard {
           if (j.buildSide == BuildLeft) j.left else j.right)
     }.flatten
   }
+
+  /** Audit: an EXPLICITLY broadcast-hinted join side whose rows come
+    * from an aggregate GROUPED ON AN UNBOUNDED CONTENT-HASH KEY — the
+    * "vocabulary table rides a broadcast" trap. A (token-hash → stat)
+    * table grows with the corpus's distinct-token count (Heaps' law:
+    * 10⁸-10⁹ at crawl scale), so a forced broadcast of it works in
+    * every test and dies at exactly the scale it was built for. The
+    * bounded shape — `pmod(hash(tok), nBuckets)` as the grouping key,
+    * the hashing trick — caps the table at nBuckets rows forever and
+    * passes this audit.
+    *
+    * Grouping keys are traced through Alias definitions in the
+    * aggregate's subtree (renaming the hash column doesn't hide it);
+    * a key whose derivation includes a modulo (Pmod / %) above or
+    * below the hash is considered bounded. Opt-in per plan (unlike
+    * the lint rules): bounded-by-construction builds — e.g. a
+    * token-grouped aggregate of a structurally small QUERY set — are
+    * legitimate and only the call site knows. Returns one finding per
+    * offending key (empty = clean); audits the optimized logical
+    * plan, side-effect free.
+    */
+  def auditBroadcastVocab(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Pmod, Remainder}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def isHash(e: Expression): Boolean = e match {
+      case _: XxHash64 | _: Murmur3Hash | _: Md5 | _: Sha1 | _: Sha2 |
+           _: Crc32 => true
+      case _ => false
+    }
+    def offenders(side: LogicalPlan): Seq[String] =
+      side.collect { case a: Aggregate =>
+        val defs = a.collect { case p =>
+          p.expressions.flatMap(_.collect { case al: Alias => al.exprId -> al.child })
+        }.flatten.toMap
+        def subst(e: Expression, depth: Int): Expression =
+          if (depth > 8) e
+          else e.transformUp {
+            case attr: Attribute if defs.contains(attr.exprId) =>
+              subst(defs(attr.exprId), depth + 1)
+          }
+        a.groupingExpressions.map(subst(_, 0))
+          .filter(g => g.exists(isHash) && !g.exists {
+            case _: Pmod | _: Remainder => true
+            case _ => false
+          })
+          .map(_.sql)
+      }.flatten
+    df.queryExecution.optimizedPlan.collect { case j: Join =>
+      def chk(name: String,
+              h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo],
+              side: LogicalPlan): Seq[String] =
+        if (h.exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast"))))
+          offenders(side).map(k =>
+            s"$name side of ${j.joinType} join is broadcast-hinted but " +
+              s"aggregates on unbounded hash-derived key [$k]: " +
+              "vocabulary-scale cardinality rides the broadcast — bound " +
+              "the key with pmod(hash, nBuckets) (the hashing trick, e.g. " +
+              "Selection.tokenBucket) or drop the hint for a merge join")
+        else Nil
+      chk("left", j.hint.leftHint, j.left) ++
+        chk("right", j.hint.rightHint, j.right)
+    }.flatten
+  }
 }

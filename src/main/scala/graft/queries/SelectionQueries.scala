@@ -66,11 +66,14 @@ object SelectionQueries {
     //      every raw-pool document by how target-like its token
     //      distribution is — avg over tokens of
     //      ln p̂_target(w) − ln p̂_raw(w), both Laplace-smoothed over
-    //      the shared vocabulary. Source 'src0' stands in for the
-    //      target distribution (decontam's convention). The machinery
-    //      is [[graft.functions.Selection]] — see its scaladoc for the
-    //      scale shape and the persisted-model/streaming faces
-    //      (writeImportanceModel / Streams.importanceIngest).
+    //      the shared BUCKETED feature space (tokens hash into 2²⁰
+    //      fixed buckets — Xie et al.'s hashing trick — so the model
+    //      broadcast is bounded at any corpus size). Source 'src0'
+    //      stands in for the target distribution (decontam's
+    //      convention). The machinery is [[graft.functions.Selection]]
+    //      — see its scaladoc for the scale shape and the
+    //      persisted-model/streaming faces (writeImportanceModel /
+    //      Streams.importanceIngest).
     "q_importance" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (lr, defaults) = Selection.tokenLogRatios(docs, "text",
@@ -408,22 +411,29 @@ object SelectionQueries {
         |  sum(length(text))::DOUBLE /
         |    sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS chars_per_token
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    // token parity at the STRING level (Spark joins xxhash64 keys —
-    // identical modulo 2⁻⁶⁴ collisions); every scored token exists in
-    // the raw pool so the raw join is inner; the smoothed per-token
-    // log-ratio is the same closed form in both engines and r6
-    // floor-rounding on the per-doc mean absorbs ln/sum last-bit drift
+    // BUCKET parity at the hash level: both engines key the model on
+    // the low-60-bit md5 of the token mod 2²⁰ (Selection.tokenBucket
+    // ≡ ('0x'||substr(md5(t),1,15))::BIGINT % 1048576 — md5 of UTF-8
+    // bytes is engine-identical, so collisions merge IDENTICALLY);
+    // every scored token's bucket exists in the raw pool so the raw
+    // join is inner; the smoothed per-bucket log-ratio is the same
+    // closed form in both engines and r6 floor-rounding on the
+    // per-doc mean absorbs ln/sum last-bit drift
     "q_importance" ->
-      """WITH toks AS (
+      """WITH toks0 AS (
         |  SELECT doc_id, source,
         |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t
         |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 1048576 AS h
+        |  FROM toks0
         |), tgt AS (
-        |  SELECT t, count(*) AS ct FROM toks WHERE source = 'src0' GROUP BY 1
+        |  SELECT h, count(*) AS ct FROM toks WHERE source = 'src0' GROUP BY 1
         |), raw AS (
-        |  SELECT t, count(*) AS cr FROM toks WHERE source <> 'src0' GROUP BY 1
+        |  SELECT h, count(*) AS cr FROM toks WHERE source <> 'src0' GROUP BY 1
         |), st AS (
-        |  SELECT (SELECT count(DISTINCT t) FROM toks) AS v,
+        |  SELECT (SELECT count(DISTINCT h) FROM toks) AS v,
         |    (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt,
         |    (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr
         |)
@@ -433,8 +443,8 @@ object SelectionQueries {
         |    ln((raw.cr + 1.0) / (st.nr + st.v))
         |  ) * 1000000 + 0.5) / 1000000.0 AS avg_logratio
         |FROM toks s
-        |JOIN raw ON raw.t = s.t
-        |LEFT JOIN tgt ON tgt.t = s.t
+        |JOIN raw ON raw.h = s.h
+        |LEFT JOIN tgt ON tgt.h = s.h
         |CROSS JOIN st
         |WHERE s.source <> 'src0'
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -106,6 +106,67 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(1L) > out(2L), "in-distribution must outrank off-distribution")
   }
 
+  test("bucketed importance scoring matches a driver md5-bucket recompute") {
+    import spark.implicits._
+    // the hashing-trick model (round 11): every engine-side number —
+    // bucket ids, Laplace smoothing over OCCUPIED buckets, the r6
+    // rounding — re-derived in plain Scala, no Spark expressions
+    val rows = Seq(
+      (0L, "alpha beta alpha gamma", "src0"),
+      (1L, "alpha beta delta", "src1"),
+      (2L, "zeta eta theta alpha", "src1"),
+      (3L, "beta beta gamma epsilon", "src2"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_impdrv").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n = graft.functions.Selection.DefaultBuckets
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % n
+    }
+    val tokd = rows.map { case (id, text, src) =>
+      (id, src, text.split(" ").filter(_.nonEmpty).toSeq.map(bucket)) }
+    def pool(p: Seq[Long]): Map[Long, Long] =
+      p.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgt = pool(tokd.filter(_._2 == "src0").flatMap(_._3))
+    val raw = pool(tokd.filter(_._2 != "src0").flatMap(_._3))
+    val v = (tgt.keySet ++ raw.keySet).size
+    val nt = tgt.values.sum.toDouble + v
+    val nr = raw.values.sum.toDouble + v
+    def lrOf(h: Long): Double =
+      math.log((tgt.getOrElse(h, 0L) + 1.0) / nt) -
+        math.log((raw.getOrElse(h, 0L) + 1.0) / nr)
+    val expect = tokd.filter(_._2 != "src0").map { case (id, _, hs) =>
+      (id, hs.size.toLong,
+        math.floor(hs.map(lrOf).sum / hs.size * 1e6 + 0.5) / 1e6)
+    }.toSet
+    val got = queries.SelectionQueries.queries("q_importance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, s"driver recompute diverged: $got vs $expect")
+  }
+
+  test("auditBroadcastVocab: bucketed model clean, raw-vocab broadcast flagged") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val (lr, defaults) = graft.functions.Selection
+      .tokenLogRatios(docs, "text", col("source") === "src0")
+    val scored = graft.functions.Selection.scoreAgainst(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text", lr, defaults)
+    assert(graft.plans.ScaleGuard.auditBroadcastVocab(scored).isEmpty,
+      "the bucketed model must pass the bounded-broadcast audit")
+    // the pre-bucketing shape: vocabulary table keyed on the raw
+    // 64-bit token hash, force-broadcast — must be flagged
+    val vocab = docs
+      .select(explode(graft.functions.Dedup.tokens(col("text"))).as("t"))
+      .select(xxhash64(col("t")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val probe = docs.select(xxhash64(col("text")).as("h"))
+    val bad = probe.join(broadcast(vocab), Seq("h"), "left")
+    assert(graft.plans.ScaleGuard.auditBroadcastVocab(bad).nonEmpty,
+      "an unbounded hash-keyed broadcast must be flagged")
+  }
+
   test("persisted importance model scores identically to the in-job path") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)

@@ -3,24 +3,34 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** k-core decomposition of an undirected graph (Seidman 1983; the
-  * distributed peeling formulation of Montresor et al.) — the
-  * density-governance companion to [[graft.operators.PageRank]] and
-  * the triangle family: a near-dup cluster whose nodes sit in a high
-  * k-core is a genuine duplicate COMMUNITY (every member tied to ≥ k
-  * others), where a star of pairwise matches glued by one template
-  * never leaves the 1-core.
+/** k-core decomposition of an undirected graph (Seidman 1983;
+  * coreness via the distributed h-index propagation of Montresor, De
+  * Pellegrini & Miorandi 2011) — the density-governance companion to
+  * [[graft.operators.PageRank]] and the triangle family: a near-dup
+  * cluster whose nodes sit in a high k-core is a genuine duplicate
+  * COMMUNITY (every member tied to ≥ k others), where a star of
+  * pairwise matches glued by one template never leaves the 1-core.
   *
-  * Scale shape: every peeling iteration is one map-side-combinable
-  * degree aggregation plus two merge semi-join filters — no
-  * whole-graph windows, shuffle bounded by the surviving edge set
-  * (monotonically shrinking). Unlike the FIXED-iteration PageRank
-  * loop, peeling depth is data-dependent (≤ the graph degeneracy for
-  * [[kCore]]; Σ per-k depths for [[coreness]]), so each generation is
-  * `localCheckpoint`ed — lineage TRUNCATES instead of nesting one
-  * join tree per iteration (a hundred-iteration peel would otherwise
-  * hand the optimizer an exponentially-printed plan; blocks are
-  * reclaimed by the context cleaner as generations go out of scope).
+  * INPUT CONTRACT (both operators): a CANONICAL undirected edge list —
+  * each edge exactly once, one orientation (no (b,a) mirror of an
+  * (a,b) row), no duplicate rows, no self-loops. Duplicates/mirrors
+  * double-count degrees and inflate cores; normalize upstream with
+  * `least/greatest + distinct` if the source is not already canonical
+  * (every in-repo caller builds edges from pair enumerations that are
+  * canonical by construction — a defensive distinct here would tax
+  * them all with an extra shuffle per iteration-0).
+  *
+  * Scale shape: every iteration is map-side-combinable aggregation
+  * plus merge joins — no whole-graph windows (the h-index window
+  * partitions by VERTEX id with ≤ distinct-neighbor-estimate rows per
+  * group, bounded by degree and shrinking with convergence). Unlike
+  * the FIXED-iteration PageRank loop, iteration depth is
+  * data-dependent (≤ graph degeneracy for [[kCore]]; h-index
+  * convergence rounds for [[coreness]] — tens TOTAL, with no per-k
+  * restart), so each generation is `localCheckpoint`ed — lineage
+  * TRUNCATES instead of nesting one join tree per iteration (blocks
+  * are reclaimed by the context cleaner as generations go out of
+  * scope).
   */
 object KCore {
 
@@ -54,39 +64,66 @@ object KCore {
     cur
   }
 
+  /** Convergence rounds of the last [[coreness]] call — measurement
+    * instrumentation (PERF.md records it), not part of the result.
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** Full coreness: (id, coreness) for every node of the input graph,
-    * where coreness(v) = the largest k with v in the k-core. Peels
-    * k = 1, 2, … until the graph empties; nodes that leave between
-    * the k-core and the (k+1)-core keep the last level they survived.
+    * where coreness(v) = the largest k with v in the k-core.
+    *
+    * H-index propagation (Montresor et al. 2011; Lü et al. 2016 prove
+    * the fixpoint): start every vertex at its degree (an upper bound)
+    * and repeatedly lower it to the H-INDEX of its neighbors'
+    * estimates — the largest h such that ≥ h neighbors currently
+    * estimate ≥ h — until nothing changes. Estimates are monotone
+    * non-increasing and the fixpoint is exactly the coreness, in tens
+    * of rounds TOTAL on real graphs. (The previous shape — a full
+    * min-degree peel restarted per k level — ran Σ-per-k-depth
+    * sequential jobs: already ~40 driver barriers at sf1 and
+    * hundreds on a deeper graph, each an O(edges) checkpoint. Same
+    * answer, KCoreSpec-pinned against the sequential peel.)
+    *
+    * Per round: one merge join (estimates onto the symmetric edge
+    * list), one map-side-combinable (vertex, estimate) count, a
+    * per-vertex window of ≤ distinct-neighbor-estimate rows for the
+    * running count (h = max over distinct estimate values cv of
+    * min(cv, #neighbors ≥ cv)), and one changed-row count for
+    * termination. Shuffle stays ∝ edges; no per-k restarts.
     */
   def coreness(edges: DataFrame): DataFrame = {
-    // materialize the caller's edge subtree ONCE: levels and the first
-    // peel both consume it, and callers often pass an expensive
-    // unpersisted pipeline (q_coreness hands the whole shared-shingle
-    // blocking here)
+    import org.apache.spark.sql.expressions.Window
+    // materialize the caller's edge subtree ONCE — callers often pass
+    // an expensive unpersisted pipeline (q_coreness hands the whole
+    // shared-shingle blocking here); the symmetric view drives every
+    // round and the degree init
     val e0 = materialize(edges.select("id_a", "id_b"))
-    var levels = materialize(
-      e0.select(col("id_a").as("u"))
-        .unionAll(e0.select(col("id_b").as("u")))
-        .distinct()
-        .withColumn("c", lit(0L)))
-    var cur: DataFrame = e0
-    var k = 1
-    var done = false
-    while (!done) {
-      val core = kCore(cur, k) // already checkpointed
-      val members = core.select(col("id_a").as("u"))
-        .unionAll(core.select(col("id_b").as("u"))).distinct()
-      if (members.isEmpty) done = true
-      else {
-        levels = materialize(levels
-          .join(members.withColumn("_in", lit(1)).hint("merge"), Seq("u"), "left")
-          .select(col("u"),
-            when(col("_in").isNotNull, lit(k.toLong)).otherwise(col("c")).as("c")))
-        cur = core
-        k += 1
-      }
+    val sym = materialize(
+      e0.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(e0.select(col("id_b").as("u"), col("id_a").as("v"))))
+    var est = materialize(sym.groupBy("u").agg(count(lit(1)).as("c")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0L) {
+      val nbr = sym
+        .join(est.select(col("u").as("v"), col("c").as("cv")).hint("merge"),
+          Seq("v"))
+        .select("u", "cv")
+      val cnt = nbr.groupBy("u", "cv").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("u").orderBy(col("cv").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val h = cnt.withColumn("cum", sum("n").over(w))
+        .groupBy("u").agg(max(least(col("cv"), col("cum"))).as("h"))
+      val next = materialize(
+        est.join(h.hint("merge"), Seq("u"))
+          .select(col("u"), least(col("c"), col("h")).as("c")))
+      changed = next
+        .join(est.select(col("u"), col("c").as("c0")).hint("merge"), Seq("u"))
+        .filter(col("c") =!= col("c0")).count()
+      est = next
+      rounds += 1
     }
-    levels.select(col("u").as("id"), col("c").as("coreness"))
+    lastRounds = rounds
+    est.select(col("u").as("id"), col("c").as("coreness"))
   }
 }

@@ -138,6 +138,68 @@ object Dedup {
     rows.join(stats.hint("merge"), Seq(key), joinType)
   }
 
+  /** Maximal cross-document duplicated passages — the variable-length
+    * exact-substring shape (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed for distributed
+    * fixed-k span hashing): a long duplicated block otherwise surfaces
+    * as MANY overlapping k-spans; here consecutive duplicated span
+    * STARTS that share the same HOLDER SET collapse into one
+    * `(id, start_pos, len_tokens, n_docs)` block — `len_tokens` =
+    * run length + k − 1 is the passage's true token extent, and a run
+    * breaks where the sharing set changes (a passage shared with B
+    * abutting one shared with C is two blocks, as in the pairwise
+    * suffix-array formulation).
+    *
+    * The holder set itself is never materialized: each span's set is
+    * reduced to (count, XOR of engine-neutral 60-bit doc-id hashes) —
+    * order-insensitive, map-side-combinable, 16 bytes per span
+    * regardless of how many documents hold it (a boilerplate span in
+    * millions of docs aggregates on the mappers, never collects).
+    * Runs are found with doc-partitioned windows only (group size
+    * bounded by document length — ScaleGuard-clean); the signature
+    * rides rows as a VALUE, never a partition key.
+    */
+  def maximalSpanBlocks(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = docs.repartition(par, col(idCol))
+    val ts = tokens(col(textCol))
+    val tok = spread.filter(size(ts) >= k)
+      .select(col(idCol).as("id"), posexplode(ts))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("col") +: (1 until k).map(j => lead(col("col"), j).over(w))
+    val occ = tok
+      .select(col("id"), col("pos"), xxhash64(parts: _*).as("h"),
+        parts.last.isNotNull.as("full"))
+      .filter(col("full")).drop("full")
+    val stats = occ
+      .select(col("h"), col("id"),
+        EngineNeutral.md5Long60(col("id").cast("string")).as("idh"))
+      .dropDuplicates("h", "id")
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(idh)").as("sig"))
+      .filter(col("n_docs") >= 2)
+    val tagged = occ.join(stats.hint("merge"), Seq("h"))
+      .select("id", "pos", "n_docs", "sig")
+    // gaps-and-islands with the signature as a BREAK CONDITION, not a
+    // partition key: chg marks a gap in pos or a holder-set change;
+    // the running sum numbers the runs. Both windows partition by the
+    // DOC id.
+    val wd = Window.partitionBy("id").orderBy("pos")
+    val chg = when(lag(col("pos"), 1).over(wd).isNull
+        .or(col("pos") =!= lag(col("pos"), 1).over(wd) + 1)
+        .or(col("sig") =!= lag(col("sig"), 1).over(wd)), 1).otherwise(0)
+    tagged.withColumn("chg", chg)
+      .withColumn("grp", sum(col("chg"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("len_tokens"),
+        min(col("n_docs")).as("n_docs"))
+      .select(col("id"), col("start_pos"), col("len_tokens"), col("n_docs"))
+  }
+
   /** Build (or atomically refresh) a persisted HASH-SET index under a
     * [[graft.operators.Versioned]] root from an `h`-columned frame —
     * the generic membership artifact behind the span index (k-word

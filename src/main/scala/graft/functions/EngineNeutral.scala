@@ -28,4 +28,19 @@ object EngineNeutral {
     val p = math.pow(10.0, digits).toLong
     s"floor(($expr) * $p + 0.5) / $p.0"
   }
+
+  /** Engine-neutral 60-bit hash of a string: the low 60 bits (15 hex
+    * chars — within a signed long, always positive) of its md5.
+    * DuckDB computes the identical value as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` — use wherever a hash
+    * VALUE participates in oracle-checked arithmetic (bucketed model
+    * keys, holder-set signatures), where xxhash64 has no DuckDB
+    * counterpart. md5/conv are codegen'd Catalyst expressions.
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** The matching DuckDB fragment for [[md5Long60]]. */
+  def md5Long60Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 }

@@ -59,8 +59,7 @@ object Selection {
     * over xxhash64 is per-token constant, paid once per aggregate.
     */
   def tokenBucket(t: Column, nBuckets: Int): Column =
-    pmod(conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
-      lit(nBuckets.toLong))
+    pmod(EngineNeutral.md5Long60(t), lit(nBuckets.toLong))
 
   /** The additive (h → ct, cr) aggregate both faces derive from
     * (h = bounded token bucket, ≤ nBuckets distinct values).

@@ -210,6 +210,22 @@ object SpanQueries {
         .orderBy("doc_id")
     }),
 
+    // 110b. Maximal duplicated passages (variable-length exact-substring
+    //      dedup, the ExactSubstr/Lee 2021 shape): overlapping
+    //      duplicated k-spans collapse into (doc, start, len) MAXIMAL
+    //      blocks — runs of consecutive duplicated span starts keyed
+    //      by an order-insensitive holder-set signature (count + XOR
+    //      of engine-neutral doc-id hashes; the set itself never
+    //      materializes). Where q_span_max_run reports one run-length
+    //      STAT per doc, this emits the actual blocks a span-trim
+    //      rewrite would cut, one row per maximal passage, with the
+    //      passage's true token extent and how many docs share it.
+    "q_span_maximal" -> ((s, d) =>
+      Dedup.maximalSpanBlocks(Tables.documents(s, d), "doc_id", "text", SpanK)
+        .select(col("id").as("doc_id"), col("start_pos"),
+          col("len_tokens"), col("n_docs"))
+        .orderBy("doc_id", "start_pos")),
+
     // 108. Asymmetric containment on deterministically-blocked
     //      candidate pairs (same shared-shingle blocking as
     //      q_ngram_jaccard, so the whole query is SQL-expressible):
@@ -338,6 +354,48 @@ object SpanQueries {
          |SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_covered,
          |  CAST(max(run) AS BIGINT) AS max_dup_run
          |FROM rl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // string-level span parity as in q_span_trim; the holder-set
+    // signature is the SAME closed form in both engines (count + XOR
+    // of ('0x'||substr(md5(id),1,15))::BIGINT — EngineNeutral.md5Long60)
+    // so runs split identically; integer run arithmetic is engine-
+    // neutral and the HUGEINT-prone aggregates are cast back
+    "q_span_maximal" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents
+         |), so AS (
+         |  SELECT doc_id, u.pos AS pos, u.sp AS sp FROM (
+         |    SELECT doc_id, unnest(
+         |      [{'pos': i, 'sp': array_to_string(toks[i+1:i+$SpanK], ' ')}
+         |       FOR i IN range(0, len(toks) - ${SpanK - 1})]) AS u
+         |    FROM t WHERE len(toks) >= $SpanK)
+         |), hold AS (
+         |  SELECT DISTINCT sp, doc_id FROM so
+         |), stats AS (
+         |  SELECT sp, count(*) AS n_docs,
+         |    bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS sig
+         |  FROM hold GROUP BY 1 HAVING count(*) >= 2
+         |), tagged AS (
+         |  SELECT so.doc_id, so.pos, stats.n_docs, stats.sig
+         |  FROM so JOIN stats USING (sp)
+         |), marked AS (
+         |  SELECT doc_id, pos, n_docs, sig,
+         |    CASE WHEN lag(pos) OVER w IS NULL
+         |           OR pos <> lag(pos) OVER w + 1
+         |           OR sig <> lag(sig) OVER w THEN 1 ELSE 0 END AS chg
+         |  FROM tagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |), grps AS (
+         |  SELECT doc_id, pos, n_docs,
+         |    sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM marked
+         |)
+         |SELECT doc_id, min(pos) AS start_pos,
+         |  CAST(count(*) + ${SpanK - 1} AS BIGINT) AS len_tokens,
+         |  CAST(min(n_docs) AS BIGINT) AS n_docs
+         |FROM grps GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_pos""".stripMargin,
     "q_decontam_overlap" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

@@ -178,4 +178,62 @@ class DedupSpec extends AnyFunSuite {
       assert(m.getAs[Long]("candidate_buckets") == 16L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("maximalSpanBlocks: holder-set changes split blocks; extents are maximal") {
+    // k=4. "a b c d" is held by all three docs; "b c d e"/"c d e f"
+    // only by docs 1-2 — so the 6-token shared block in docs 1-2
+    // SPLITS where the sharing set changes, and doc 3 gets the 4-token
+    // block alone.
+    val d = Seq(
+      (1L, "a b c d e f x1 y1 z1 w1"),
+      (2L, "q2 a b c d e f y2 z2 w2"),
+      (3L, "a b c d r3 s3 t3 u3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.maximalSpanBlocks(d, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = Set(
+      (1L, 0, 4L, 3L), (1L, 1, 5L, 2L),
+      (2L, 1, 4L, 3L), (2L, 2, 5L, 2L),
+      (3L, 0, 4L, 3L))
+    assert(got == want, s"missing: ${want -- got}; spurious: ${got -- want}")
+  }
+
+  test("maximalSpanBlocks equals a true-holder-set driver recompute at sf0.001") {
+    // recompute with ACTUAL holder sets (not signatures) — also
+    // validates that the XOR signature introduced no collision splits
+    val k = 8
+    val docsDf = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val raw = docsDf.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val spans = raw.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      (0 to toks.length - k).map(i => (id, i, toks.slice(i, i + k).mkString(" ")))
+    }
+    val holders = spans.map { case (id, _, sp) => (sp, id) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = spans
+      .filter { case (_, _, sp) => holders(sp).size >= 2 }
+      .groupBy(_._1)
+      .flatMap { case (id, occ) =>
+        val sorted = occ.sortBy(_._2).map { case (_, pos, sp) => (pos, holders(sp)) }
+        val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+        var start = -1; var prevPos = -2; var prevSet: Set[Long] = Set.empty; var n = 0
+        def flush(): Unit = if (n > 0)
+          blocks += ((id, start, (n + k - 1).toLong, prevSet.size.toLong))
+        sorted.foreach { case (pos, set) =>
+          if (pos != prevPos + 1 || set != prevSet) { flush(); start = pos; n = 0 }
+          prevPos = pos; prevSet = set; n += 1
+        }
+        flush()
+        blocks
+      }.toSet
+    val got = Dedup.maximalSpanBlocks(docsDf, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"missing: ${(want -- got).take(5)}; spurious: ${(got -- want).take(5)}")
+    assert(got.nonEmpty, "sf0.001 must contain maximal duplicated passages")
+    assert(got.exists(_._3 > k.toLong),
+      "at least one passage must be LONGER than k (the operator's point)")
+  }
 }

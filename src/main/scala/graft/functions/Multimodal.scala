@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   * and ISO-BMFF/MP4 mvhd/tkhd/stts ([[parseMp4Header]]) — parsed
   * byte-wise in pure JVM and exercised end-to-end through the
   * q_multimodal_meta oracle on genuinely-wrapped containers.
-  * Pixel/sample-level ops (feature extract, resize, frame sampling)
-  * remain clearly-marked deterministic STUBS (no media codecs ship
-  * in this container); swap the stub bodies for a real codec and
-  * nothing else changes.
+  *
+  * PIXEL/SAMPLE decode is REAL where no entropy codec is needed
+  * (round 11): PNG IDAT streams inflate through java.util.zip and
+  * unfilter (all five PNG filter types) to raw grayscale pixels →
+  * `mean_luma` ([[decodePngGray8]]); WAV data chunks decode as
+  * signed 16-bit PCM → `rms_amplitude` ([[decodeWavRms]]). Only the
+  * entropy-coded modalities (JPEG DCT, video codecs) and the
+  * model-based ops (CLIP-style feature extract, resampling resize,
+  * keyframe seeking) remain deterministic fakes behind the same
+  * batched partition-local shape — swap those bodies for a codec/
+  * model and nothing else changes.
   */
 object Multimodal {
 
@@ -35,7 +42,9 @@ object Multimodal {
                                payload_bytes: Long, width: Option[Int], height: Option[Int],
                                n_frames: Int, sample_rate: Option[Int],
                                channels: Option[Int], duration_ms: Option[Long],
-                               n_tracks: Option[Int])
+                               n_tracks: Option[Int],
+                               mean_luma: Option[Double] = None,
+                               rms_amplitude: Option[Double] = None)
 
   /** Build a media table from any source column. Image rows
     * (doc_id % 3 == 0) are wrapped in a REAL container: a valid PNG
@@ -67,8 +76,11 @@ object Multimodal {
             val bytes = if (id % 6 == 0) pngWrap(raw, w, h) else jpegWrap(raw, w, h)
             MediaRecord(id, "image", bytes)
           case 1 =>
+            // the data chunk carries DETERMINISTIC sample bytes seeded
+            // by the content length (audioRamp) — real 16-bit PCM the
+            // decoder reduces to an oracle-predictable RMS
             MediaRecord(id, "audio",
-              wavWrap(raw, 8000 + (n % 8) * 4000, 1 + n % 2))
+              wavWrap(audioRamp(n), 8000 + (n % 8) * 4000, 1 + n % 2))
           case _ =>
             MediaRecord(id, "video",
               mp4Wrap(raw, 64 + n % 577, 64 + n % 433,
@@ -127,13 +139,94 @@ object Multimodal {
   private def be32Bytes(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
 
-  /** A VALID minimal PNG carrying `data` in a tEXt chunk: signature +
-    * CRC-correct IHDR(w, h, 8-bit grayscale) + tEXt + IEND. Total
-    * size is exactly data.length + 57 (8 sig + 25 IHDR + 12+n tEXt +
-    * 12 IEND) — the oracle's payload_bytes formula.
+  /** Deterministic grayscale pixel value at index j of an image whose
+    * source content is n bytes long: (31j + n) mod 256. 31 is odd
+    * (invertible mod 256), so any 256 consecutive pixels sum to
+    * 0+…+255 = 32640 — the oracle's closed form for mean luma needs
+    * only wh mod 256 residual terms.
+    */
+  private[functions] def pixelAt(j: Int, n: Int): Int =
+    (((j.toLong * 31 + n) % 256).toInt + 256) % 256
+
+  /** Deterministic audio sample bytes seeded by content length only:
+    * byte j = (7j + n) mod 256, interpreted downstream as 16-bit LE
+    * PCM. Length-seeded so the SQL oracle predicts the decoded RMS
+    * without byte-level access to the text (encoding-immune).
+    */
+  private[functions] def audioRamp(n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var j = 0
+    while (j < n) { out(j) = ((j * 7 + n) % 256).toByte; j += 1 }
+    out
+  }
+
+  /** A REAL zlib stream (RFC 1950/1951) of `raw`, built from STORED
+    * (uncompressed) deflate blocks: 2-byte header + per-block 5-byte
+    * stored header + data + 4-byte Adler-32. Stored blocks make the
+    * stream length a closed form — 6 + len + 5·⌈len/65535⌉ — so the
+    * container size stays oracle-predictable; the DECODER runs a real
+    * java.util.zip.Inflater and accepts any compression level.
+    */
+  private[functions] def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val out = new Array[Byte](6 + raw.length + 5 * nBlocks)
+    out(0) = 0x78.toByte; out(1) = 0x01 // CMF/FLG, (0x7801 % 31) == 0
+    var ip = 0; var op = 2; var blk = 0
+    while (blk < nBlocks) {
+      val len = math.min(65535, raw.length - ip)
+      out(op) = (if (blk == nBlocks - 1) 1 else 0).toByte // BFINAL, BTYPE=00
+      out(op + 1) = (len & 0xFF).toByte
+      out(op + 2) = ((len >>> 8) & 0xFF).toByte
+      out(op + 3) = (~len & 0xFF).toByte
+      out(op + 4) = ((~len >>> 8) & 0xFF).toByte
+      System.arraycopy(raw, ip, out, op + 5, len)
+      ip += len; op += 5 + len; blk += 1
+    }
+    val ad = new java.util.zip.Adler32(); ad.update(raw)
+    val a = ad.getValue
+    out(op) = ((a >>> 24) & 0xFF).toByte
+    out(op + 1) = ((a >>> 16) & 0xFF).toByte
+    out(op + 2) = ((a >>> 8) & 0xFF).toByte
+    out(op + 3) = (a & 0xFF).toByte
+    out
+  }
+
+  /** A VALID complete PNG: signature + CRC-correct IHDR(w, h, 8-bit
+    * grayscale) + a REAL IDAT (zlib-deflated filtered scanlines of
+    * the deterministic [[pixelAt]] pixels, filter type cycling
+    * None/Sub/Up by row so decoders must genuinely unfilter) + tEXt
+    * carrying `data` + IEND. With m = h·(w+1) filtered bytes and
+    * B = ⌈m/65535⌉ stored blocks, total size is exactly
+    * data.length + 75 + m + 5·B (8 sig + 25 IHDR + 12+6+m+5B IDAT +
+    * 12+n tEXt + 12 IEND) — the oracle's payload_bytes formula.
     */
   private[functions] def pngWrap(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(data.length + 57)
+    val m = h * (w + 1)
+    val fil = new Array[Byte](m)
+    val prevRow = new Array[Byte](w)
+    val curRow = new Array[Byte](w)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (w + 1)
+      val ft = y % 3
+      fil(rowOff) = ft.toByte
+      var x = 0
+      while (x < w) { curRow(x) = pixelAt(y * w + x, data.length).toByte; x += 1 }
+      x = 0
+      while (x < w) {
+        val r = curRow(x) & 0xFF
+        val f = ft match {
+          case 0 => r // None
+          case 1 => (r - (if (x > 0) curRow(x - 1) & 0xFF else 0)) & 0xFF // Sub, bpp=1
+          case _ => (r - (if (y > 0) prevRow(x) & 0xFF else 0)) & 0xFF // Up
+        }
+        fil(rowOff + 1 + x) = f.toByte
+        x += 1
+      }
+      System.arraycopy(curRow, 0, prevRow, 0, w)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(data.length + 81 + m)
     bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
     def chunk(typ: String, payload: Array[Byte]): Unit = {
       val tb = typ.getBytes("US-ASCII")
@@ -145,9 +238,86 @@ object Multimodal {
       bos.write(be32Bytes(crc.getValue.toInt), 0, 4)
     }
     chunk("IHDR", be32Bytes(w) ++ be32Bytes(h) ++ Array[Byte](8, 0, 0, 0, 0))
+    chunk("IDAT", zlibStored(fil))
     chunk("tEXt", data)
     chunk("IEND", Array.emptyByteArray)
     bos.toByteArray
+  }
+
+  /** REAL PNG pixel decode for the no-entropy-codec case this corpus
+    * ships: 8-bit grayscale (color type 0), non-interlaced. Chunk
+    * walk concatenates every IDAT, a real java.util.zip.Inflater
+    * decompresses (any deflate level), and scanlines unfilter per the
+    * PNG spec §9 — all five filter types (None/Sub/Up/Average/Paeth),
+    * bpp = 1. Returns (w, h, pixels) or None on anything else
+    * (other color types / depths, malformed streams, bad lengths).
+    */
+  private[functions] def decodePngGray8(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (b.length < 24 || !(0 until 8).forall(i => u8(i) == pngSig(i))) return None
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    while (i + 8 <= b.length) {
+      val len = be32(i)
+      if (len < 0 || i + 12 + len > b.length) return None
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(i + 8); h = be32(i + 12)
+          // depth 8, grayscale, deflate, adaptive filters, no interlace
+          if (u8(i + 16) != 8 || u8(i + 17) != 0 || u8(i + 18) != 0 ||
+              u8(i + 19) != 0 || u8(i + 20) != 0) return None
+        case "IDAT" => idat.write(b, i + 8, len)
+        case _ => ()
+      }
+      i += 12 + len
+    }
+    if (w <= 0 || h <= 0 || idat.size() == 0) return None
+    val m = h * (w + 1)
+    val inflated = new Array[Byte](m)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < m && !inf.finished()) {
+        val k = inf.inflate(inflated, off, m - off)
+        if (k == 0 && inf.needsInput()) return None // truncated stream
+        off += k
+      }
+      if (off != m) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = inflated(y * (w + 1)) & 0xFF
+      var x = 0
+      while (x < w) {
+        val f = inflated(y * (w + 1) + 1 + x) & 0xFF
+        val a = if (x > 0) out(y * w + x - 1) & 0xFF else 0
+        val up = if (y > 0) out((y - 1) * w + x) & 0xFF else 0
+        val c = if (x > 0 && y > 0) out((y - 1) * w + x - 1) & 0xFF else 0
+        val r = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + up
+          case 3 => f + ((a + up) >> 1)
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None
+        }
+        out(y * w + x) = (r & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
   }
 
   /** A JPEG marker stream (SOI + single-component SOF0 + EOI) with
@@ -209,6 +379,48 @@ object Multimodal {
       dl <- dataLen
       if ch > 0 && rate > 0 && blockAlign > 0
     } yield WavMeta(rate, ch, bits, dl / blockAlign)
+  }
+
+  /** REAL PCM sample decode: root-mean-square amplitude of the data
+    * chunk read as signed 16-bit little-endian samples (the layout
+    * the fmt chunk declares). Re-walks the chunk stream to find the
+    * data payload, requires 16-bit PCM, and reduces every complete
+    * 16-bit word — channel-interleaved frames contribute each channel
+    * sample, the standard whole-stream RMS. None when not a WAV, not
+    * 16-bit, or the data chunk holds no complete sample.
+    */
+  private[functions] def decodeWavRms(b: Array[Byte]): Option[Double] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var bits = -1
+    var dataAt = -1; var dataLen = 0L
+    while (i + 8 <= b.length && (bits < 0 || dataAt < 0)) {
+      val id = tag(i)
+      val len = le32(i + 4)
+      if (len < 0 || i + 8 + len > b.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        bits = le16(i + 22)
+      } else if (id == "data") { dataAt = i + 8; dataLen = len }
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (bits != 16 || dataAt < 0) return None
+    val nWords = (dataLen / 2).toInt
+    if (nWords == 0) return None
+    var sumSq = 0.0
+    var k = 0
+    while (k < nWords) {
+      val v = le16(dataAt + 2 * k)
+      val s = if (v >= 0x8000) v - 0x10000 else v
+      sumSq += s.toDouble * s
+      k += 1
+    }
+    Some(math.sqrt(sumSq / nWords))
   }
 
   /** A VALID minimal 16-bit PCM WAV carrying `data` as its data
@@ -408,21 +620,34 @@ object Multimodal {
   // ======================= DECODE =========================
   // All three shipped modalities parse REAL container headers in
   // pure JVM: PNG/JPEG dimensions, RIFF/WAVE rate/channels/duration,
-  // and ISO-BMFF duration/tracks/dimensions/frames. A parsed image or
-  // audio stream is one frame. Payloads with no recognizable
-  // container fall back to the deterministic STUB that derives fake
-  // dimensions from the length — a real pixel/sample decoder would
-  // replace only that branch.
+  // and ISO-BMFF duration/tracks/dimensions/frames — and where no
+  // entropy codec is needed, REAL payload decode on top: PNG pixels
+  // (inflate + unfilter → mean_luma) and WAV samples (16-bit PCM →
+  // rms_amplitude). JPEG DCT and video codec payloads keep null
+  // content stats (an entropy decoder is out of pure-JVM scope).
+  // A parsed image or audio stream is one frame. Payloads with no
+  // recognizable container fall back to the deterministic STUB that
+  // derives fake dimensions from the length.
   private def decodeOne(r: MediaRecord): DecodedMeta =
     parseImageHeader(r.payload) match {
-      case Some((_, w, h)) =>
+      case Some((fmt, w, h)) =>
+        val luma =
+          if (fmt == "png")
+            decodePngGray8(r.payload).map { case (_, _, px) =>
+              var s = 0.0; var i = 0
+              while (i < px.length) { s += (px(i) & 0xFF); i += 1 }
+              s / px.length
+            }
+          else None
         DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong,
-          Some(w), Some(h), n_frames = 1, None, None, None, None)
+          Some(w), Some(h), n_frames = 1, None, None, None, None,
+          mean_luma = luma)
       case None => parseWavHeader(r.payload) match {
         case Some(wm) =>
           DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong,
             None, None, n_frames = 1, Some(wm.sampleRate), Some(wm.channels),
-            Some(wm.nSamples * 1000L / wm.sampleRate), None)
+            Some(wm.nSamples * 1000L / wm.sampleRate), None,
+            rms_amplitude = decodeWavRms(r.payload))
         case None => parseMp4Header(r.payload) match {
           case Some(mm) =>
             DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong,

@@ -364,7 +364,11 @@ object LlmQueries {
         .select(col("doc_id"), col("media_type"), col("payload_bytes"),
           col("width"), col("height"), col("n_frames"),
           col("sample_rate"), col("channels"), col("duration_ms"),
-          col("n_tracks"))
+          col("n_tracks"),
+          graft.functions.EngineNeutral.roundHalfUp(col("mean_luma"), 6)
+            .as("mean_luma"),
+          graft.functions.EngineNeutral.roundHalfUp(col("rms_amplitude"), 6)
+            .as("rms_amplitude"))
         .orderBy("doc_id"))
   )
 
@@ -696,14 +700,35 @@ object LlmQueries {
     // samples = data_len ÷ block_align (16-bit PCM → 2·channels),
     // duration_ms = samples·1000 ÷ rate, all integer division.
     "q_multimodal_meta" ->
-      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      """WITH t AS (
+        |  SELECT doc_id, n,
+        |    (1 + n % 389) * (2 + n % 509) AS m,     -- PNG filtered-stream bytes h*(w+1)
+        |    (1 + n % 509) * (1 + n % 389) AS wh,    -- PNG pixel count w*h
+        |    n // 2 AS nw                            -- WAV complete 16-bit words
+        |  FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |)
         |SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CASE WHEN doc_id % 6 = 0 THEN n + 57
+        |  CASE WHEN doc_id % 6 = 0 THEN n + 75 + m + 5 * ((m + 65534) // 65535)
         |       WHEN doc_id % 3 = 0 THEN n + 17
         |       WHEN doc_id % 3 = 1 THEN n + 44 + n % 2
         |       ELSE n + 296 + (n % 3) * 140 END AS payload_bytes,
+        |  CASE WHEN doc_id % 6 = 0 THEN
+        |    floor(((wh // 256) * 32640
+        |           + coalesce(list_sum([(j * 31 + n) % 256
+        |                                FOR j IN range(0, wh % 256)]), 0)
+        |          )::DOUBLE / wh * 1000000 + 0.5) / 1000000.0
+        |  END AS mean_luma,
+        |  CASE WHEN doc_id % 3 = 1 AND nw > 0 THEN
+        |    floor(sqrt(list_sum([
+        |        CASE WHEN ((14 * i + n) % 256) + 256 * ((14 * i + 7 + n) % 256) >= 32768
+        |             THEN (((14 * i + n) % 256) + 256 * ((14 * i + 7 + n) % 256) - 65536)
+        |                  * (((14 * i + n) % 256) + 256 * ((14 * i + 7 + n) % 256) - 65536)
+        |             ELSE (((14 * i + n) % 256) + 256 * ((14 * i + 7 + n) % 256))
+        |                  * (((14 * i + n) % 256) + 256 * ((14 * i + 7 + n) % 256))
+        |        END FOR i IN range(0, nw)])::DOUBLE / nw) * 1000000 + 0.5) / 1000000.0
+        |  END AS rms_amplitude,
         |  (CASE WHEN doc_id % 3 = 0 THEN 1 + n % 509
         |        WHEN doc_id % 3 = 1 THEN NULL
         |        ELSE 64 + n % 577 END)::INT AS width,

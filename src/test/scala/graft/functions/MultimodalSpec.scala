@@ -11,10 +11,11 @@ class MultimodalSpec extends AnyFunSuite {
     val df = Seq((0L, "abc"), (1L, "defgh"), (2L, "ij")).toDF("doc_id", "text")
     val media = Multimodal.attachPayload(df, "doc_id", "text").collect()
     assert(media.map(_.media_type).sorted.toSeq == Seq("audio", "image", "video"))
-    // audio rows are genuine RIFF/WAVE containers carrying the data
+    // audio rows are genuine RIFF/WAVE containers whose data chunk
+    // carries the deterministic PCM ramp (length-seeded)
     val wav = media.find(_.doc_id == 1L).get.payload
     assert(wav.length == 5 + 44 + 1) // 5 data bytes, odd -> 1 pad byte
-    assert(new String(wav.slice(44, 49), "UTF-8") == "defgh")
+    assert(wav.slice(44, 49).toSeq == (0 until 5).map(j => ((j * 7 + 5) % 256).toByte))
     // video rows are genuine ISO-BMFF containers; "ij" has n=2 so
     // nTracks = 1 + 2 % 3 = 3 and size = 2 + 296 + 2*140
     val mp4 = media.find(_.doc_id == 2L).get.payload
@@ -69,12 +70,19 @@ class MultimodalSpec extends AnyFunSuite {
     val meta = Multimodal.decodeMeta(spark, df, "doc_id", "text")
       .as[Multimodal.DecodedMeta].collect().map(m => m.doc_id -> m).toMap
     val png = meta(0L)
-    assert(png.payload_bytes == 3L + 57)
+    // n=3: w=4, h=4 -> filtered stream m = 4*(4+1) = 20, one stored
+    // block -> payload = 3 + 75 + 20 + 5
+    assert(png.payload_bytes == 3L + 75 + 20 + 5)
     assert(png.width.contains(1 + 3 % 509) && png.height.contains(1 + 3 % 389) && png.n_frames == 1)
     assert(png.sample_rate.isEmpty && png.duration_ms.isEmpty && png.n_tracks.isEmpty)
+    // REAL pixel decode: mean of the 16 deterministic pixels
+    val wantLuma = (0 until 16).map(j => Multimodal.pixelAt(j, 3)).sum / 16.0
+    assert(png.mean_luma.contains(wantLuma))
+    assert(png.rms_amplitude.isEmpty)
     val jpg = meta(3L)
     assert(jpg.payload_bytes == 5L + 17)
     assert(jpg.width.contains(1 + 5 % 509) && jpg.height.contains(1 + 5 % 389) && jpg.n_frames == 1)
+    assert(jpg.mean_luma.isEmpty) // DCT pixels need an entropy codec
     val wav = meta(1L)
     assert(wav.payload_bytes == 4L + 44) // even data length: no pad
     assert(wav.width.isEmpty && wav.height.isEmpty && wav.n_frames == 1)
@@ -83,6 +91,14 @@ class MultimodalSpec extends AnyFunSuite {
     // 4 data bytes / block-align 2 = 2 samples -> 2000/24000 ms -> 0
     assert(wav.duration_ms.contains(0L))
     assert(wav.n_tracks.isEmpty)
+    // REAL sample decode: RMS over the 2 LE 16-bit ramp words of n=4
+    val words = (0 until 2).map { i =>
+      val v = ((2 * i * 7 + 4) % 256) + 256 * (((2 * i + 1) * 7 + 4) % 256)
+      if (v >= 0x8000) v - 0x10000 else v
+    }
+    val wantRms = math.sqrt(words.map(s => s.toDouble * s).sum / 2)
+    assert(wav.rms_amplitude.contains(wantRms))
+    assert(wav.mean_luma.isEmpty)
     // n=3 → 1 track, so no dimensionless extra traks in the container
     val vid = meta(2L)
     assert(vid.payload_bytes == 3L + 296)
@@ -161,11 +177,115 @@ class MultimodalSpec extends AnyFunSuite {
   test("wrapped payloads round-trip: pngWrap/jpegWrap dims parse back exactly") {
     val data = "payload text of arbitrary length".getBytes("UTF-8")
     val png = Multimodal.pngWrap(data, 321, 123)
-    assert(png.length == data.length + 57)
+    val m = 123 * 322
+    assert(png.length == data.length + 75 + m + 5 * ((m + 65534) / 65535))
     assert(Multimodal.parseImageHeader(png).contains(("png", 321, 123)))
     val jpg = Multimodal.jpegWrap(data, 65535, 1)
     assert(jpg.length == data.length + 17)
     assert(Multimodal.parseImageHeader(jpg).contains(("jpeg", 65535, 1)))
+  }
+
+  test("pngWrap IDAT inflates back to the exact deterministic pixels") {
+    // multi-block path too: 300x250 -> m = 250*301 = 75250 filtered
+    // bytes -> 2 stored blocks
+    val data = "x".getBytes("UTF-8")
+    for ((w, h) <- Seq((4, 3), (300, 250))) {
+      val png = Multimodal.pngWrap(data, w, h)
+      val mm = h * (w + 1)
+      assert(png.length == data.length + 75 + mm + 5 * ((mm + 65534) / 65535))
+      val (dw, dh, px) = Multimodal.decodePngGray8(png).get
+      assert((dw, dh) == (w, h))
+      assert(px.length == w * h)
+      (0 until w * h).foreach { j =>
+        assert((px(j) & 0xFF) == Multimodal.pixelAt(j, data.length),
+          s"pixel $j of ${w}x$h")
+      }
+    }
+  }
+
+  test("decodePngGray8 unfilters all five PNG filter types (real Deflater stream)") {
+    // hand-built 2x5 grayscale image, one row per filter type — the
+    // IDAT is REAL max-compression deflate (not our stored blocks), so
+    // the decoder's Inflater path is exercised on a foreign stream
+    val w = 2; val h = 5
+    val pixels = Array(
+      10, 250, // y0
+      17, 17, // y1
+      30, 255, // y2
+      9, 120, // y3
+      200, 3 // y4
+    )
+    def px(x: Int, y: Int) = pixels(y * w + x)
+    val fil = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      fil.write(y) // filter type = row index
+      for (x <- 0 until w) {
+        val r = px(x, y)
+        val a = if (x > 0) px(x - 1, y) else 0
+        val b = if (y > 0) px(x, y - 1) else 0
+        val c = if (x > 0 && y > 0) px(x - 1, y - 1) else 0
+        val f = y match {
+          case 0 => r
+          case 1 => (r - a) & 0xFF
+          case 2 => (r - b) & 0xFF
+          case 3 => (r - ((a + b) >> 1)) & 0xFF
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (r - pred) & 0xFF
+        }
+        fil.write(f)
+      }
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    defl.setInput(fil.toByteArray); defl.finish()
+    val buf = new Array[Byte](1024)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    // assemble sig + IHDR + IDAT + IEND with correct CRCs
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(payload)
+      bos.write(be32(payload.length)); bos.write(tb); bos.write(payload)
+      bos.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0))
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val (dw, dh, got) = Multimodal.decodePngGray8(bos.toByteArray).get
+    assert((dw, dh) == (w, h))
+    assert(got.map(_ & 0xFF).toSeq == pixels.toSeq)
+    // non-grayscale/16-bit images refuse cleanly (no codec for them)
+    val rgb = {
+      val b2 = new java.io.ByteArrayOutputStream()
+      b2.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      val ihdr = be32(1) ++ be32(1) ++ Array[Byte](8, 2, 0, 0, 0) // color type 2
+      val crc = new java.util.zip.CRC32(); crc.update("IHDR".getBytes); crc.update(ihdr)
+      b2.write(be32(13)); b2.write("IHDR".getBytes); b2.write(ihdr); b2.write(be32(crc.getValue.toInt))
+      b2.toByteArray
+    }
+    assert(Multimodal.decodePngGray8(rgb).isEmpty)
+  }
+
+  test("decodeWavRms matches hand-computed signed 16-bit PCM RMS") {
+    // samples +1000 and -1000 -> RMS exactly 1000; LE byte layout
+    val data = Array[Byte](
+      (1000 & 0xFF).toByte, (1000 >> 8).toByte,
+      ((-1000) & 0xFF).toByte, (((-1000) >> 8) & 0xFF).toByte)
+    val wav = Multimodal.wavWrap(data, 8000, 1)
+    assert(Multimodal.decodeWavRms(wav).contains(1000.0))
+    // odd data length: the trailing incomplete word is ignored
+    val odd = Multimodal.wavWrap(Array[Byte](0, 4, 99), 8000, 1) // one word: 1024
+    assert(Multimodal.decodeWavRms(odd).contains(1024.0))
+    // empty data chunk -> no samples -> None
+    assert(Multimodal.decodeWavRms(Multimodal.wavWrap(Array.emptyByteArray, 8000, 1)).isEmpty)
+    // non-WAV bytes refuse cleanly
+    assert(Multimodal.decodeWavRms("not audio".getBytes("UTF-8")).isEmpty)
   }
 
   test("mp4Wrap round-trips: mvhd/tkhd/stts metadata parses back exactly") {

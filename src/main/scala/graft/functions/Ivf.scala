@@ -261,6 +261,47 @@ object Ivf {
     }
   }
 
+  /** Re-train the coarse quantizer on the GROWN index and rewrite it
+    * as a fresh deltaless version: new centroids (`k` may change —
+    * more cells as the index grows keeps probe selectivity constant),
+    * every stored vector re-assigned and re-partitioned under its NEW
+    * cell. The stored vectors are already unit-normalized, so the
+    * retrain reads the index, never the source corpus — an O(index)
+    * maintenance pass, the answer to quantizer drift that
+    * [[appendToIndex]]'s frozen-centroid contract defers.
+    *
+    * Compaction discipline: the cell set resolves and reads INSIDE
+    * commitNew's locked callback (appends racing the retrain are
+    * never dropped — commitDelta takes the same root `_LOCK`); the
+    * version publishes atomically, so readers mid-retrain keep
+    * resolving the old one. Post-retrain probes are exactly
+    * [[writeIndex]]-over-the-same-vectors probes (IvfSpec pins the
+    * equality). Returns the committed version dir.
+    */
+  def retrainIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   k: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): String = {
+    import spark.implicits._
+    graft.operators.Versioned.commitNew(spark, path) { v =>
+      val dir = indexDir(spark, path)
+      val members = readCellsFrom(spark, dir)
+        .select(col("neighbor_id").as(idCol), col("cvec").as(vecCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val centroids = trainCentroids(members, idCol, vecCol, k)
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$v/centroids")
+        assignCells(members, vecCol, centroids)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+            col("ivf_cell"))
+          .write.mode("overwrite").partitionBy("ivf_cell")
+          .parquet(s"$v/cells")
+      } finally { members.unpersist(); () }
+    }
+  }
+
   /** The committed version dir of a persisted index at `path`. */
   private[functions] def indexDir(spark: org.apache.spark.sql.SparkSession,
                                   path: String): String =

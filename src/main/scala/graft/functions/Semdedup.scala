@@ -96,16 +96,33 @@ object Semdedup {
     * batch side is broadcast (bounded); within-batch pairs join on
     * the cluster id.
     */
+  /** Rows above which [[dedupIncrement]] stops force-broadcasting the
+    * batch and merge-joins instead. Micro-batches are not inherently
+    * bounded — the FIRST batch over a large backlog with no trigger
+    * limit can be the whole backlog, and a forced broadcast of it
+    * OOMs executors/driver. Override per session with
+    * `spark.graft.semdedup.maxBroadcastBatchRows`.
+    */
+  val DefaultMaxBroadcastBatchRows: Long = 1000000L
+
   def dedupIncrement(batch: DataFrame, members: DataFrame, tau: Double,
                      centroids: Array[Array[Double]],
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
     val b = assignClusters(batch, centroids, idCol, vecCol)
       .persist(StorageLevel.MEMORY_ONLY)
     try {
+      // the count doubles as cache materialization; an oversized batch
+      // (backlog-sized first trigger) falls back to a merge join — the
+      // broadcast is an optimization for the steady state, never a
+      // correctness requirement
+      val small = b.count() <= spark.conf
+        .get("spark.graft.semdedup.maxBroadcastBatchRows",
+          DefaultMaxBroadcastBatchRows.toString).toLong
       val probe = b.select(col("cluster"), col(idCol).as("_bid"), col("u").as("_bu"))
       val vsIndex = members
-        .join(broadcast(probe), Seq("cluster"))
+        .join(if (small) broadcast(probe) else probe.hint("merge"), Seq("cluster"))
         .filter(col(idCol) < col("_bid"))
         .filter(EngineNeutral.r4(Similarity.dot(col("u"), col("_bu"))) >= tau)
         .select(col("_bid").as(idCol)).distinct()
@@ -137,17 +154,30 @@ object Semdedup {
       .getOrElse(sys.error(s"no committed semdedup index at $path"))
     val centroids = readCentroidsFrom(spark, dir)
     val add = assignClusters(batch, centroids, idCol, vecCol)
-    val hits = readMembersFrom(spark, dir).select(col(idCol))
-      .join(broadcast(add.select(col(idCol))), Seq(idCol), "left_semi")
-    val fresh = add.join(broadcast(hits), Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!fresh.isEmpty)
-        graft.operators.Versioned.commitDelta(spark, path, dir) { d =>
-          fresh.write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$d/members")
-        }
-    } finally { fresh.unpersist(); () }
+      // oversized batches (backlog-sized first trigger) merge-join
+      // instead of broadcasting — same guard as dedupIncrement; `hits`
+      // is bounded by the batch, so one verdict covers both joins
+      val small = add.count() <= spark.conf
+        .get("spark.graft.semdedup.maxBroadcastBatchRows",
+          DefaultMaxBroadcastBatchRows.toString).toLong
+      val addIds = add.select(col(idCol))
+      val hits = readMembersFrom(spark, dir).select(col(idCol))
+        .join(if (small) broadcast(addIds) else addIds.hint("merge"),
+          Seq(idCol), "left_semi")
+      val fresh = add
+        .join(if (small) broadcast(hits) else hits.hint("merge"),
+          Seq(idCol), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!fresh.isEmpty)
+          graft.operators.Versioned.commitDelta(spark, path, dir) { d =>
+            fresh.write.mode("overwrite").partitionBy("cluster")
+              .parquet(s"$d/members")
+          }
+      } finally { fresh.unpersist(); () }
+    } finally { add.unpersist(); () }
   }
 
   /** Fold base + deltas into a fresh deltaless version (periodic
@@ -165,5 +195,44 @@ object Semdedup {
       readMembersFrom(spark, dir)
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(s"$v/members")
+    }
+
+  /** Re-train the coarse quantizer on the GROWN member set and rewrite
+    * the index as a fresh deltaless version: new centroids (`k` may
+    * grow with the index — SemDeDup's k ≈ √n guidance), every member
+    * re-assigned and re-partitioned under its NEW cluster. A
+    * long-lived index whose ingest distribution drifted away from the
+    * original training sample gets its cluster balance back without
+    * replaying the corpus — members already store the unit vectors,
+    * so the retrain reads the index, not the source tables.
+    *
+    * Compaction discipline throughout: the member set resolves and
+    * reads INSIDE commitNew's locked callback, so an append racing
+    * the retrain is never silently dropped; the new version publishes
+    * atomically and readers mid-retrain keep resolving the old one.
+    * Post-retrain verdicts are exactly [[writeIndex]]-over-the-same-
+    * member-set verdicts (SemdedupSpec pins the equality). Returns
+    * the committed version dir.
+    */
+  def retrainIndex(spark: SparkSession, path: String, k: Int = 16,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): String =
+    graft.operators.Versioned.commitNew(spark, path) { v =>
+      import spark.implicits._
+      val dir = graft.operators.Versioned.resolve(spark, path)
+        .getOrElse(sys.error(s"no committed semdedup index at $path"))
+      val members = readMembersFrom(spark, dir)
+        .select(col(idCol), col("u").as(vecCol))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val centroids = Ivf.trainCentroids(members, idCol, vecCol, k)
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$v/centroids")
+        assignClusters(members, centroids, idCol, vecCol)
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$v/members")
+      } finally { members.unpersist(); () }
     }
 }

@@ -128,6 +128,50 @@ class IvfSpec extends AnyFunSuite {
     assert(pairs(Ivf.ivfTopKIndexed(spark, dir, queries, k = 10, nprobe = 4)) == expected)
   }
 
+  test("retrainIndex re-clusters the grown index; probes equal a fresh rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    val emb = AnnTestData.clustered(spark)
+    val base = emb.filter($"vec_id" < 1500)
+    val batch = emb.filter($"vec_id" >= 1500)
+    Ivf.writeIndex(base, dir, Ivf.trainCentroids(base, "vec_id", "embedding", k = 8))
+    Ivf.appendToIndex(batch, dir)
+    val oldV = graft.operators.Versioned.resolve(spark, dir).get
+    // retrain with MORE cells (the index grew) — new deltaless version
+    val newV = Ivf.retrainIndex(spark, dir, k = 16)
+    assert(newV != oldV)
+    assert(graft.operators.Versioned.resolve(spark, dir).contains(newV))
+    assert(graft.operators.Versioned.listDeltas(spark, newV).isEmpty)
+    assert(Ivf.readCellsFrom(spark, newV).count() == 2000)
+    val newCents = Ivf.readCentroids(spark, dir)
+    assert(newCents.length == 16)
+    // equality with a fresh writeIndex over the SAME input rows the
+    // retrain consumed (the OLD version's stored vectors — newV's are
+    // re-normalized once more, last-bit different): identical inputs
+    // → deterministic trainCentroids → identical centroids,
+    // assignments, and probe answers
+    val stored = Ivf.readCellsFrom(spark, oldV)
+      .select($"neighbor_id".as("vec_id"), $"cvec".as("embedding"))
+    val rebuild = java.nio.file.Files.createTempDirectory("graft_ivf_rt2").toString
+    Ivf.writeIndex(stored,
+      rebuild, Ivf.trainCentroids(stored, "vec_id", "embedding", k = 16))
+    assert(Ivf.readCentroids(spark, rebuild).map(_.toSeq).toSeq ==
+      newCents.map(_.toSeq).toSeq)
+    val queries = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val got = pairs(Ivf.ivfTopKIndexed(spark, dir, queries, k = 10, nprobe = 4))
+    assert(got == pairs(Ivf.ivfTopKIndexed(spark, rebuild, queries, k = 10, nprobe = 4)))
+    assert(got.nonEmpty)
+    // the superseded version stays intact on disk — readers that
+    // resolved it mid-retrain finish against complete data
+    assert(Ivf.readCellsFrom(spark, oldV).count() == 2000)
+    assert(new java.io.File(s"$oldV/_COMMITTED").exists())
+    // appends keep working against the retrained quantizer
+    Ivf.appendToIndex(emb.limit(10), dir) // all duplicates: no delta
+    assert(graft.operators.Versioned.listDeltas(spark, newV).isEmpty)
+  }
+
   test("append shuffle volume is batch-proportional, independent of index size") {
     // the O(batch) claim as a failing test: the same 100-row batch
     // appended to a 4×-bigger index must not shuffle 4× the bytes —

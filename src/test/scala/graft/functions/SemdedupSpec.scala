@@ -160,4 +160,65 @@ class SemdedupSpec extends AnyFunSuite {
     assert(m1 == m0, "compaction changed the member set")
     assert(c1 == c0, "compaction changed the centroids")
   }
+
+  test("oversized batches fall back to merge joins with identical verdicts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup6").toString
+    val emb = AnnTestData.clustered(spark, n = 400)
+    val batch = emb.filter(col("vec_id") >= 200)
+    Semdedup.writeIndex(emb.filter(col("vec_id") < 200), s"$dir/index", k = 8)
+    val vd = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+    val cents = Semdedup.readCentroidsFrom(spark, vd)
+    val viaBroadcast = verdicts(Semdedup.dedupIncrement(
+      batch, Semdedup.readMembersFrom(spark, vd), Tau, cents))
+    spark.conf.set("spark.graft.semdedup.maxBroadcastBatchRows", "1")
+    try {
+      val viaMerge = verdicts(Semdedup.dedupIncrement(
+        batch, Semdedup.readMembersFrom(spark, vd), Tau, cents))
+      assert(viaMerge == viaBroadcast && viaMerge.nonEmpty,
+        "the no-broadcast fallback changed verdicts")
+      // append path too: the merge-joined dedup must still be
+      // first-delivery-wins idempotent
+      Semdedup.appendIndex(batch, s"$dir/index")
+      assert(Semdedup.readMembersFrom(spark, vd).count() == 400)
+      Semdedup.appendIndex(batch, s"$dir/index")
+      assert(Semdedup.readMembersFrom(spark, vd).count() == 400)
+    } finally spark.conf.unset("spark.graft.semdedup.maxBroadcastBatchRows")
+  }
+
+  test("retrainIndex: verdicts equal a fresh rebuild over the same members") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup5").toString
+    val emb = AnnTestData.clustered(spark, n = 600, noise = 0.35)
+    Semdedup.writeIndex(emb.filter(col("vec_id") < 300), s"$dir/index", k = 4)
+    Semdedup.appendIndex(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 480), s"$dir/index")
+    val probe = emb.filter(col("vec_id") >= 480)
+    val oldV = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+    // retrain with a k sized for the grown index (SemDeDup's k ~ √n)
+    val newV = Semdedup.retrainIndex(spark, s"$dir/index", k = 8)
+    assert(newV != oldV)
+    assert(graft.operators.Versioned.resolve(spark, s"$dir/index").contains(newV))
+    assert(graft.operators.Versioned.listDeltas(spark, newV).isEmpty)
+    assert(Semdedup.readMembersFrom(spark, newV).count() == 480)
+    val newCents = Semdedup.readCentroidsFrom(spark, newV)
+    assert(newCents.length == 8)
+    // equality with writeIndex over the SAME member rows the retrain
+    // consumed (the OLD version's — newV's u are re-normalized once
+    // more, last-bit different): identical inputs → deterministic
+    // trainCentroids → identical state/verdicts
+    val membersAsCorpus = Semdedup.readMembersFrom(spark, oldV)
+      .select(col("vec_id"), col("u").as("embedding"))
+    Semdedup.writeIndex(membersAsCorpus, s"$dir/rebuild", k = 8)
+    val rv = graft.operators.Versioned.resolve(spark, s"$dir/rebuild").get
+    assert(Semdedup.readCentroidsFrom(spark, rv).map(_.toSeq).toSeq ==
+      newCents.map(_.toSeq).toSeq)
+    val a = verdicts(Semdedup.dedupIncrement(
+      probe, Semdedup.readMembersFrom(spark, newV), Tau, newCents))
+    val b = verdicts(Semdedup.dedupIncrement(
+      probe, Semdedup.readMembersFrom(spark, rv), Tau,
+      Semdedup.readCentroidsFrom(spark, rv)))
+    assert(a == b && a.nonEmpty, "post-retrain increments diverge from rebuild")
+    // the superseded version stays intact for in-flight readers
+    assert(Semdedup.readMembersFrom(spark, oldV).count() == 480)
+    assert(new java.io.File(s"$oldV/_COMMITTED").exists())
+  }
 }

@@ -17,6 +17,14 @@ object LlmQueries {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Committed lexical-index version dir per sf dir (built once per
+    * session, like the IVF centroids — the production split: pay the
+    * corpus aggregation at index-build time, serve every query round
+    * from the persisted tf/df/stats tables).
+    */
+  private val lexIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Deterministic PQ codebooks per sf dir (trained once). */
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
@@ -353,6 +361,27 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // 112b. BM25 through the PERSISTED lexical index — the production
+    //      path (build once, serve every round from tf/df/stats
+    //      parquet): writeLexicalIndex commits a Versioned index for
+    //      the sf dir on first touch (cached per session, the IVF
+    //      centroid convention), then scoring reads three pruned
+    //      tables instead of re-aggregating the corpus. Same oracle as
+    //      q_bm25 — RetrievalSpec pins the two paths bit-identical,
+    //      and this gate drives the indexed path against DuckDB too.
+    "q_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vdir = lexIndexCache.computeIfAbsent(d, _ => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_lexindex").toString
+        Retrieval.writeLexicalIndex(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text", root)
+      })
+      Retrieval.bm25TopKIndexed(s, vdir,
+          docs.filter(col("source") === "src0"), "doc_id", "text", topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // 39. Multimodal: binary payload + typed metadata through the
     //     batched decode pipeline (real mapPartitions plumbing; PNG/
     //     JPEG dimensions, WAV rate/channels/duration AND MP4
@@ -372,14 +401,11 @@ object LlmQueries {
         .orderBy("doc_id"))
   )
 
-  val oracles: Map[String, String] = Map(
-    // BM25 parity is at the token-STRING level (the Spark side joins
-    // xxhash64 term keys — identical matches modulo 2⁻⁶⁴ collisions);
-    // idf/avgdl are the same closed-form doubles in both engines
-    // (avgdl = exact integer sum / count), the per-pair score is
-    // r4-rounded BEFORE ranking so (score DESC, doc_id) order — and
-    // the emitted rank — is engine-reproducible.
-    "q_bm25" ->
+  /** The BM25 oracle, shared by q_bm25 (in-job aggregation) and
+    * q_bm25_indexed (persisted-index path) — the two must produce the
+    * identical result set.
+    */
+  private val bm25OracleSql: String =
       s"""WITH t AS (
          |  SELECT doc_id, source,
          |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
@@ -418,8 +444,21 @@ object LlmQueries {
          |)
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-    "q_dedup_exact" ->
+         |ORDER BY query_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // BM25 parity is at the token-STRING level (the Spark side joins
+    // xxhash64 term keys — identical matches modulo 2⁻⁶⁴ collisions);
+    // idf/avgdl are the same closed-form doubles in both engines
+    // (avgdl = exact integer sum / count), the per-pair score is
+    // r4-rounded BEFORE ranking so (score DESC, doc_id) order — and
+    // the emitted rank — is engine-reproducible.
+    "q_bm25" -> bm25OracleSql,
+    // the indexed path must produce the identical result set — same
+    // oracle, so the gate proves index-build + indexed scoring
+    // end-to-end, not just spec-level parity with the in-job path
+    "q_bm25_indexed" -> bm25OracleSql,
+        "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     // The rolling hash is the same fold in both engines:

@@ -141,13 +141,16 @@ object Bench {
       // sets, pagerank edges) keep MEMORY_ONLY blocks alive for the
       // REST of the suite otherwise — r9 saw a broad +0.4-1.3 s drift
       // across late-alphabet TPC-H shapes plus recurring "already
-      // cached" warnings from that accumulation. Clearing BETWEEN
+      // cached" warnings from that accumulation. Releasing BETWEEN
       // queries keeps warm iterations warm (entries live across this
       // query's iters) while making each query's number independent
-      // of suite order.
-      try spark.catalog.clearCache()
+      // of suite order. Every lazy-return persist site registers with
+      // CacheHandles, so this targeted release replaces the former
+      // blanket clearCache (which a long-lived service could never
+      // borrow without nuking unrelated session caches).
+      try { graft.plans.CacheHandles.releaseAll(); () }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] clearCache after $name failed: ${e.getMessage}") }
+        System.err.println(s"[bench] cache release after $name failed: ${e.getMessage}") }
       (name, elapsed, times, shuffle)
     }
     val loadEnd = os.getSystemLoadAverage

@@ -63,8 +63,11 @@ object Verify {
       finally {
         es.shutdown()
         // same cross-query cache hygiene as Bench: internally-persisted
-        // blocks must not accumulate across the 125+-query gate
-        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        // blocks must not accumulate across the 150-query gate — the
+        // CacheHandles registry releases exactly the lazy-return
+        // persists (formerly a blanket clearCache)
+        try { graft.plans.CacheHandles.releaseAll(); () }
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

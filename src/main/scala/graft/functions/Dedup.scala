@@ -390,9 +390,11 @@ object Dedup {
     // returned DataFrame is lazy so this operator can't unpersist, and
     // memory-only blocks are LRU-EVICTED under pressure (recomputed on
     // miss) whereas disk-demoted blocks would accumulate until session
-    // shutdown in long-lived sessions.
-    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // shutdown in long-lived sessions. Registered with CacheHandles so
+    // services (and Bench/Verify) release deterministically.
+    val sigs = graft.plans.CacheHandles.track("dedup.minhash.sigs",
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     // unrolled at plan-build time: band b hashes signature rows [b*R, (b+1)*R)
     val bandHashes = (0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
@@ -538,10 +540,12 @@ object Dedup {
     // chain AND pays its own sort under the merge hints — the r9 bench
     // showed that as a 3× wall cost with unstable warm iterations.
     // MEMORY_ONLY for the same reason as minhashCandidates' sigs (lazy
-    // return → can't unpersist here; LRU-evictable beats disk-demoted)
-    val sh = shingleHashes(df, idCol, textCol, shingleK)
-      .groupBy("id").agg(collect_set(col("h")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // return → can't unpersist here; LRU-evictable beats disk-demoted);
+    // CacheHandles-tracked for deterministic release
+    val sh = graft.plans.CacheHandles.track("dedup.ngramJaccard.shingleSets",
+      shingleHashes(df, idCol, textCol, shingleK)
+        .groupBy("id").agg(collect_set(col("h")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     // merge-hinted: the sh side carries collect_set arrays built from
     // an explode — letting the planner broadcast it on size-only
     // stats risks an arbitrarily-underestimated build (see
@@ -566,9 +570,10 @@ object Dedup {
   def ngramContainment(df: DataFrame, candidates: DataFrame, idCol: String,
                        textCol: String, shingleK: Int = 3): DataFrame = {
     // persisted for the same both-join-sides reason as [[ngramJaccard]]
-    val sh = shingleHashes(df, idCol, textCol, shingleK)
-      .groupBy("id").agg(collect_set(col("h")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sh = graft.plans.CacheHandles.track("dedup.ngramContainment.shingleSets",
+      shingleHashes(df, idCol, textCol, shingleK)
+        .groupBy("id").agg(collect_set(col("h")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     // merge-hinted for the same reason as ngramJaccard: never let the
     // planner broadcast a collect_set-of-explode build side

@@ -79,14 +79,14 @@ object Selection {
     */
   private def tokenCounts(corpus: DataFrame, textCol: String,
                           isTarget: Column, nBuckets: Int): DataFrame =
-    corpus
+    graft.plans.CacheHandles.track("selection.tokenCounts", corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(isTarget.as("is_tgt"), explode(Dedup.tokens(col(textCol))).as("t"))
       .select(col("is_tgt"), tokenBucket(col("t"), nBuckets).as("h"))
       .groupBy("h").agg(
         sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("cr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
 
   /** Derive the (lr, defaults) pair from a counts table — the same
     * closed forms whichever face computes them, so indexed scoring is

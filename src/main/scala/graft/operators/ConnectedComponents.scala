@@ -116,10 +116,10 @@ object ConnectedComponents {
     // combined frame so callers get ONE cached frame whose
     // .unpersist() releases everything, and the loop caches + edge
     // table can be dropped eagerly here
-    val combined = labels
+    val combined = graft.plans.CacheHandles.track("cc.labels", labels
       .unionAll(vertices.join(touched, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("comp")))
-      .persist(StorageLevel.MEMORY_ONLY)
+      .persist(StorageLevel.MEMORY_ONLY))
     combined.count()
     labels.unpersist()
     sym.unpersist()

@@ -91,11 +91,12 @@ object ExactPercentile {
         (statBytes / (256L << 20)).min(BigInt(1 << 17)).toInt
       else 0
     val parts = math.max(spark.sparkContext.defaultParallelism, byStats)
-    val ranged = base
-      .repartitionByRange(parts, gcols :+ col("_v"): _*)
-      .sortWithinPartitions(gcols :+ col("_v"): _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_ONLY)
+    val ranged = graft.plans.CacheHandles.track("exactpercentile.ranged",
+      base
+        .repartitionByRange(parts, gcols :+ col("_v"): _*)
+        .sortWithinPartitions(gcols :+ col("_v"): _*)
+        .withColumn("_mid", monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_ONLY))
     val midMask = (1L << 33) - 1
     // one row per (partition, group) RUN — groups are contiguous under
     // the range partitioning, so this is ≤ parts + groups − 1 rows

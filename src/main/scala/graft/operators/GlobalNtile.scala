@@ -73,10 +73,11 @@ object GlobalNtile {
           "negate or precompute a key column for descending order")
     }
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val ranged = df.repartitionByRange(parts, ord: _*)
-      .sortWithinPartitions(ord: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_ONLY)
+    val ranged = graft.plans.CacheHandles.track("globalntile.ranged",
+      df.repartitionByRange(parts, ord: _*)
+        .sortWithinPartitions(ord: _*)
+        .withColumn("_mid", monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_ONLY))
     // one count row per range partition → driver-side prefix sum (the
     // only driver-scale data; no single-partition window anywhere)
     val midMask = (1L << 33) - 1

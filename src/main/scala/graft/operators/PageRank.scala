@@ -126,6 +126,6 @@ object PageRank {
     sym.unpersist()
     deg.unpersist()
     if (dangling != null) dangling.unpersist()
-    ranks
+    graft.plans.CacheHandles.track("pagerank.ranks", ranks)
   }
 }

@@ -59,13 +59,13 @@ object PrefixScan {
     // order (orderByOrdinal applies to foldable integer sort keys)
     val keyNames = keys.indices.map(i => s"_k$i")
     val all = keyNames.map(col) ++ ord
-    val ranged = df
+    val ranged = graft.plans.CacheHandles.track("prefixscan.ranged", df
       .withColumn("_v", value)
       .withColumns(keyNames.zip(keys).toMap)
       .repartitionByRange(parts, all: _*)
       .sortWithinPartitions(all: _*)
       .withColumn("_mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_ONLY)
+      .persist(StorageLevel.MEMORY_ONLY))
     val keyed = ranged
       .withColumn("_pid", shiftright(col("_mid"), 33))
     // one row per (physical partition, key) — driver-scale only for

@@ -219,20 +219,22 @@ object LlmQueries {
       // persists the per-doc sort+lead runs once per consumer and the
       // vocabulary aggregate materializes two broadcast relations.
       // Bench/Verify clear cached lineage between queries.
-      val bigrams = toks
-        .select(col("doc_id"), col("t").as("t1"), lead(col("t"), 1).over(w).as("t2"))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"), xxhash64(col("t1")).as("h1"),
-          xxhash64(col("t2")).as("h2"), xxhash64(col("t1"), col("t2")).as("bh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val bigrams = graft.plans.CacheHandles.track("query.bigramlm.bigrams",
+        toks
+          .select(col("doc_id"), col("t").as("t1"), lead(col("t"), 1).over(w).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), xxhash64(col("t1")).as("h1"),
+            xxhash64(col("t2")).as("h2"), xxhash64(col("t1"), col("t2")).as("bh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val train = bigrams.filter(col("doc_id") % 2 === 0)
       val score = bigrams.filter(col("doc_id") % 2 === 1)
       val bigramC = train.groupBy("bh").agg(count(lit(1)).as("bc"))
-      val uniC = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-        .select(explode(Dedup.tokens(col("text"))).as("t"))
-        .select(xxhash64(col("t")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("uc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val uniC = graft.plans.CacheHandles.track("query.bigramlm.unigrams",
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+          .select(explode(Dedup.tokens(col("text"))).as("t"))
+          .select(xxhash64(col("t")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("uc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val stats = uniC.agg(sum("uc").as("n_total"), count(lit(1)).as("v"))
       val nll = -log(
         when(col("bc").isNotNull && col("c1").isNotNull,

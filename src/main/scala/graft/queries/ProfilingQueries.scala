@@ -65,10 +65,11 @@ object ProfilingQueries {
       // exchange reuse). Vector-count-sized, MEMORY_ONLY per the
       // family convention; Bench/Verify clear cached lineage between
       // queries.
-      val assigned = graft.plans.TopKPerKey.topK(scored, Seq("vec_id"),
-          Seq("sim" -> true, "label" -> false), k = 1)
-        .select(col("vec_id"), col("u"), col("label").as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val assigned = graft.plans.CacheHandles.track("query.semdedup.assigned",
+        graft.plans.TopKPerKey.topK(scored, Seq("vec_id"),
+            Seq("sim" -> true, "label" -> false), k = 1)
+          .select(col("vec_id"), col("u"), col("label").as("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("u").as("ua"))
       val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("u").as("ub"))
       val dropped = a.hint("merge").join(b, "cluster")
@@ -208,10 +209,11 @@ object ProfilingQueries {
     //      bit-identical, unrounded. Edge/oriented lists persisted
     //      (edge-sized) per the family convention.
     "q_clustering_coef" -> ((s, d) => {
-      val edges = Dedup.sharedShingleEdges(Tables.documents(s, d),
-          "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
-        .select("id_a", "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val edges = graft.plans.CacheHandles.track("query.clustering.edges",
+        Dedup.sharedShingleEdges(Tables.documents(s, d),
+            "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
         .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -222,6 +224,7 @@ object ProfilingQueries {
           (col("deg_u") === col("deg_v") && col("u") < col("v")))
         .select("u", "v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      graft.plans.CacheHandles.track("query.clustering.oriented", dir)
       val wedges = dir.select(col("u"), col("v").as("v1"))
         .join(dir.select(col("u"), col("v").as("v2")), "u")
         .filter(col("v1") =!= col("v2"))

@@ -135,10 +135,11 @@ object SelectionQueries {
       // cross-consumer exchange reuse). Both tables are edge-sized
       // (near-dup graphs are sparse), MEMORY_ONLY per the family
       // convention; Bench/Verify clear cached lineage between queries.
-      val edges = Dedup.sharedShingleEdges(Tables.documents(s, d),
-          "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
-        .select("id_a", "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val edges = graft.plans.CacheHandles.track("query.triangles.edges",
+        Dedup.sharedShingleEdges(Tables.documents(s, d),
+            "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
         .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       val deg = sym.groupBy("u").agg(count(lit(1)).as("deg_u"))
@@ -151,6 +152,7 @@ object SelectionQueries {
           (col("deg_u") === col("deg_v") && col("u") < col("v")))
         .select("u", "v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      graft.plans.CacheHandles.track("query.triangles.oriented", dir)
       val wedges = dir.select(col("u"), col("v").as("v1"))
         .join(dir.select(col("u"), col("v").as("v2")), "u")
         .filter(col("v1") =!= col("v2"))
@@ -186,9 +188,10 @@ object SelectionQueries {
       // the persists each consumer replays the tokenize→explode→
       // window lineage (ngramJaccard persists its own collect_set
       // aggregate for the same reason)
-      val sh = Dedup.shingleHashes(docs, "doc_id", "text", shingleK = 3)
-        .dropDuplicates("id", "h")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val sh = graft.plans.CacheHandles.track("query.simjoin.shingles",
+        Dedup.shingleHashes(docs, "doc_id", "text", shingleK = 3)
+          .dropDuplicates("id", "h")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val withDf = Dedup.joinKeyStats(sh, "h", Seq(count(lit(1)).as("kdf")))
       val wRank = Window.partitionBy("id").orderBy(col("kdf"), col("h"))
       val ranked = withDf
@@ -198,6 +201,7 @@ object SelectionQueries {
         .filter(col("p") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
         .select(col("h"), col("id"), col("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      graft.plans.CacheHandles.track("query.simjoin.prefix", prefix)
       val cand = prefix.select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
         .hint("merge")
         .join(prefix.select(col("h"), col("id").as("id_b"), col("n").as("n_b")), "h")

@@ -271,6 +271,73 @@ object Dedup {
     } finally { fresh.unpersist(); () }
   }
 
+  /** Fold a hash index's base + deltas into a fresh deltaless-as-
+    * possible version — the compaction that keeps [[readHashIndex]]'s
+    * per-delta filesystem probe and per-delta parquet union from
+    * growing linearly with stream lifetime (one delta dir lands per
+    * micro-batch; a week-old ingest stream otherwise pays thousands
+    * of exists() calls and scan branches per trigger).
+    *
+    * Replay safety governs which deltas fold. A delta TAGGED
+    * `qid_bN` supports [[readHashIndex]]'s streaming replay
+    * exclusion: if batch N crashed after the append but before its
+    * checkpoint commit, the replay must re-score against the
+    * pre-append view, which requires that delta to still exist WITH
+    * its tag. Spark replays only the LAST uncommitted micro-batch,
+    * so for each query id the highest-batch delta present is the
+    * only one that can still replay — it carries over into the new
+    * version verbatim (grams + tag files); every other delta's batch
+    * is provably committed (a later batch id exists), so it folds
+    * into the base and its tag files drop. Untagged deltas (batch
+    * appendHashIndex callers) always fold.
+    *
+    * Runs inside commitNew's locked callback (appends racing the
+    * compaction are never dropped); readers mid-fold keep resolving
+    * the old version. Returns the new version dir.
+    */
+  def compactHashIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): String =
+    graft.operators.Versioned.commitNew(spark, indexPath) { nv =>
+      val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+        .getOrElse(sys.error(s"no committed hash index at $indexPath"))
+      val conf = spark.sessionState.newHadoopConf()
+      def tagsOf(d: String): Seq[String] = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).listStatus(p).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("_TAG_"))
+      }
+      val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
+        .map(d => d -> tagsOf(d))
+      // batch id per (query id) from tag names qid_bN; a delta is
+      // replay-live iff it holds the MAX batch id seen for its qid
+      def parsed(tags: Seq[String]): Seq[(String, Long)] =
+        tags.flatMap { t =>
+          val body = t.stripPrefix("_TAG_")
+          val i = body.lastIndexOf("_b")
+          if (i < 0) None
+          else body.drop(i + 2).toLongOption.map(b => (body.take(i), b))
+        }
+      val maxBatch = deltas.flatMap(d => parsed(d._2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val (carry, fold) = deltas.partition { case (_, tags) =>
+        parsed(tags).exists { case (qid, b) => maxBatch(qid) == b }
+      }
+      fold.map(_._1)
+        .foldLeft(spark.read.parquet(s"$vdir/grams")) { (acc, d) =>
+          acc.unionByName(spark.read.parquet(s"$d/grams"))
+        }
+        .distinct()
+        .write.parquet(s"$nv/grams")
+      carry.zipWithIndex.foreach { case ((d, tags), i) =>
+        val nd = s"$nv/delta_$i"
+        spark.read.parquet(s"$d/grams").write.parquet(s"$nd/grams")
+        val fs = new org.apache.hadoop.fs.Path(nd).getFileSystem(conf)
+        tags.foreach { t =>
+          fs.create(new org.apache.hadoop.fs.Path(nd, t), true).close()
+        }
+      }
+    }
+
   /** Build (or atomically refresh) the persisted span-hash index the
     * incremental/streaming span-dedup face probes: the distinct
     * 64-bit k-word span hashes of `df`, under a

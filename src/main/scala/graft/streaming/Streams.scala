@@ -437,21 +437,37 @@ object Streams {
     * aliases the old incarnation's batch-0 delta (path-derived tags
     * had exactly that bug: stale `_TAG_` files live in the index
     * forever while recreated checkpoints restart batch ids at 0).
+    *
+    * An unreadable/unparsable metadata file THROWS rather than
+    * degrading to a path-derived tag: the fallback would silently
+    * reintroduce exactly the cross-incarnation aliasing hazard the
+    * query-id scheme exists to prevent, and inside foreachBatch the
+    * running query's checkpoint metadata always exists (Spark writes
+    * it at query start) — its absence means the checkpoint was
+    * tampered with mid-run, which must fail the batch, not corrupt
+    * the index.
     */
   private def batchTag(spark: SparkSession, checkpoint: String,
                        batchId: Long): String = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"streaming checkpoint metadata missing at $p — cannot derive a " +
+          "replay-stable batch tag (a path-derived fallback would alias " +
+          "deltas across checkpoint incarnations); the checkpoint dir " +
+          "was deleted or corrupted while the query ran")
+    val in = fs.open(p)
     val id =
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try {
-          val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-            .map(_.group(1).replaceAll("[^A-Za-z0-9-]", ""))
-            .getOrElse(f"${checkpoint.hashCode & 0xffffffffL}%08x")
-        } finally in.close()
-      } else f"${checkpoint.hashCode & 0xffffffffL}%08x"
+      try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1).replaceAll("[^A-Za-z0-9-]", ""))
+          .filter(_.nonEmpty)
+          .getOrElse(throw new IllegalStateException(
+            s"streaming checkpoint metadata at $p has no query id " +
+              s"(content: ${txt.take(200)}) — refusing a path-derived tag"))
+      } finally in.close()
     s"${id}_b$batchId"
   }
 

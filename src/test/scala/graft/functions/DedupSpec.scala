@@ -179,6 +179,35 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("compactHashIndex folds committed deltas, carries replay-live tagged ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hidx").toString
+    def h(xs: Long*) = xs.toDF("h")
+    val vdir = Dedup.writeHashIndex(h(1, 2, 3), root)
+    Dedup.appendHashIndex(spark, root, vdir, h(4), tag = Some("q1_b0"))
+    Dedup.appendHashIndex(spark, root, vdir, h(5), tag = Some("q1_b1"))
+    Dedup.appendHashIndex(spark, root, vdir, h(6), tag = Some("q2_b0"))
+    Dedup.appendHashIndex(spark, root, vdir, h(7)) // untagged batch append
+    assert(graft.operators.Versioned.listDeltas(spark, vdir).size == 4)
+    val nv = Dedup.compactHashIndex(spark, root)
+    def hashes(excl: Option[String] = None) =
+      Dedup.readHashIndex(spark, nv, excl).as[Long].collect().toSet
+    // membership preserved exactly
+    assert(hashes() == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // only the replay-LIVE deltas remain: q1's batch 1 (its batch 0 is
+    // provably committed) and q2's batch 0; the untagged delta folded
+    val ds = graft.operators.Versioned.listDeltas(spark, nv)
+    assert(ds.size == 2, s"deltas after compaction: $ds")
+    // replay exclusion still works for the live batches...
+    assert(hashes(Some("q1_b1")) == Set(1L, 2L, 3L, 4L, 6L, 7L))
+    assert(hashes(Some("q2_b0")) == Set(1L, 2L, 3L, 4L, 5L, 7L))
+    // ...and the folded batch's tag is gone — its hashes are base now
+    // (that batch can never replay: a later q1 batch exists)
+    assert(hashes(Some("q1_b0")) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // appends keep working on the compacted version
+    Dedup.appendHashIndex(spark, root, nv, h(8), tag = Some("q1_b2"))
+    assert(Dedup.readHashIndex(spark, nv).as[Long].collect().toSet.size == 8)
+  }
+
   test("maximalSpanBlocks: holder-set changes split blocks; extents are maximal") {
     // k=4. "a b c d" is held by all three docs; "b c d e"/"c d e f"
     // only by docs 1-2 — so the 6-token shared block in docs 1-2

@@ -29,6 +29,26 @@ object EngineNeutral {
     s"floor(($expr) * $p + 0.5) / $p.0"
   }
 
+  /** Exact engine-neutral sum of FIXED-DECIMAL data that parquet
+    * stores as doubles (TPC-H money: 2-dp prices/balances, 4-dp
+    * price×(1−discount) products, 6-dp ×(1+tax) charges): each addend
+    * casts to DECIMAL(18, scale) — recovering the exact fixed-point
+    * value its double approximates — sums EXACTLY (decimal addition
+    * has no association drift), and lands as double (exact while
+    * |sum|·10^scale < 2^53 ≈ 9·10^15). A plain double sum at 1e11
+    * magnitude differs by ±0.01 across engines and partition orders —
+    * exactly how q_tpch_q5/q9/q_ntile failed the first sf1 oracle
+    * gate (round 11) while passing every smaller SF. Use with the
+    * matching [[exactSumSql]] fragment; no output rounding needed —
+    * the sum IS the exact fixed-point total.
+    */
+  def exactSum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** The matching DuckDB fragment for [[exactSum]]. */
+  def exactSumSql(expr: String, scale: Int): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
   /** Engine-neutral 60-bit hash of a string: the low 60 bits (15 hex
     * chars — within a signed long, always positive) of its md5.
     * DuckDB computes the identical value as

@@ -44,7 +44,8 @@ object AdvancedQueries {
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(EngineNeutral.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
           .as("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(col("revenue").desc, col("c_custkey"))
@@ -69,7 +70,9 @@ object AdvancedQueries {
         .agg((avg("l_quantity") * 0.2).as("thresh"))
       li.join(th, "l_partkey")
         .filter(col("l_quantity") < col("thresh"))
-        .agg(EngineNeutral.r2(sum("l_extendedprice") / lit(7.0)).as("avg_yearly"))
+        .agg(EngineNeutral.r2(
+          EngineNeutral.exactSum(col("l_extendedprice"), 2) / lit(7.0))
+          .as("avg_yearly"))
     }),
 
     // 72. TPC-H Q18 shape: large-volume orders. The HAVING runs as a
@@ -106,7 +109,8 @@ object AdvancedQueries {
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(fcust, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .agg(count(lit(1)).as("n"),
+          EngineNeutral.exactSum(col("c_acctbal"), 2).as("total_bal"))
         .orderBy("c_mktsegment")
     }),
 
@@ -281,7 +285,8 @@ object AdvancedQueries {
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .filter(arm1 || arm2 || arm3)
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          EngineNeutral.exactSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"))
     }),
 
@@ -345,14 +350,15 @@ object AdvancedQueries {
         .innerJoin(Tables.spread(li), "l_partkey", pk, "p_partkey",
           expectedItems = 4096, fpp = 0.01)
         .groupBy("p_brand")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .agg(count(lit(1)).as("n"),
+          EngineNeutral.exactSum(col("l_extendedprice"), 2).as("revenue"))
         .orderBy("p_brand")
     }))
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  c_acctbal, n_name
         |FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
@@ -371,7 +377,7 @@ object AdvancedQueries {
         |  FROM lineitem JOIN pk ON l_partkey = p_partkey),
         |th AS (
         |  SELECT l_partkey, avg(l_quantity) * 0.2 AS thresh FROM li GROUP BY 1)
-        |SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100.0 AS avg_yearly
+        |SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 100 + 0.5) / 100.0 AS avg_yearly
         |FROM li JOIN th USING (l_partkey) WHERE l_quantity < thresh""".stripMargin,
     "q_tpch_q18" ->
       """WITH tq AS (
@@ -386,7 +392,8 @@ object AdvancedQueries {
     "q_tpch_q22" ->
       """WITH a AS (
         |  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
-        |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer c, a
         |WHERE c.c_acctbal > a.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -537,14 +544,14 @@ object AdvancedQueries {
         |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin,
     "q_tpch_q19" ->
       """SELECT count(*) AS n,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity >= 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity >= 30)""".stripMargin,
     "q_bloom_join" ->
       """SELECT p_brand, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size = 15
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)

@@ -71,7 +71,8 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           min("o_totalprice").as("min_price"),
           max("o_totalprice").as("max_price"),
-          round(sum("o_totalprice"), 2).as("total_price"))
+          graft.functions.EngineNeutral.exactSum(col("o_totalprice"), 2)
+            .as("total_price"))
         .orderBy("quartile")
     }),
 
@@ -138,7 +139,7 @@ object AnalyticsQueries {
     "q_ntile" ->
       """SELECT quartile, count(*) AS n,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-        |  round(sum(o_totalprice), 2) AS total_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM (
         |  SELECT o_totalprice,
         |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile

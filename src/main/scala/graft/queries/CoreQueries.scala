@@ -78,10 +78,13 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // 6. Sum (map-side partial agg; single-row result).
+    // 6. Sum (map-side partial agg; single-row result). Money sums
+    //    use the exact decimal form (EngineNeutral.exactSum): a plain
+    //    double sum differs by ±0.01 across engines at sf1 magnitude.
     "q_sum" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .agg(round(sum("l_extendedprice"), 2).as("total"))),
+        .agg(graft.functions.EngineNeutral.exactSum(col("l_extendedprice"), 2)
+          .as("total"))),
 
     // 7. Avg (engine-neutral rounding: int/int ratios can land exactly
     //    on the .xx5 boundary where Spark and DuckDB round() disagree).
@@ -184,7 +187,8 @@ object CoreQueries {
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_sum" ->
-      "SELECT round(sum(l_extendedprice), 2) AS total FROM lineitem",
+      ("SELECT " + graft.functions.EngineNeutral.exactSumSql("l_extendedprice", 2)
+        + " AS total FROM lineitem"),
     "q_avg" ->
       "SELECT floor(avg(l_quantity) * 100 + 0.5) / 100.0 AS avg_qty FROM lineitem",
     "q_min_max" ->

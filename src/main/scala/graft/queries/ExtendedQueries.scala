@@ -129,7 +129,8 @@ object ExtendedQueries {
       graft.operators.SkewJoin
         .saltedEquiJoin(Tables.orders(s, d), cust, "o_custkey", salts = 8)
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.EngineNeutral.exactSum(col("o_totalprice"), 2).as("total"))
         .orderBy("c_mktsegment")
     }),
 
@@ -149,7 +150,7 @@ object ExtendedQueries {
           col("cts") < col("pts"))
         .groupBy("event_id")
         .agg(count(lit(1)).as("n_clicks"),
-          round(sum("value"), 2).as("click_value"))
+          EngineNeutral.exactSum(col("value"), 2).as("click_value"))
         .orderBy("event_id")
     }),
 
@@ -212,7 +213,8 @@ object ExtendedQueries {
           (date_trunc("hour", col("ts")).cast("long") / 3600).cast("long").as("hl"),
           col("value"))
         .groupBy("user_id", "hl")
-        .agg(round(sum("value"), 2).as("v"), count(lit(1)).as("n"))
+        .agg(EngineNeutral.exactSum(col("value"), 2).as("v"),
+          count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("hl")
       hourly
@@ -303,12 +305,12 @@ object ExtendedQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "q_join_skew" ->
       """SELECT c_mktsegment, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_range_join" ->
       """SELECT p.event_id, count(*) AS n_clicks,
-        |  round(sum(c.value), 2) AS click_value
+        |  CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
         |FROM events p JOIN events c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 4 HOUR
@@ -336,7 +338,8 @@ object ExtendedQueries {
         |  SELECT user_id, date_trunc('hour', ts) AS hr, value
         |  FROM events WHERE event_type = 'purchase'),
         |hourly AS (
-        |  SELECT user_id, hr, round(sum(value), 2) AS v, count(*) AS n
+        |  SELECT user_id, hr,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v, count(*) AS n
         |  FROM ev GROUP BY user_id, hr),
         |grid AS (
         |  SELECT user_id, unnest(generate_series(min(hr), max(hr),

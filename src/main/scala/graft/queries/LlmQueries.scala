@@ -283,12 +283,19 @@ object LlmQueries {
     // 37b. Approximate top-k frequent tokens via the SpaceSaving
     //      TypedImperativeAggregate sketch (fixed memory, partial→final
     //      merge — no distinct-key shuffle). Exact whenever the
-    //      vocabulary fits the sketch capacity (k×8=160 here, corpus
-    //      vocab is 31), which is what makes the SQL oracle valid.
+    //      vocabulary fits the sketch capacity — which is what makes
+    //      the SQL oracle valid. capacityFactor 256 → capacity 5120:
+    //      ScaleUp SFs grow the vocabulary per copy, and with the
+    //      k×8=160 default the sketch went (correctly) approximate at
+    //      sf1 and diverged from the exact-count oracle. 5120 entries
+    //      is still a few hundred KB of bounded sketch state; the
+    //      capacity-vs-exactness contract itself is pinned in
+    //      SpaceSavingSpec.
     "q_freq_tokens" -> ((s, d) =>
       Tables.spread(Tables.documents(s, d))
         .select(explode(Dedup.tokens(col("text"))).as("tok"))
-        .agg(graft.plans.SpaceSavingTopK.approx_top_k(col("tok"), 20).as("top"))
+        .agg(graft.plans.SpaceSavingTopK.approx_top_k(col("tok"), 20,
+          capacityFactor = 256).as("top"))
         .selectExpr("inline(top)")
         .select(col("item").as("tok"), col("count").as("n"))
         .orderBy(col("n").desc, col("tok"))),

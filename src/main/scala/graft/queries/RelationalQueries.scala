@@ -19,7 +19,8 @@ object RelationalQueries {
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(graft.functions.EngineNeutral.exactSum(col("o_totalprice"), 2)
+          .as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")),
 
     // 20. Multi-way join + agg (TPC-H Q3 shape): broadcast customer,
@@ -31,7 +32,8 @@ object RelationalQueries {
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .filter(col("l_shipdate") > expr("TIMESTAMP '1998-01-01 00:00:00'"))
         .groupBy("o_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(graft.functions.EngineNeutral.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(20)),
 
@@ -42,9 +44,15 @@ object RelationalQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          graft.functions.EngineNeutral.exactSum(col("l_extendedprice"), 2)
+            .as("sum_base_price"),
+          graft.functions.EngineNeutral.exactSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          graft.functions.EngineNeutral.exactSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")), 6)
+            .as("sum_charge"),
           graft.functions.EngineNeutral.r2(avg("l_quantity")).as("avg_qty"),
           graft.functions.EngineNeutral.r2(avg("l_extendedprice")).as("avg_price"),
           graft.functions.EngineNeutral.r4(avg("l_discount")).as("avg_disc"),
@@ -62,7 +70,8 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(graft.functions.EngineNeutral.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))),
 
     // 21d. Exact interpolated percentiles per group (both engines use
@@ -112,7 +121,8 @@ object RelationalQueries {
       Tables.orders(s, d)
         .withColumn("rn", row_number().over(w))
         .withColumn("running_total",
-          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn"), col("running_total"))
@@ -138,7 +148,8 @@ object RelationalQueries {
     //      unmatched rows), so it shuffle-joins on the key.
     "q_join_outer" -> ((s, d) => {
       val spend = Tables.orders(s, d).groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.EngineNeutral.exactSum(col("o_totalprice"), 2).as("spend"))
       Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
         .join(spend, col("c_custkey") === col("o_custkey"), "full_outer")
         .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
@@ -153,7 +164,8 @@ object RelationalQueries {
       Tables.events(s, d)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hr"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.EngineNeutral.exactSum(col("value"), 2).as("total_value"))
         .orderBy("hr", "event_type")),
 
     // 26. Approximate distinct (HLL sketch) — rows-only check: DuckDB's
@@ -215,7 +227,8 @@ object RelationalQueries {
     "q_stream_window" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.EngineNeutral.exactSum(col("value"), 2).as("total_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy("win_start", "event_type"))
@@ -223,13 +236,14 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_join_broadcast" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_multi" ->
       """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -241,9 +255,9 @@ object RelationalQueries {
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  floor(avg(l_quantity) * 100 + 0.5) / 100.0 AS avg_qty,
         |  floor(avg(l_extendedprice) * 100 + 0.5) / 100.0 AS avg_price,
         |  floor(avg(l_discount) * 10000 + 0.5) / 10000.0 AS avg_disc,
@@ -253,7 +267,7 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_tpch_q5" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -289,9 +303,9 @@ object RelationalQueries {
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, rn, running_total FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER w AS rn,
-        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE rn <= 3 ORDER BY custkey, rn""".stripMargin,
@@ -309,12 +323,14 @@ object RelationalQueries {
         |  coalesce(n_orders, 0) AS n_orders,
         |  coalesce(spend, 0.0) AS spend
         |FROM customer FULL OUTER JOIN (
-        |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
     "q_asof" ->
       """WITH p AS (
@@ -358,7 +374,8 @@ object RelationalQueries {
     "q_stream_window" ->
       """SELECT strftime(make_timestamp((floor(epoch(ts)/21600)*21600*1000000)::BIGINT),
         |    '%Y-%m-%d %H:%M') AS win_start,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin
   )

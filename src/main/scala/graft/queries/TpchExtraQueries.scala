@@ -47,7 +47,7 @@ object TpchExtraQueries {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(volume), 2).as("revenue"))
+        .agg(graft.functions.EngineNeutral.exactSum(volume, 4).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
@@ -72,8 +72,9 @@ object TpchExtraQueries {
         .join(broadcast(n2), col("s_nationkey") === col("nk2"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(graft.functions.EngineNeutral.roundHalfUp(
-          sum(when(col("supp_nation") === "NATION_3", volume).otherwise(0.0)) /
-            sum(volume), 6).as("mkt_share"))
+          graft.functions.EngineNeutral.exactSum(
+            when(col("supp_nation") === "NATION_3", volume).otherwise(0.0), 4) /
+            graft.functions.EngineNeutral.exactSum(volume, 4), 6).as("mkt_share"))
         .orderBy("o_year")
     }),
 
@@ -88,7 +89,8 @@ object TpchExtraQueries {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(volume - col("p_retailprice") * col("l_quantity")), 2)
+        .agg(graft.functions.EngineNeutral.exactSum(
+          volume - col("p_retailprice") * col("l_quantity"), 4)
           .as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)),
 
@@ -128,13 +130,13 @@ object TpchExtraQueries {
           col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum(volume).as("rev_raw"))
+        .agg(graft.functions.EngineNeutral.exactSum(volume, 4).as("rev_raw"))
       val mx = rev.agg(max("rev_raw").as("mx"))
       Tables.supplier(s, d)
         .join(rev, col("s_suppkey") === col("supplier_no"))
         .join(broadcast(mx), col("rev_raw") === col("mx"))
         .select(col("s_suppkey"), col("s_name"),
-          round(col("rev_raw"), 2).as("total_revenue"))
+          col("rev_raw").as("total_revenue"))
         .orderBy("s_suppkey")
     }),
 
@@ -170,7 +172,8 @@ object TpchExtraQueries {
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .agg(graft.functions.EngineNeutral.exactSum(
+          col("l_extendedprice") * col("l_discount"), 4)
           .as("revenue"))),
 
     // 96. Q11 important-stock shape: group-aggregate vs a GLOBAL
@@ -189,15 +192,17 @@ object TpchExtraQueries {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("l_partkey"))
-        .agg(sum(col("l_extendedprice") * col("l_quantity")).as("value_raw"))
+        .agg(graft.functions.EngineNeutral.exactSum(
+          col("l_extendedprice") * col("l_quantity"), 2).as("value_raw"))
       // association order mirrors the oracle's `1.5 * sum / count`
       // exactly — a different double association ((sum/count)*1.5) can
       // differ by an ulp and flip the strict > gate on a boundary part
       val thr = byPart.agg(
-        (lit(1.5) * sum("value_raw") / count(lit(1))).as("thr"))
+        (lit(1.5) * sum(col("value_raw").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("thr"))
       byPart.crossJoin(broadcast(thr))
         .filter(col("value_raw") > col("thr"))
-        .select(col("l_partkey"), round(col("value_raw"), 2).as("value"))
+        .select(col("l_partkey"), col("value_raw").as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
 
@@ -277,7 +282,8 @@ object TpchExtraQueries {
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q7" ->
-      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |    year(l_shipdate) AS l_year,
@@ -294,8 +300,8 @@ object TpchExtraQueries {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_tpch_q8" ->
       """SELECT o_year,
-        |  floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-        |    / sum(volume) * 1000000 + 0.5) / 1000000.0 AS mkt_share
+        |  floor(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS mkt_share
         |FROM (
         |  SELECT year(o_orderdate) AS o_year,
         |    l_extendedprice * (1.0 - l_discount) AS volume,
@@ -311,7 +317,8 @@ object TpchExtraQueries {
         |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_tpch_q9" ->
-      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      """SELECT nation, o_year,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
         |FROM (
         |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
         |    l_extendedprice * (1.0 - l_discount)
@@ -334,12 +341,12 @@ object TpchExtraQueries {
     "q_tpch_q15" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS rev_raw
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, round(rev_raw, 2) AS total_revenue
+        |SELECT s_suppkey, s_name, rev_raw AS total_revenue
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE rev_raw = (SELECT max(rev_raw) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
@@ -357,7 +364,7 @@ object TpchExtraQueries {
         |      AND l3.l_shipdate > l1.l_shipdate))
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_tpch_q6" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -365,16 +372,17 @@ object TpchExtraQueries {
         |  AND l_quantity < 24""".stripMargin,
     "q_tpch_q11" ->
       """WITH byPart AS (
-        |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value_raw
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value_raw
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE r_name = 'EUROPE'
         |  GROUP BY l_partkey)
-        |SELECT l_partkey, round(value_raw, 2) AS value
+        |SELECT l_partkey, value_raw AS value
         |FROM byPart
-        |WHERE value_raw > (SELECT 1.5 * sum(value_raw) / count(*) FROM byPart)
+        |WHERE value_raw > (SELECT 1.5 * CAST(sum(CAST(value_raw AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM byPart)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q_tpch_q12" ->
       """SELECT l_linestatus,

@@ -100,7 +100,12 @@ if "--selftest" in sys.argv:
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver SFs are single files; ScaleUp-written SFs (e.g. tmp/sf1)
+    # are Spark part-file directories — glob those
+    src = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # iterate over the DECLARED query list (queries.json), not just the

@@ -45,9 +45,29 @@ object EngineNeutral {
   def exactSum(c: Column, scale: Int): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** [[exactSum]] for high-scale addends whose exact total can exceed
+    * double's 2^53 integer range at ×10^scale (e.g. the 6-dp
+    * price×(1−disc)×(1+tax) charge at sf1: 4.4e10 × 10⁶ > 9e15 — the
+    * decimal→double cast itself then rounds, and engines disagree on
+    * the last bit): the EXACT decimal sum is first rounded to
+    * `outScale` decimals IN DECIMAL (identical half-up arithmetic in
+    * both engines), and only that shorter value crosses into double.
+    */
+  def exactSumRounded(c: Column, scale: Int, outScale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)"))
+      .cast(s"decimal(38,$outScale)").cast("double")
+
   /** The matching DuckDB fragment for [[exactSum]]. */
   def exactSumSql(expr: String, scale: Int): String =
     s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** The matching DuckDB fragment for [[exactSumRounded]]. DuckDB's
+    * decimal→decimal cast TRUNCATES where Spark's rounds HALF_UP —
+    * its `round()` on decimals is the half-away-from-zero that
+    * matches Spark's cast, so the fragment rounds explicitly.
+    */
+  def exactSumRoundedSql(expr: String, scale: Int, outScale: Int): String =
+    s"CAST(round(sum(CAST($expr AS DECIMAL(18,$scale))), $outScale) AS DOUBLE)"
 
   /** Engine-neutral 60-bit hash of a string: the low 60 bits (15 hex
     * chars — within a signed long, always positive) of its md5.

@@ -49,9 +49,9 @@ object RelationalQueries {
           graft.functions.EngineNeutral.exactSum(
             col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("sum_disc_price"),
-          graft.functions.EngineNeutral.exactSum(
+          graft.functions.EngineNeutral.exactSumRounded(
             col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-              * (lit(1.0) + col("l_tax")), 6)
+              * (lit(1.0) + col("l_tax")), 6, 2)
             .as("sum_charge"),
           graft.functions.EngineNeutral.r2(avg("l_quantity")).as("avg_qty"),
           graft.functions.EngineNeutral.r2(avg("l_extendedprice")).as("avg_price"),
@@ -257,7 +257,7 @@ object RelationalQueries {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
         |  floor(avg(l_quantity) * 100 + 0.5) / 100.0 AS avg_qty,
         |  floor(avg(l_extendedprice) * 100 + 0.5) / 100.0 AS avg_price,
         |  floor(avg(l_discount) * 10000 + 0.5) / 10000.0 AS avg_disc,

@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.GovernanceQueries.queries ++
       graft.queries.SpanQueries.queries ++
       graft.queries.SelectionQueries.queries ++
-      graft.queries.ProfilingQueries.queries
+      graft.queries.ProfilingQueries.queries ++
+      graft.queries.WarehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.GovernanceQueries.oracles ++
       graft.queries.SpanQueries.oracles ++
       graft.queries.SelectionQueries.oracles ++
-      graft.queries.ProfilingQueries.oracles
+      graft.queries.ProfilingQueries.oracles ++
+      graft.queries.WarehouseQueries.oracles
 }

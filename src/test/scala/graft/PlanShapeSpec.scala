@@ -222,4 +222,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hn.contains("BroadcastNestedLoopJoin"),
       s"q_hard_negatives: the query side must broadcast:\n$hn")
   }
+
+  test("wave-12 shapes: native sample top-k, exchange-free bucketed join, no hash windows") {
+    // q_sample_group_k: exact-k sampling must ride the bounded-heap
+    // operator — a window row_number materializes EVERY row per group
+    val sg = plan("q_sample_group_k")
+    assert(sg.contains("TopK"),
+      s"q_sample_group_k no longer uses the native TopKPerKey operator:\n$sg")
+    assert(!sg.contains("Window"), s"q_sample_group_k regressed to a window rank:\n$sg")
+    // q_join_bucketed: the orders⋈lineitem stage itself must read the
+    // co-located buckets with ZERO Exchange below the join (broadcast
+    // disabled so size stats can't mask a bucketing regression)
+    WarehouseShim.ensure(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val jb = SparkEntry.queries("q_join_bucketed")(spark, sf)
+        .queryExecution.sparkPlan
+      val joins = jb.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, s"q_join_bucketed lost its sort-merge join:\n$jb")
+      joins.foreach { j =>
+        val exch = j.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exch.isEmpty,
+          s"q_join_bucketed: bucketed join grew a shuffle below the join:\n$jb")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // q_rare_tokens: corpus token counts stay partial->final (a mega
+    // token must collapse on the mappers), and the hapax set comes
+    // back as a semi-join, never a broadcast of the vocabulary
+    val rt = plan("q_rare_tokens")
+    assert("HashAggregate".r.findAllIn(rt).size >= 2,
+      s"q_rare_tokens lost map-side combine on token counts:\n$rt")
+    assert(rt.contains("LeftSemi"), s"q_rare_tokens hapax probe lost its semi form:\n$rt")
+  }
+}
+
+/** Builds the bucketed tables outside the measured plan (the gated
+  * query does this lazily; the spec needs them before taking a plan).
+  */
+private object WarehouseShim {
+  def ensure(spark: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.queries.WarehouseQueries.ensureBucketed(spark, d)
 }

@@ -107,7 +107,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // PrefixScan range exchange plus driver-bounded offsets;
     // q_vocab_coverage's exchanges are the token-count aggregation
     // (vocabulary-sized, corpus-sublinear) and the vocab-row scan
-    "q_semdedup", "q_acf", "q_weighted_median", "q_vocab_coverage")
+    "q_semdedup", "q_acf", "q_weighted_median", "q_vocab_coverage",
+    // wave-12 arrivals: q_scd2 / q_interval_merge move one compact
+    // (user, ts_us, …) long row per event through user-partitioned
+    // window exchanges — event-linear, no text, no hash keys;
+    // q_rare_tokens shuffles the (token → count) aggregation plus the
+    // semi-join probe — token-linear, and the hapax side must NEVER
+    // flip to a broadcast build (it is vocabulary-sized);
+    // q_sample_group_k moves ≤ k rows per group past the partial
+    // TopK — its shuffle must stay ~FLAT, far under the ceiling
+    "q_scd2", "q_interval_merge", "q_rare_tokens", "q_sample_group_k")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

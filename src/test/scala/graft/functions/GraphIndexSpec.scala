@@ -1,0 +1,116 @@
+package graft.functions
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the persisted near-dup graph index: the edge set read through
+  * any append/compaction history must equal a from-scratch rebuild on
+  * the same documents — INCLUDING the hard df-band transitions where a
+  * batch creates edges between two OLD documents (shingle df reaches
+  * min_df) or deletes support under OLD edges (df crosses max_df).
+  */
+class GraphIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def rebuildEdges(docs: DataFrame, minShared: Int = 5,
+                           minDf: Int = 2, maxDf: Int = 20): Set[(Long, Long, Long)] =
+    edgeSet(Dedup.sharedShingleEdges(docs, "doc_id", "text",
+      shingleK = 3, minShared = minShared, minDf = minDf, maxDf = maxDf)
+      .select("id_a", "id_b", "shared"))
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_gidx").toString
+
+  test("multi-batch append over the gate corpus ≡ full rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 1)
+    val b3 = docs.filter(col("doc_id") % 3 === 2)
+    val root = tmp()
+    GraphIndex.writeIndex(b1, "doc_id", "text", root)
+    GraphIndex.appendIndex(b2, "doc_id", "text", root)
+    GraphIndex.appendIndex(b3, "doc_id", "text", root)
+    val vdir = graft.operators.Versioned.resolve(spark, root).get
+    val got = edgeSet(GraphIndex.readEdges(spark, vdir))
+    assert(got === rebuildEdges(docs))
+    assert(got.nonEmpty, "gate corpus must produce a non-trivial graph")
+    // postings/dfs reconstruct the rebuild's statistics exactly
+    val nPost = GraphIndex.readPostings(spark, vdir).count()
+    assert(nPost ===
+      Dedup.shingleHashes(docs, "doc_id", "text", 3).dropDuplicates("id", "h").count())
+  }
+
+  test("df-band crossings: appends create AND delete edges between old docs") {
+    import spark.implicits._
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    // span shared by docs 1,2 — plus per-doc filler so each doc also
+    // has unique shingles
+    val span = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    def filler(tag: String) = (1 to 8).map(i => s"$tag$i")
+    val base = Seq(doc(1, span ++ filler("a")), doc(2, span ++ filler("b"))).toDF("doc_id", "text")
+    val root = tmp()
+    // min_df = 3: with only docs 1,2 the span shingles sit BELOW the
+    // band — no edges yet
+    GraphIndex.writeIndex(base, "doc_id", "text", root,
+      shingleK = 3, minShared = 3, minDf = 3, maxDf = 4)
+    val v1 = graft.operators.Versioned.resolve(spark, root).get
+    assert(edgeSet(GraphIndex.readEdges(spark, v1)).isEmpty)
+
+    // batch 2 (doc 3 holds the span): df reaches min_df=3 — edges must
+    // appear between ALL THREE docs, including the OLD pair (1,2)
+    val b2 = Seq(doc(3, span ++ filler("c"))).toDF("doc_id", "text")
+    GraphIndex.appendIndex(b2, "doc_id", "text", root)
+    val after2 = edgeSet(GraphIndex.readEdges(spark, v1))
+    val all3 = Seq(doc(1, span ++ filler("a")), doc(2, span ++ filler("b")),
+      doc(3, span ++ filler("c"))).toDF("doc_id", "text")
+    assert(after2 === rebuildEdges(all3, minShared = 3, minDf = 3, maxDf = 4))
+    assert(after2.map(e => (e._1, e._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // batches 3,4 (docs 4,5 hold the span): df crosses max_df=4 — the
+    // span leaves the band and every edge it supported must DIE
+    val b3 = Seq(doc(4, span ++ filler("d"))).toDF("doc_id", "text")
+    val b4 = Seq(doc(5, span ++ filler("e"))).toDF("doc_id", "text")
+    GraphIndex.appendIndex(b3, "doc_id", "text", root)
+    GraphIndex.appendIndex(b4, "doc_id", "text", root)
+    val after4 = edgeSet(GraphIndex.readEdges(spark, v1))
+    val all5 = Seq(doc(1, span ++ filler("a")), doc(2, span ++ filler("b")),
+      doc(3, span ++ filler("c")), doc(4, span ++ filler("d")),
+      doc(5, span ++ filler("e"))).toDF("doc_id", "text")
+    assert(after4 === rebuildEdges(all5, minShared = 3, minDf = 3, maxDf = 4))
+    assert(after4.isEmpty, "span df=5 > max_df=4: its edges must be deleted")
+  }
+
+  test("replayed batch commits nothing; compaction preserves the fold") {
+    val docs = Tables.documents(spark, sf)
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val root = tmp()
+    GraphIndex.writeIndex(b1, "doc_id", "text", root)
+    GraphIndex.appendIndex(b2, "doc_id", "text", root)
+    val vdir = graft.operators.Versioned.resolve(spark, root).get
+    val nDeltas = graft.operators.Versioned.listDeltas(spark, vdir).size
+    val before = edgeSet(GraphIndex.readEdges(spark, vdir))
+    // full redelivery: every id already indexed → no new delta
+    GraphIndex.appendIndex(b2, "doc_id", "text", root)
+    assert(graft.operators.Versioned.listDeltas(spark, vdir).size === nDeltas,
+      "replay must not commit a delta")
+    assert(edgeSet(GraphIndex.readEdges(spark, vdir)) === before)
+    // compaction: new deltaless version, identical edges and dfs
+    val nv = GraphIndex.compactIndex(spark, root)
+    assert(graft.operators.Versioned.listDeltas(spark, nv).isEmpty)
+    assert(edgeSet(GraphIndex.readEdges(spark, nv)) === before)
+    assert(before === rebuildEdges(docs))
+    val dfsFolded = GraphIndex.readDfs(spark, nv).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dfsRebuild = Dedup.shingleHashes(docs, "doc_id", "text", 3)
+      .dropDuplicates("id", "h").groupBy("h").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dfsFolded === dfsRebuild)
+  }
+}

@@ -57,6 +57,42 @@ object WarehouseQueries {
     (li, od)
   }
 
+  /** Version dir of the per-sf-dir persisted graph index (the
+    * lexical-index session-caching convention): built once with
+    * q_triangles' edge parameters, then every graph analytic reads the
+    * committed edge set instead of re-running the corpus-scanning
+    * shingle blocking.
+    */
+  private val graphIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Degree-oriented per-node triangle counts over an explicit edge
+    * list — q_triangles' published O(√m) wedge shape with the edge
+    * construction externalized (same merge-hint discipline).
+    */
+  private def triangleCounts(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg_u"))
+    val dir = sym
+      .join(deg.hint("merge"), "u")
+      .join(deg.select(col("u").as("v"), col("deg_u").as("deg_v")).hint("merge"), "v")
+      .filter(col("deg_u") < col("deg_v") ||
+        (col("deg_u") === col("deg_v") && col("u") < col("v")))
+      .select("u", "v")
+      .persist(StorageLevel.MEMORY_ONLY)
+    graft.plans.CacheHandles.track("query.trianglesIndexed.oriented", dir)
+    val wedges = dir.select(col("u"), col("v").as("v1"))
+      .join(dir.select(col("u"), col("v").as("v2")), "u")
+      .filter(col("v1") =!= col("v2"))
+    val tris = wedges.join(
+      dir.select(col("u").as("v1"), col("v").as("v2")).hint("merge"),
+      Seq("v1", "v2"), "left_semi")
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     // 135. SCD Type-2 change tracking: collapse each user's event-type
     //      stream into validity intervals [valid_from, valid_to) —
@@ -220,6 +256,22 @@ object WarehouseQueries {
             col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // 142. Triangle counts through the PERSISTED graph index (the
+    //      q_bm25_indexed convention): writeIndex commits postings +
+    //      dfs + df-banded edges once per corpus version; the query
+    //      reads the committed edge set — no re-tokenization, no
+    //      posting self-join — and runs only the O(√m) wedge close.
+    //      Gated against the SAME oracle as q_triangles, so index
+    //      build + indexed serving are driver-verified end to end.
+    "q_triangles_indexed" -> ((s, d) => {
+      val vdir = graphIndexCache.computeIfAbsent(d, _ =>
+        graft.functions.GraphIndex.writeIndex(
+          Tables.documents(s, d), "doc_id", "text",
+          java.nio.file.Files.createTempDirectory("graft_gidx_q").toString))
+      triangleCounts(
+        graft.functions.GraphIndex.readEdges(s, vdir).select("id_a", "id_b"))
     })
   )
 
@@ -322,6 +374,9 @@ object WarehouseQueries {
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the indexed path must reproduce the in-job q_triangles result
+    // exactly — one oracle, two physical routes
+    "q_triangles_indexed" -> SelectionQueries.oracles("q_triangles")
   )
 }

@@ -177,10 +177,11 @@ object GraphIndex {
     * df partials, and re-judge ONLY the pairs whose shared-band count
     * the batch can have changed (see object doc). Already-indexed doc
     * ids are dropped first — first delivery wins, so a replayed batch
-    * commits nothing and the index is idempotent under redelivery.
+    * commits nothing (returns None) and the index is idempotent under
+    * redelivery; otherwise returns the committed delta dir.
     */
   def appendIndex(batch: DataFrame, idCol: String, textCol: String,
-                  path: String): Unit = {
+                  path: String): Option[String] = {
     val spark = batch.sparkSession
     val vdir = graft.operators.Versioned.resolve(spark, path)
       .getOrElse(sys.error(s"no committed graph index at $path"))
@@ -195,7 +196,7 @@ object GraphIndex {
       .dropDuplicates("id", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (fresh.isEmpty) return
+      if (fresh.isEmpty) return None
       val dfsB = fresh.groupBy("h").agg(count(lit(1)).as("cb"))
       val oldDfs = readDfs(spark, vdir)
       // band-membership transitions the batch can cause: old df in
@@ -220,13 +221,12 @@ object GraphIndex {
           val mergedDfs = oldDfs.unionAll(dfsB.withColumnRenamed("cb", "c"))
             .groupBy("h").agg(sum("c").as("c"))
           val edgesA = edgesFrom(postingsA, mergedDfs, p.minShared, p.minDf, p.maxDf)
-          graft.operators.Versioned.commitDelta(spark, path, vdir) { dir =>
+          Some(graft.operators.Versioned.commitDelta(spark, path, vdir) { dir =>
             fresh.write.parquet(s"$dir/postings")
             dfsB.withColumnRenamed("cb", "c").write.parquet(s"$dir/dfs")
             affected.write.parquet(s"$dir/affected")
             edgesA.write.parquet(s"$dir/edges")
-          }
-          ()
+          })
         } finally { affected.unpersist(); () }
       } finally { allPostings.unpersist(); () }
     } finally { fresh.unpersist(); () }

@@ -719,6 +719,46 @@ object Streams {
     q
   }
 
+  /** Streaming growth of the persisted near-dup GRAPH index
+    * ([[graft.functions.GraphIndex]]): each document micro-batch
+    * appends O(batch + touched) postings/df/edge deltas — exact under
+    * corpus-global df-band transitions, see the GraphIndex doc — and
+    * the batch's RE-JUDGED edge set (every pair the batch could have
+    * changed: created, updated, or now-absent support between OLD
+    * docs included) lands at `outPath` under the `batch_id=N`
+    * dynamic-partition overwrite sink.
+    *
+    * Replay-safe by construction: appendIndex drops already-indexed
+    * doc ids (first delivery wins), so a checkpoint replay or source
+    * redelivery commits NO delta and overwrites nothing — the folded
+    * edge set equals a batch rebuild over everything delivered, which
+    * GraphIndexSpec pins through a channel-driven run.
+    */
+  def graphIngest(stream: DataFrame, indexPath: String, outPath: String,
+                  checkpoint: String, idCol: String = "doc_id",
+                  textCol: String = "text"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.functions.GraphIndex
+            .appendIndex(batch, idCol, textCol, indexPath)
+            .foreach { deltaDir =>
+              spark.read.parquet(s"$deltaDir/edges")
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(outPath)
+            }
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

@@ -86,6 +86,52 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(after4.isEmpty, "span df=5 > max_df=4: its edges must be deleted")
   }
 
+  test("graphIngest: channel-driven micro-batches + redelivery ≡ batch rebuild") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_s").toString
+    GraphIndex.writeIndex(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      s"$dir/index")
+    val rows = docs.filter(col("doc_id") >= 200)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ch = graft.streaming.Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = graft.streaming.Streams.graphIngest(
+      ch.toDS.toDF("doc_id", "text"), s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    try {
+      ch.send(b2: _*)
+      q.processAllAvailable()
+      val vdir = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+      val nDeltas = graft.operators.Versioned.listDeltas(spark, vdir).size
+      assert(edgeSet(GraphIndex.readEdges(spark, vdir)) === rebuildEdges(docs),
+        "streamed index diverges from the batch rebuild")
+      // source redelivery: every id indexed → no delta, edges stable
+      ch.send(b1: _*)
+      q.processAllAvailable()
+      assert(graft.operators.Versioned.listDeltas(spark, vdir).size === nDeltas,
+        "redelivered batch must commit nothing")
+      assert(edgeSet(GraphIndex.readEdges(spark, vdir)) === rebuildEdges(docs))
+      // the out sink holds each batch's re-judged pairs; an earlier
+      // emission may be superseded by a later batch re-judging the
+      // pair, but each pair's LATEST emission that survives to the
+      // final fold must carry the final shared count
+      val lastEmit = spark.read.parquet(s"$dir/out")
+        // batch_id comes back via partition-dir inference as an int
+        .select(col("id_a"), col("id_b"), col("shared"),
+          col("batch_id").cast("long").as("batch_id"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(2))))
+        .groupBy(_._1)
+        .map { case (pair, xs) => pair -> xs.map(_._2).maxBy(_._1)._2 }
+      val finalEdges = rebuildEdges(docs).map(e => (e._1, e._2) -> e._3).toMap
+      val wrong = lastEmit.keySet.intersect(finalEdges.keySet)
+        .filter(k => finalEdges(k) != lastEmit(k))
+      assert(wrong.isEmpty, s"latest emissions diverge from the final fold: $wrong")
+      assert(lastEmit.nonEmpty, "the ingest must emit re-judged edges")
+    } finally q.stop()
+  }
+
   test("replayed batch commits nothing; compaction preserves the fold") {
     val docs = Tables.documents(spark, sf)
     val b1 = docs.filter(col("doc_id") < 250)

@@ -296,7 +296,34 @@ object BenchFormat {
       if (bareCounts(b) == 1) b else s
     }
     val mergedCounts = merged.groupBy(identity).view.mapValues(_.size).toMap
-    merged.zip(stripped).map { case (k, n) => if (mergedCounts(k) == 1) k else n }
+    val unique = merged.zip(stripped).map { case (k, n) => if (mergedCounts(k) == 1) k else n }
+    // final densification (round 11, 160 queries: the +15 headroom
+    // gate tripped again): greedily trim each key from the END to ≥3
+    // chars while the set stays pairwise DISTINCT (keys need
+    // distinctness, not prefix-freeness) — strict-prefix families
+    // (percent/percentile, group/groupby/grouping) otherwise force
+    // 7-8-char keys through the full-name fallback. A trimmed key
+    // stays decodable: any prefix of a (familyPrefix + restPrefix)
+    // split is itself such a split. Deterministic: fixed input order,
+    // iterate to fixpoint.
+    val buf = scala.collection.mutable.ArrayBuffer(unique: _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < buf.length) {
+        val k = buf(i)
+        if (k.length > 3) {
+          val t = k.dropRight(1)
+          var dup = false
+          var j = 0
+          while (j < buf.length && !dup) { dup = j != i && buf(j) == t; j += 1 }
+          if (!dup) { buf(i) = t; changed = true }
+        }
+        i += 1
+      }
+    }
+    buf.toSeq
   }
 
   /** Per-query seconds at ~2 significant figures (full 3-decimal

@@ -104,9 +104,33 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Term-hash partition-bucket count for the persisted tf/df
+    * layouts: rows land under `pb = pmod(th, LexBuckets)` partition
+    * dirs, so SERVING reads prune to the buckets the query's own
+    * terms hash into (the lexical analog of IVF cell pruning — a
+    * point query touches a handful of buckets instead of scanning a
+    * corpus-sized tf table; a query workload touching every bucket
+    * degrades gracefully to the full read).
+    */
+  val LexBuckets: Int = 64
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("pb", pmod(col("th"), lit(LexBuckets.toLong)))
+
+  /** Bucketed write that stays READABLE when the frame is empty: a
+    * partitioned write of zero rows creates no files at all (schema
+    * inference then fails on the read side), so an empty frame writes
+    * plain — readers union with allowMissingColumns, and the missing
+    * `pb` can never matter on zero rows.
+    */
+  private def writeBucketed(df: DataFrame, path: String): Unit =
+    if (df.isEmpty) df.write.parquet(path)
+    else withBucket(df).write.partitionBy("pb").parquet(path)
+
   /** Build (or atomically refresh) the persisted lexical index the
-    * indexed/streaming faces probe: `tf/` (id, th, tf, dl), `df/`
-    * (th, df) and `stats/` (n, avgdl) under a
+    * indexed/streaming faces probe: `tf/` (id, th, tf, dl) and `df/`
+    * (th, df), both partitioned by the [[LexBuckets]] term-hash
+    * bucket, plus `stats/` (n, sdl) under a
     * [[graft.operators.Versioned]] root — build the corpus statistics
     * once, score query workloads forever without re-tokenizing 100 TB
     * (df/stats are persisted rather than re-derived because deriving
@@ -129,10 +153,9 @@ object Retrieval {
       // tokenize the corpus three times — at 100 TB that triples the
       // dominant cost of the build)
       val (tf, _, _) = lexicalTables(corpus, idCol, textCol)
-      tf.write.parquet(s"$dir/tf")
+      writeBucketed(tf, s"$dir/tf")
       val tfBack = spark.read.parquet(s"$dir/tf")
-      tfBack.groupBy("th").agg(count(lit(1)).as("df"))
-        .write.parquet(s"$dir/df")
+      writeBucketed(tfBack.groupBy("th").agg(count(lit(1)).as("df")), s"$dir/df")
       writeStatsPartial(tfBack, spark.read.parquet(s"$dir/ids").count(),
         s"$dir/stats")
     }
@@ -188,14 +211,38 @@ object Retrieval {
     * scores.
     */
   def readLexicalIndex(spark: org.apache.spark.sql.SparkSession,
-                       versionDir: String): (DataFrame, DataFrame, DataFrame) = {
+                       versionDir: String): (DataFrame, DataFrame, DataFrame) =
+    readLexicalIndexPruned(spark, versionDir, None)
+
+  /** [[readLexicalIndex]] with optional bucket pruning: when `pb` is
+    * given, every tf/df read filters to those partition buckets BEFORE
+    * merging, so the filters reach the parquet scans as partition
+    * pruning (directory skipping) — the serving path's whole point.
+    * Pre-bucket layouts (no `pb` column) read unpruned; correctness is
+    * unaffected either way because scoring joins on the query-term set
+    * and every matching term hashes into a requested bucket.
+    */
+  private def readLexicalIndexPruned(spark: org.apache.spark.sql.SparkSession,
+                                     versionDir: String, pb: Option[Seq[Long]])
+      : (DataFrame, DataFrame, DataFrame) = {
     val deltas = graft.operators.Versioned.listDeltas(spark, versionDir)
-    def merged(sub: String) = deltas.foldLeft(spark.read.parquet(s"$versionDir/$sub")) {
-      (acc, d) => acc.unionByName(spark.read.parquet(s"$d/$sub"))
+    def prune(df: DataFrame): DataFrame = pb match {
+      case Some(buckets) if df.columns.contains("pb") =>
+        df.filter(col("pb").isin(buckets: _*))
+      case _ => df
     }
-    val df0 = spark.read.parquet(s"$versionDir/df")
+    // allowMissingColumns: an all-empty delta writes plain (no pb
+    // partition dirs exist for zero rows) — its absent pb unions as
+    // null over zero rows, which no filter can ever observe
+    def merged(sub: String) =
+      deltas.foldLeft(prune(spark.read.parquet(s"$versionDir/$sub"))) {
+        (acc, d) => acc.unionByName(prune(spark.read.parquet(s"$d/$sub")),
+          allowMissingColumns = true)
+      }
+    val df0 = prune(spark.read.parquet(s"$versionDir/df"))
     val df = if (deltas.isEmpty) df0
-      else deltas.foldLeft(df0)((acc, d) => acc.unionByName(spark.read.parquet(s"$d/df")))
+      else deltas.foldLeft(df0)((acc, d) => acc.unionByName(
+          prune(spark.read.parquet(s"$d/df")), allowMissingColumns = true))
         .groupBy("th").agg(sum("df").as("df"))
     val stats = deltas
       .foldLeft(statsAsPartial(spark.read.parquet(s"$versionDir/stats"))) {
@@ -240,12 +287,18 @@ object Retrieval {
     try {
       if (fresh.isEmpty) None
       else Some(graft.operators.Versioned.commitDelta(spark, indexPath, vdir) { d =>
+        // deltas match the BASE layout: bucketed only when the base tf
+        // is (unionByName across base+deltas requires one shape, and a
+        // pre-bucket index keeps serving unpruned without a rebuild)
+        val bucketed = spark.read.parquet(s"$vdir/tf").columns.contains("pb")
+        def write(df: DataFrame, sub: String): Unit =
+          if (bucketed) writeBucketed(df.drop("pb"), s"$d/$sub")
+          else df.write.parquet(s"$d/$sub")
         fresh.select(col(idCol).as("id")).write.parquet(s"$d/ids")
         val (tf, _, _) = lexicalTables(fresh, idCol, textCol)
-        tf.write.parquet(s"$d/tf")
+        write(tf, "tf")
         val tfBack = spark.read.parquet(s"$d/tf")
-        tfBack.groupBy("th").agg(count(lit(1)).as("df"))
-          .write.parquet(s"$d/df")
+        write(tfBack.groupBy("th").agg(count(lit(1)).as("df")), "df")
         writeStatsPartial(tfBack,
           spark.read.parquet(s"$d/ids").count(), s"$d/stats")
       })
@@ -276,8 +329,10 @@ object Retrieval {
           s"no committed lexical index at $indexPath"))
       val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
       val (tf, df, _) = readLexicalIndex(spark, vdir)
-      tf.write.parquet(s"$dir/tf")
-      df.write.parquet(s"$dir/df")
+      // preserve (or adopt) the bucketed layout across compaction so
+      // the folded version keeps pruning serving reads
+      writeBucketed(tf.drop("pb"), s"$dir/tf")
+      writeBucketed(df.drop("pb"), s"$dir/df")
       indexedIds(spark, vdir, deltas).write.parquet(s"$dir/ids")
       deltas
         .foldLeft(statsAsPartial(spark.read.parquet(s"$vdir/stats"))) {
@@ -294,8 +349,21 @@ object Retrieval {
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, versionDir: String,
                       queries: DataFrame, idCol: String, textCol: String,
-                      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (tf, dfreq, stats) = readLexicalIndex(spark, versionDir)
+                      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+                      prune: Boolean = true): DataFrame = {
+    // the query side is bounded by the retrieval contract, so its
+    // bucket set is a ≤LexBuckets-value driver collect — the pruning
+    // key, not data movement. Every term a corpus row could match
+    // hashes into one of these buckets, so pruned ≡ unpruned scoring.
+    // prune=false skips the collect for bulk workloads known to touch
+    // every bucket.
+    val qb =
+      if (!prune) None
+      else Some(queries
+        .select(explode(Dedup.tokens(col(textCol))).as("tok"))
+        .select(pmod(xxhash64(col("tok")), lit(LexBuckets.toLong)).as("pb"))
+        .distinct().collect().map(_.getLong(0)).toSeq)
+    val (tf, dfreq, stats) = readLexicalIndexPruned(spark, versionDir, qb)
     scoreBm25(tf, dfreq, stats, queries, idCol, textCol, topK, k1, b)
   }
 }

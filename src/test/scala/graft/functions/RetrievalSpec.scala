@@ -69,6 +69,16 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(indexed == direct)
     assert(direct.nonEmpty)
+    // serving reads PRUNE to the query terms' hash buckets: the tf/df
+    // scans must carry pb partition filters (directory skipping —
+    // the lexical analog of IVF cell pruning), and a single-term
+    // query must plan scans of exactly one bucket's worth of filters
+    val plan = Retrieval
+      .bm25TopKIndexed(spark, vdir,
+        queries.limit(1), "doc_id", "text", topK = 5)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pb#".r.findFirstIn(plan).isDefined,
+      s"bucketed serving lost its partition pruning:\n${plan.take(2000)}")
   }
 
   test("appendLexicalIndex ≡ full rebuild on the union; replay appends nothing") {

@@ -150,6 +150,82 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** A typed event for streaming SCD-2 change tracking. */
+  final case class TEvent(user_id: Long, event_id: Long,
+                          ts: java.sql.Timestamp, event_type: String)
+
+  /** A CLOSED SCD-2 validity interval (the open current run stays in
+    * state — append-mode output is final, so it can only emit once a
+    * successor closes it).
+    */
+  final case class Scd2Row(user_id: Long, event_type: String,
+                           valid_from_us: Long, valid_to_us: Long,
+                           n_events: Long)
+
+  /** Per-user SCD-2 state: events the watermark has not yet sealed
+    * (processing must be event-time ordered, and an admissible
+    * out-of-order arrival could land between them) plus the open run.
+    * Public: Spark's state encoder codegen must construct it.
+    */
+  final case class Scd2State(pending: List[(Long, Long, String)],
+                             curType: String, curFromUs: Long, curN: Long,
+                             hasCur: Boolean)
+
+  /** Streaming SCD Type-2 change tracking — the online face of
+    * q_scd2 (SURVEY §2 row 135): per user, consecutive same-type
+    * events collapse into validity intervals; an interval is emitted
+    * the moment a different-type successor CLOSES it. Out-of-order
+    * arrivals are handled the only way correct SCD-2 can be: events
+    * buffer in state until the watermark seals them (nothing earlier
+    * can still arrive), then fold in (ts, event_id) order — so the
+    * emitted intervals equal the batch fold over the same events
+    * (spec-pinned). State is O(open run + unsealed events) per user,
+    * partitioned by the user key; events later than the watermark at
+    * arrival are dropped (the standard streaming contract).
+    */
+  def scd2Stream(events: Dataset[TEvent],
+                 watermark: String = "10 minutes"): Dataset[Scd2Row] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, evts: Iterator[TEvent],
+           state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(Scd2State(Nil, "", 0L, 0L, hasCur = false))
+      val buf = st.pending ++ evts.map(e =>
+        (e.ts.getTime * 1000L, e.event_id, e.event_type))
+      val (ready, pending) = buf.partition(_._1 / 1000L <= wm)
+      var curType = st.curType
+      var curFrom = st.curFromUs
+      var curN = st.curN
+      var hasCur = st.hasCur
+      val out = scala.collection.mutable.ListBuffer.empty[Scd2Row]
+      ready.sortBy(t => (t._1, t._2)).foreach { case (tsUs, _, tpe) =>
+        if (!hasCur) { curType = tpe; curFrom = tsUs; curN = 1L; hasCur = true }
+        else if (tpe == curType) curN += 1L
+        else {
+          out += Scd2Row(userId, curType, curFrom, tsUs, curN)
+          curType = tpe; curFrom = tsUs; curN = 1L
+        }
+      }
+      if (pending.isEmpty && !hasCur) state.remove()
+      else {
+        state.update(Scd2State(pending, curType, curFrom, curN, hasCur))
+        // unsealed events must be folded once the watermark passes
+        // them even if the user goes quiet
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000L).min, wm + 1))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming exact dedup: drop rows whose key columns were already
     * seen, with state bounded by the watermark horizon
     * (`dropDuplicatesWithinWatermark` — duplicates are only tracked

@@ -95,6 +95,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Stream: out-of-order events fold into batch-identical closed intervals") {
+    import Streams.{Scd2Row, TEvent}
+    def ev(id: Long, t: String, tpe: String) =
+      TEvent(5L, id, Timestamp.valueOf(t), tpe)
+    // true order: A(00:00) A(00:10) B(00:20) B(00:30) A(00:40) —
+    // runs A[00:00,00:20)×2, B[00:20,00:40)×2, A[00:40,…) open
+    val ch = Streams.Channel[TEvent](spark)
+    val q = Streams.scd2Stream(ch.toDS, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 delivers OUT OF ORDER (the 00:20 B arrives before the
+      // 00:10 A); watermark still admits both, so the state buffers
+      // them until sealed
+      ch.send(ev(1, "2024-01-01 00:00:00", "A"),
+        ev(3, "2024-01-01 00:20:00", "B"),
+        ev(2, "2024-01-01 00:10:00", "A"))
+      q.processAllAvailable()
+      ch.send(ev(4, "2024-01-01 00:30:00", "B"),
+        ev(5, "2024-01-01 00:40:00", "A"))
+      q.processAllAvailable()
+      // advance the watermark far past every real event (two sends:
+      // the watermark used by batch N is computed from batch N-1)
+      ch.send(TEvent(99L, 100, Timestamp.valueOf("2024-01-02 00:00:00"), "Z"))
+      q.processAllAvailable()
+      ch.send(TEvent(99L, 101, Timestamp.valueOf("2024-01-02 00:01:00"), "Z"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_out").as[Scd2Row].collect()
+        .filter(_.user_id == 5L)
+        .map(r => (r.event_type, r.valid_from_us, r.valid_to_us, r.n_events)).toSet
+      def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+      assert(got == Set(
+        ("A", us("2024-01-01 00:00:00"), us("2024-01-01 00:20:00"), 2L),
+        ("B", us("2024-01-01 00:20:00"), us("2024-01-01 00:40:00"), 2L)),
+        s"closed intervals diverge from the event-time fold: $got")
+      // the open A run must NOT be emitted (append output is final)
+      assert(!got.exists(_._2 == us("2024-01-01 00:40:00")))
+    } finally q.stop()
+  }
+
   test("streaming sessionization agrees with batch session_window") {
     import Streams.SEvent
     val evts = Seq(

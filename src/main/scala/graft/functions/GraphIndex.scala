@@ -181,17 +181,22 @@ object GraphIndex {
     * redelivery; otherwise returns the committed delta dir.
     */
   def appendIndex(batch: DataFrame, idCol: String, textCol: String,
-                  path: String): Option[String] = {
+                  path: String, tag: Option[String] = None): Option[String] = {
     val spark = batch.sparkSession
     val vdir = graft.operators.Versioned.resolve(spark, path)
       .getOrElse(sys.error(s"no committed graph index at $path"))
     val p = readParams(spark, vdir)
     val postings = readPostings(spark, vdir)
     val batchIds = batch.select(col(idCol).as("id")).distinct()
-    val present = postings.select("id").distinct()
-      .join(batchIds, Seq("id"), "left_semi")
+    // index scan probed by the broadcast batch-id set, THEN distinct —
+    // the Ivf/lexical append discipline: dedup cost is batch-
+    // proportional, never a corpus-sized distinct shuffle per append
+    val present = postings.select("id")
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+      .distinct()
     val fresh = Dedup.shingleHashes(
-        batch.join(present.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"),
+        batch.join(broadcast(present.withColumnRenamed("id", idCol)),
+          Seq(idCol), "left_anti"),
         idCol, textCol, p.shingleK)
       .dropDuplicates("id", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -226,21 +231,46 @@ object GraphIndex {
             dfsB.withColumnRenamed("cb", "c").write.parquet(s"$dir/dfs")
             affected.write.parquet(s"$dir/affected")
             edgesA.write.parquet(s"$dir/edges")
+            // the appendHashIndex tag convention: lets a streaming
+            // caller re-locate ITS batch's delta after a crash between
+            // this commit and the sink write
+            tag.foreach { t =>
+              val tp = new org.apache.hadoop.fs.Path(dir, s"_TAG_$t")
+              val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+              fs.create(tp, true).close()
+            }
           })
         } finally { affected.unpersist(); () }
       } finally { allPostings.unpersist(); () }
     } finally { fresh.unpersist(); () }
   }
 
+  /** The committed delta carrying `_TAG_<tag>`, if any — how a
+    * streaming caller re-locates its own batch's delta after a crash
+    * between the append commit and its sink write.
+    */
+  def deltaByTag(spark: SparkSession, versionDir: String,
+                 tag: String): Option[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    graft.operators.Versioned.listDeltas(spark, versionDir).find { d =>
+      val p = new org.apache.hadoop.fs.Path(d, s"_TAG_$tag")
+      p.getFileSystem(conf).exists(p)
+    }
+  }
+
   /** Fold base + deltas into a fresh deltaless version (the
     * compaction discipline: readers mid-compaction keep resolving the
     * old version; the writer lock serializes against appends).
     */
-  def compactIndex(spark: SparkSession, path: String): String = {
-    val vdir = graft.operators.Versioned.resolve(spark, path)
-      .getOrElse(sys.error(s"no committed graph index at $path"))
-    val p = readParams(spark, vdir)
+  def compactIndex(spark: SparkSession, path: String): String =
     graft.operators.Versioned.commitNew(spark, path) { dir =>
+      // resolved INSIDE the write callback, i.e. under the writer
+      // _LOCK (the compactLexicalIndex discipline): a rebuild landing
+      // between an outside resolve and the lock would be silently
+      // erased by folding the superseded version over it
+      val vdir = graft.operators.Versioned.resolve(spark, path)
+        .getOrElse(sys.error(s"no committed graph index at $path"))
+      val p = readParams(spark, vdir)
       import spark.implicits._
       Seq((p.shingleK, p.minShared, p.minDf, p.maxDf))
         .toDF("shingle_k", "min_shared", "min_df", "max_df")
@@ -249,5 +279,4 @@ object GraphIndex {
       readDfs(spark, vdir).write.parquet(s"$dir/dfs")
       readEdges(spark, vdir).write.parquet(s"$dir/edges")
     }
-  }
 }

@@ -117,15 +117,42 @@ object Retrieval {
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("pb", pmod(col("th"), lit(LexBuckets.toLong)))
 
-  /** Bucketed write that stays READABLE when the frame is empty: a
-    * partitioned write of zero rows creates no files at all (schema
-    * inference then fails on the read side), so an empty frame writes
-    * plain — readers union with allowMissingColumns, and the missing
-    * `pb` can never matter on zero rows.
+  /** Bucketed write. A partitioned write of ZERO rows creates no
+    * files at all, which plain schema inference cannot read back —
+    * but probing the frame's emptiness here would re-execute its
+    * lineage (for writeLexicalIndex's tf that is a second full corpus
+    * tokenization — the exact cost the one-tokenization build note
+    * forbids), so the zero-row case is handled on the READ side
+    * instead ([[readTolerant]]).
     */
   private def writeBucketed(df: DataFrame, path: String): Unit =
-    if (df.isEmpty) df.write.parquet(path)
-    else withBucket(df).write.partitionBy("pb").parquet(path)
+    withBucket(df).write.partitionBy("pb").parquet(path)
+
+  private val tfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("th", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.IntegerType)))
+
+  private val dfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("th", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType)))
+
+  /** Read a tf/df dir that may hold NO data files (an all-empty
+    * bucketed write): inference when files exist — the inferred
+    * schema keeps the layout's own shape, bucketed or legacy — and
+    * the declared LEGACY schema (no pb, so pruning skips it; zero
+    * rows make the choice unobservable) when inference finds nothing.
+    */
+  private def readTolerant(spark: org.apache.spark.sql.SparkSession,
+                           dir: String,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    try spark.read.parquet(dir)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
   /** Build (or atomically refresh) the persisted lexical index the
     * indexed/streaming faces probe: `tf/` (id, th, tf, dl) and `df/`
@@ -154,7 +181,7 @@ object Retrieval {
       // dominant cost of the build)
       val (tf, _, _) = lexicalTables(corpus, idCol, textCol)
       writeBucketed(tf, s"$dir/tf")
-      val tfBack = spark.read.parquet(s"$dir/tf")
+      val tfBack = readTolerant(spark, s"$dir/tf", tfSchema)
       writeBucketed(tfBack.groupBy("th").agg(count(lit(1)).as("df")), s"$dir/df")
       writeStatsPartial(tfBack, spark.read.parquet(s"$dir/ids").count(),
         s"$dir/stats")
@@ -231,18 +258,20 @@ object Retrieval {
         df.filter(col("pb").isin(buckets: _*))
       case _ => df
     }
-    // allowMissingColumns: an all-empty delta writes plain (no pb
-    // partition dirs exist for zero rows) — its absent pb unions as
-    // null over zero rows, which no filter can ever observe
+    // allowMissingColumns + readTolerant: an all-empty component
+    // writes no data files (partitioned zero-row write) — it reads as
+    // an empty pb-less frame whose absent column unions as null over
+    // zero rows, which no filter can ever observe
+    def sch(sub: String) = if (sub == "df") dfSchema else tfSchema
     def merged(sub: String) =
-      deltas.foldLeft(prune(spark.read.parquet(s"$versionDir/$sub"))) {
-        (acc, d) => acc.unionByName(prune(spark.read.parquet(s"$d/$sub")),
+      deltas.foldLeft(prune(readTolerant(spark, s"$versionDir/$sub", sch(sub)))) {
+        (acc, d) => acc.unionByName(prune(readTolerant(spark, s"$d/$sub", sch(sub))),
           allowMissingColumns = true)
       }
-    val df0 = prune(spark.read.parquet(s"$versionDir/df"))
+    val df0 = prune(readTolerant(spark, s"$versionDir/df", dfSchema))
     val df = if (deltas.isEmpty) df0
       else deltas.foldLeft(df0)((acc, d) => acc.unionByName(
-          prune(spark.read.parquet(s"$d/df")), allowMissingColumns = true))
+          prune(readTolerant(spark, s"$d/df", dfSchema)), allowMissingColumns = true))
         .groupBy("th").agg(sum("df").as("df"))
     val stats = deltas
       .foldLeft(statsAsPartial(spark.read.parquet(s"$versionDir/stats"))) {
@@ -290,14 +319,15 @@ object Retrieval {
         // deltas match the BASE layout: bucketed only when the base tf
         // is (unionByName across base+deltas requires one shape, and a
         // pre-bucket index keeps serving unpruned without a rebuild)
-        val bucketed = spark.read.parquet(s"$vdir/tf").columns.contains("pb")
+        val bucketed = readTolerant(spark, s"$vdir/tf", tfSchema)
+          .columns.contains("pb")
         def write(df: DataFrame, sub: String): Unit =
           if (bucketed) writeBucketed(df.drop("pb"), s"$d/$sub")
           else df.write.parquet(s"$d/$sub")
         fresh.select(col(idCol).as("id")).write.parquet(s"$d/ids")
         val (tf, _, _) = lexicalTables(fresh, idCol, textCol)
         write(tf, "tf")
-        val tfBack = spark.read.parquet(s"$d/tf")
+        val tfBack = readTolerant(spark, s"$d/tf", tfSchema)
         write(tfBack.groupBy("th").agg(count(lit(1)).as("df")), "df")
         writeStatsPartial(tfBack,
           spark.read.parquet(s"$d/ids").count(), s"$d/stats")

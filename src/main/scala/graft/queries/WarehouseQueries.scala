@@ -34,8 +34,10 @@ object WarehouseQueries {
     * shuffle-free (OperatorsSpec pins the exchange-free plan).
     */
   def ensureBucketed(s: SparkSession, d: String): (String, String) = synchronized {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+    // 64-bit tag: a 32-bit string hash invites silent same-session
+    // collisions between different sf dirs (wrong tables, no error)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val li = s"graft_bkt_lineitem_$tag"
     val od = s"graft_bkt_orders_$tag"
     def build(name: String, df: => DataFrame): Unit =
@@ -340,7 +342,7 @@ object WarehouseQueries {
         |SELECT t.source,
         |  CAST(coalesce(h.n_hapax, 0) AS BIGINT) AS n_hapax,
         |  CAST(coalesce(h.n_docs_hapax, 0) AS BIGINT) AS n_docs_hapax,
-        |  round(coalesce(h.n_hapax, 0) * 1000.0 / t.n_tokens, 4) AS hapax_per_1k
+        |  floor((coalesce(h.n_hapax, 0) * 1000.0 / t.n_tokens) * 10000 + 0.5) / 10000.0 AS hapax_per_1k
         |FROM tot t LEFT JOIN hits h ON h.source = t.source
         |ORDER BY t.source""".stripMargin,
     "q_two_hop" ->

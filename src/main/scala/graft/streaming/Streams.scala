@@ -193,8 +193,12 @@ object Streams {
            state: GroupState[Scd2State]): Iterator[Scd2Row] = {
       val wm = state.getCurrentWatermarkMs()
       val st = state.getOption.getOrElse(Scd2State(Nil, "", 0L, 0L, hasCur = false))
-      val buf = st.pending ++ evts.map(e =>
-        (e.ts.getTime * 1000L, e.event_id, e.event_type))
+      // FULL micros (getTime truncates to ms — sub-ms events would
+      // fold in event_id order instead of true event-time order and
+      // diverge from the batch unix_micros fold)
+      def us(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val buf = st.pending ++ evts.map(e => (us(e.ts), e.event_id, e.event_type))
       val (ready, pending) = buf.partition(_._1 / 1000L <= wm)
       var curType = st.curType
       var curFrom = st.curFromUs
@@ -818,16 +822,27 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          def emit(deltaDir: String): Unit =
+            spark.read.parquet(s"$deltaDir/edges")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
           graft.functions.GraphIndex
-            .appendIndex(batch, idCol, textCol, indexPath)
-            .foreach { deltaDir =>
-              spark.read.parquet(s"$deltaDir/edges")
-                .withColumn("batch_id", lit(batchId))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(outPath)
-            }
+            .appendIndex(batch, idCol, textCol, indexPath, Some(tag)) match {
+            case Some(deltaDir) => emit(deltaDir)
+            case None =>
+              // crash window heal: the pre-crash run of THIS batch may
+              // have committed its delta and died before the sink
+              // write — re-locate it by tag and rewrite the partition
+              // idempotently (a plain source redelivery carries a new
+              // batch tag, finds nothing, and emits nothing)
+              graft.operators.Versioned.resolve(spark, indexPath).foreach { vdir =>
+                graft.functions.GraphIndex.deltaByTag(spark, vdir, tag).foreach(emit)
+              }
+          }
         }
       }
       .start()

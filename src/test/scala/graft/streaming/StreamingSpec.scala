@@ -115,6 +115,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       ch.send(ev(4, "2024-01-01 00:30:00", "B"),
         ev(5, "2024-01-01 00:40:00", "A"))
+      // user 6: events 800 µs apart; the LATER one (D) carries the
+      // SMALLER event_id, so ms-truncated time + id tiebreak would
+      // invert them
+      ch.send(
+        TEvent(6L, 11, Timestamp.valueOf("2024-01-01 01:00:00.0009"), "D"),
+        TEvent(6L, 12, Timestamp.valueOf("2024-01-01 01:00:00.0001"), "C"))
       q.processAllAvailable()
       // advance the watermark far past every real event (two sends:
       // the watermark used by batch N is computed from batch N-1)
@@ -132,6 +138,16 @@ class StreamingSpec extends AnyFunSuite {
         s"closed intervals diverge from the event-time fold: $got")
       // the open A run must NOT be emitted (append output is final)
       assert(!got.exists(_._2 == us("2024-01-01 00:40:00")))
+      // SUB-MILLISECOND ordering: two events 800 MICROS apart, the
+      // later type delivered with the SMALLER event_id — only true
+      // micros ordering (not ms-truncated ts + event_id tiebreak)
+      // folds them C-then-D
+      val got6 = spark.table("scd2_out").as[Scd2Row].collect()
+        .filter(_.user_id == 6L)
+        .map(r => (r.event_type, r.valid_from_us, r.valid_to_us, r.n_events)).toSet
+      assert(got6 == Set(
+        ("C", us("2024-01-01 01:00:00") + 100L, us("2024-01-01 01:00:00") + 900L, 1L)),
+        s"sub-ms events folded out of event-time order: $got6")
     } finally q.stop()
   }
 

@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.SpanQueries.queries ++
       graft.queries.SelectionQueries.queries ++
       graft.queries.ProfilingQueries.queries ++
-      graft.queries.WarehouseQueries.queries
+      graft.queries.WarehouseQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.SpanQueries.oracles ++
       graft.queries.SelectionQueries.oracles ++
       graft.queries.ProfilingQueries.oracles ++
-      graft.queries.WarehouseQueries.oracles
+      graft.queries.WarehouseQueries.oracles ++
+      graft.queries.SketchQueries.oracles
 }

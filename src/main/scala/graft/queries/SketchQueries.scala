@@ -23,13 +23,16 @@ object SketchQueries {
 
   /** One-permutation MinHash signature slots per source (Li, Owen,
     * Zhang, "One Permutation Hashing", NIPS 2012): ONE md5 per
-    * distinct (source, shingle), the hash's first hex digit picks the
-    * signature bin (16 bins) and the per-bin minimum is the slot —
-    * k=16 MinHash without k hash passes over the corpus.
+    * (source, shingle) occurrence, the hash's first hex digit picks
+    * the signature bin (16 bins) and the per-bin minimum is the
+    * slot — k=16 MinHash without k hash passes over the corpus.
+    * Deliberately NO shingle distinct: min over the occurrence
+    * multiset equals min over the set, so the signature aggregate is
+    * map-side combinable and the shuffle is partitions × sources × 16
+    * rows — shingle volume never crosses the wire.
     */
   private def sourceSignatures(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("shingle"))
-      .dropDuplicates("source", "shingle")
       .withColumn("h", md5(col("shingle")))
       .withColumn("bin", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
       .groupBy("source", "bin").agg(min("h").as("sig"))
@@ -48,7 +51,12 @@ object SketchQueries {
         col("sig").as("sig_a"))
       val b = sig.select(col("source").as("source_b"), col("bin"),
         col("sig").as("sig_b"))
-      a.join(b, Seq("bin"))
+      // explicit broadcast: the signature table is sources × 16 rows
+      // AFTER aggregation — a bounded dimension at any corpus size —
+      // but its lineage contains the shingle explode, so the hint
+      // marks the bound deliberate (ScaleGuard refuses UNHINTED
+      // broadcast-of-explode build sides)
+      a.join(broadcast(b), Seq("bin"))
         .filter(col("source_a") < col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L))

@@ -59,13 +59,28 @@ object WarehouseQueries {
     (li, od)
   }
 
-  /** Version dir of the per-sf-dir persisted graph index (the
+  /** ROOT dir of the per-sf-dir persisted graph index (the
     * lexical-index session-caching convention): built once with
     * q_triangles' edge parameters, then every graph analytic reads the
     * committed edge set instead of re-running the corpus-scanning
-    * shingle blocking.
+    * shingle blocking. The root (not the version dir) is cached so
+    * derived indexes — the cluster labeling — can resolve it too.
     */
   private val graphIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def graphRoot(s: SparkSession, d: String): String =
+    graphIndexCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_gidx_q").toString
+      graft.functions.GraphIndex.writeIndex(
+        Tables.documents(s, d), "doc_id", "text", root)
+      root
+    })
+
+  /** Root of the per-sf-dir cluster index derived from the graph
+    * index (row 146).
+    */
+  private val clusterIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Degree-oriented per-node triangle counts over an explicit edge
@@ -268,12 +283,30 @@ object WarehouseQueries {
     //      Gated against the SAME oracle as q_triangles, so index
     //      build + indexed serving are driver-verified end to end.
     "q_triangles_indexed" -> ((s, d) => {
-      val vdir = graphIndexCache.computeIfAbsent(d, _ =>
-        graft.functions.GraphIndex.writeIndex(
-          Tables.documents(s, d), "doc_id", "text",
-          java.nio.file.Files.createTempDirectory("graft_gidx_q").toString))
+      val vdir = graft.operators.Versioned.resolve(s, graphRoot(s, d)).get
       triangleCounts(
         graft.functions.GraphIndex.readEdges(s, vdir).select("id_a", "id_b"))
+    }),
+
+    // 146. Near-dup clusters through the PERSISTED cluster index: the
+    //      graph index's committed edge set is labeled ONCE per corpus
+    //      version (min-id connected components), incremental appends
+    //      re-label only touched components (ClusterIndexSpec pins
+    //      increment ≡ rebuild through merges AND band-crossing
+    //      splits), and cluster membership becomes a label lookup.
+    //      Gated against q_dedup_clusters' oracle — one truth, two
+    //      physical routes.
+    "q_dedup_clusters_indexed" -> ((s, d) => {
+      val root = clusterIndexCache.computeIfAbsent(d, _ => {
+        val cr = java.nio.file.Files.createTempDirectory("graft_cidx_q").toString
+        graft.functions.ClusterIndex.writeIndex(s, graphRoot(s, d), cr)
+        cr
+      })
+      val vdir = graft.operators.Versioned.resolve(s, root).get
+      graft.functions.ClusterIndex.readLabels(s, vdir)
+        .groupBy(col("label").as("comp"))
+        .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))
+        .orderBy("comp")
     })
   )
 
@@ -379,6 +412,8 @@ object WarehouseQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the indexed path must reproduce the in-job q_triangles result
     // exactly — one oracle, two physical routes
-    "q_triangles_indexed" -> SelectionQueries.oracles("q_triangles")
+    "q_triangles_indexed" -> SelectionQueries.oracles("q_triangles"),
+    // one truth, two physical routes (the q_triangles_indexed rule)
+    "q_dedup_clusters_indexed" -> LlmQueries.oracles("q_dedup_clusters")
   )
 }

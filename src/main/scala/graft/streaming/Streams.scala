@@ -275,6 +275,26 @@ object Streams {
     * replayed micro-batch is self-healing (its keys are already
     * indexed, so re-delivery appends nothing to the output).
     */
+  /** Native BOUNDED-STATE streaming dedup: first occurrence per key
+    * wins, duplicates arriving within the watermark delay are
+    * dropped, and the state store evicts each key once the watermark
+    * passes it — state is O(keys per watermark window), NOT O(corpus).
+    *
+    * This is the complement of [[dedupIngest]]: the file-index path
+    * is corpus-GLOBAL (a duplicate of something indexed last month
+    * still drops) at the cost of a per-batch index probe; this path
+    * is index-free and state-bounded, the right tool when duplicates
+    * cluster in time — at-least-once upstream redelivery, double-fired
+    * webhooks — and a re-arrival AFTER the window is legitimately new
+    * (the semantics StreamingSpec pins). Built entirely on Spark's
+    * dropDuplicatesWithinWatermark so the state lifecycle is the
+    * engine's own, not custom code.
+    */
+  def dedupWithinWatermark(stream: DataFrame, keyCols: Seq[String],
+                           tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   def dedupIngest(stream: DataFrame, key: Column, idCol: String,
                   indexPath: String, outPath: String,
                   checkpoint: String): StreamingQuery = {
@@ -843,6 +863,97 @@ object Streams {
                 graft.functions.GraphIndex.deltaByTag(spark, vdir, tag).foreach(emit)
               }
           }
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Streaming growth of graph index AND the derived cluster
+    * labeling ([[graft.functions.ClusterIndex]]): each document
+    * micro-batch appends its graph delta, then re-labels exactly the
+    * touched components, and the batch's revised (id, label) rows
+    * land at `outPath` under the `batch_id=N` dynamic-partition
+    * overwrite sink — so near-dup cluster membership stays a lookup
+    * while the corpus streams in.
+    *
+    * Replay discipline: the graph append is first-delivery-wins, so a
+    * plain redelivery commits nothing and emits nothing. The crash
+    * window between the graph commit and the cluster update heals by
+    * the batch tag: the replayed batch re-locates ITS graph delta and
+    * re-runs the cluster update — updateFromDelta recomputes the same
+    * labels from the same inputs, so the duplicate cluster delta is
+    * content-identical and last-writer-wins folding is unchanged.
+    */
+  def clusterIngest(stream: DataFrame, graphPath: String, clusterPath: String,
+                    outPath: String, checkpoint: String,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          def updateAndEmit(graphDelta: String): Unit = {
+            val cd = graft.functions.ClusterIndex
+              .updateFromDelta(spark, graphPath, clusterPath, graphDelta)
+            spark.read.parquet(s"$cd/labels")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
+          }
+          graft.functions.GraphIndex
+            .appendIndex(batch, idCol, textCol, graphPath, Some(tag)) match {
+            case Some(deltaDir) => updateAndEmit(deltaDir)
+            case None =>
+              graft.operators.Versioned.resolve(spark, graphPath).foreach { vdir =>
+                graft.functions.GraphIndex.deltaByTag(spark, vdir, tag)
+                  .foreach(updateAndEmit)
+              }
+          }
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Streaming growth of the persisted sketch PROFILE
+    * ([[graft.functions.SketchProfile]]): each document micro-batch
+    * appends its per-source sketch partial (KBs), and the CURRENT
+    * folded estimates land at `outPath` under the `batch_id=N`
+    * dynamic-partition overwrite sink — a continuously-updated corpus
+    * monitor that never re-reads old data.
+    *
+    * Sketch merges are NOT idempotent, so replay safety rides the
+    * batch tag (query-id + batch-id): a redelivered batch's append is
+    * refused, and the estimates are re-emitted idempotently from the
+    * already-committed state — exactly-once EFFECT on both the index
+    * and the sink.
+    */
+  def profileIngest(stream: DataFrame, indexPath: String, outPath: String,
+                    checkpoint: String, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    srcCol: String = "source"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          graft.functions.SketchProfile.appendBatch(
+            batch, idCol, textCol, srcCol, indexPath, Some(tag))
+          val vdir = graft.operators.Versioned.resolve(spark, indexPath).get
+          graft.functions.SketchProfile.readEstimates(spark, vdir)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
         }
       }
       .start()

@@ -259,6 +259,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_rare_tokens lost map-side combine on token counts:\n$rt")
     assert(rt.contains("LeftSemi"), s"q_rare_tokens hapax probe lost its semi form:\n$rt")
   }
+
+  test("wave-13 shapes: map-side-combined sketches, compute-free indexed clusters") {
+    // q_source_minhash_overlap: the signature min-aggregate must stay
+    // partial→final (shingle volume collapses on the mappers — the
+    // bounded-shuffle claim) and the shingle explode must sit BELOW
+    // the partial aggregate with no exchange between them
+    val mo = plan("q_source_minhash_overlap")
+    assert(mo.contains("partial_min"),
+      s"q_source_minhash_overlap lost map-side combine on signatures:\n$mo")
+    assert(!mo.contains("CartesianProduct"),
+      s"q_source_minhash_overlap grew a cartesian:\n$mo")
+    // q_kll_quantiles: TypedImperativeAggregates run under
+    // ObjectHashAggregate with a partial phase (sketch bytes merge on
+    // the mappers, raw values never shuffle)
+    val kll = plan("q_kll_quantiles")
+    assert(kll.contains("ObjectHashAggregate"),
+      s"q_kll_quantiles no longer runs as an object aggregate:\n$kll")
+    assert(kll.contains("partial_kll_sketch_agg"),
+      s"q_kll_quantiles lost its partial sketch phase:\n$kll")
+    // q_quantile_sketch: histogram counts combine map-side; the
+    // quantile window partitions by the RAW source key over the
+    // bucket-bounded histogram, never by a hash-derived key
+    val qs = plan("q_quantile_sketch")
+    assert(qs.contains("partial_count"),
+      s"q_quantile_sketch lost map-side combine on the histogram:\n$qs")
+    // q_dedup_clusters_indexed: cluster membership is a label READ —
+    // no tokenization (Generate) and no posting self-join may appear;
+    // that work happened once at index build
+    val ci = plan("q_dedup_clusters_indexed")
+    assert(!ci.contains("Generate"),
+      s"q_dedup_clusters_indexed re-tokenizes at serve time:\n$ci")
+    assert(!ci.contains("SortMergeJoin"),
+      s"q_dedup_clusters_indexed grew a join at serve time:\n$ci")
+  }
 }
 
 /** Builds the bucketed tables outside the measured plan (the gated

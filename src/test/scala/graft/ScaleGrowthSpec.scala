@@ -116,7 +116,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // flip to a broadcast build (it is vocabulary-sized);
     // q_sample_group_k moves ≤ k rows per group past the partial
     // TopK — its shuffle must stay ~FLAT, far under the ceiling
-    "q_scd2", "q_interval_merge", "q_rare_tokens", "q_sample_group_k")
+    "q_scd2", "q_interval_merge", "q_rare_tokens", "q_sample_group_k",
+    // wave-13 arrivals — the sketch family's entire point is a
+    // BOUNDED shuffle: q_source_minhash_overlap's signature aggregate
+    // is map-side combinable to partitions × sources × 16 rows (no
+    // shingle distinct — min over the multiset equals min over the
+    // set), q_quantile_sketch's histogram is sources × ≤70 decimal
+    // buckets, q_kll_quantiles moves ~3 KB sketch bytes per partial.
+    // All three must stay far under the ceiling — growth here means a
+    // corpus-sized exchange snuck in
+    "q_source_minhash_overlap", "q_quantile_sketch", "q_kll_quantiles")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

@@ -44,6 +44,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops in-window duplicates and expires state") {
+    val ch = Streams.Channel[Evt](spark)
+    val dd = Streams.dedupWithinWatermark(
+      ch.toDS.toDF(), Seq("event_type"), "ts", "30 minutes")
+    val q = Streams.runToMemory(dd, "ddw_out", outputMode = "append")
+    try {
+      // three same-key deliveries inside one window: first wins
+      ch.send(
+        Evt(Timestamp.valueOf("2024-01-01 00:05:00"), "click", 1.0),
+        Evt(Timestamp.valueOf("2024-01-01 00:06:00"), "click", 2.0))
+      q.processAllAvailable()
+      ch.send(Evt(Timestamp.valueOf("2024-01-01 00:07:00"), "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").as[Evt].collect().map(_.value).toSeq
+        == Seq(1.0))
+      // advance the watermark far past the key's expiry, then redeliver:
+      // the state evicted, so the late same-key event is NEW again —
+      // the bounded-state semantics that distinguish this face from
+      // the corpus-global index path (two sends: the watermark used by
+      // batch N is computed from batch N-1)
+      ch.send(Evt(Timestamp.valueOf("2024-01-01 06:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      // watermark is now ~05:30 (06:00 − 30 min); the click state
+      // (expiry 00:35) is long evicted. The redelivery must itself be
+      // AHEAD of the watermark — a behind-watermark row is dropped as
+      // late input before dedup even sees it
+      ch.send(Evt(Timestamp.valueOf("2024-01-01 07:00:00"), "click", 5.0))
+      q.processAllAvailable()
+      val vals = spark.table("ddw_out").as[Evt].collect()
+        .filter(_.event_type == "click").map(_.value).toSet
+      assert(vals == Set(1.0, 5.0),
+        s"expected the post-expiry redelivery to emit anew: $vals")
+    } finally q.stop()
+  }
+
   test("curation columns run unchanged on a stream (batch/stream unification)") {
     // the text-analysis/curation operators are pure column
     // expressions, so the SAME code path filters a streaming corpus —

@@ -110,6 +110,62 @@ object GovernanceQueries {
         .orderBy("event_type")
     }),
 
+    // 147. Grouped multi-feature RIDGE regression from one Gram-matrix
+    //      aggregation (the normal-equations trick distributed): per
+    //      source, fit n_tokens ~ w0 + w1·n_chars + w2·n_spaces by
+    //      accumulating the 3×3 Gram matrix Σzᵢzⱼ and moment vector
+    //      Σzᵢy in ONE map-side-combined shuffle of ten numbers per
+    //      group, then solving (G + λI)w = b in closed form (Cramer,
+    //      3×3). EVERY accumulated sum is an exact integer (integer
+    //      features × integer label, magnitudes < 2⁵³ through sf100 —
+    //      swap the long sums for DECIMAL partials past that), so both
+    //      engines enter the solve with bit-identical doubles and the
+    //      division is IEEE-exact: float parity by construction, not
+    //      by rounding. At 100 TB this is the canonical "fit a model
+    //      per segment" shape: shuffle ∝ groups, never rows.
+    "q_ridge_regress" -> ((s, d) => {
+      val z = Tables.documents(s, d).select(
+        col("source"),
+        col("n_chars").as("z1"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("z2"),
+        size(Dedup.tokens(col("text"))).cast("long").as("y"))
+      val g = z.groupBy("source").agg(
+        count(lit(1)).as("g00"),
+        sum("z1").as("g01"), sum("z2").as("g02"),
+        sum(col("z1") * col("z1")).as("g11"),
+        sum(col("z1") * col("z2")).as("g12"),
+        sum(col("z2") * col("z2")).as("g22"),
+        sum("y").as("b0"),
+        sum(col("z1") * col("y")).as("b1"),
+        sum(col("z2") * col("y")).as("b2"))
+      // ridge: λ=1 on the diagonal, exact integer adds
+      val a00 = (col("g00") + lit(1L)).cast("double")
+      val a11 = (col("g11") + lit(1L)).cast("double")
+      val a22 = (col("g22") + lit(1L)).cast("double")
+      val a01 = col("g01").cast("double"); val a02 = col("g02").cast("double")
+      val a12 = col("g12").cast("double")
+      val b0 = col("b0").cast("double"); val b1 = col("b1").cast("double")
+      val b2 = col("b2").cast("double")
+      def det3(m00: org.apache.spark.sql.Column, m01: org.apache.spark.sql.Column,
+               m02: org.apache.spark.sql.Column, m10: org.apache.spark.sql.Column,
+               m11: org.apache.spark.sql.Column, m12: org.apache.spark.sql.Column,
+               m20: org.apache.spark.sql.Column, m21: org.apache.spark.sql.Column,
+               m22: org.apache.spark.sql.Column) =
+        m00 * (m11 * m22 - m12 * m21) -
+          m01 * (m10 * m22 - m12 * m20) +
+          m02 * (m10 * m21 - m11 * m20)
+      val det = det3(a00, a01, a02, a01, a11, a12, a02, a12, a22)
+      val d0 = det3(b0, a01, a02, b1, a11, a12, b2, a12, a22)
+      val d1 = det3(a00, b0, a02, a01, b1, a12, a02, b2, a22)
+      val d2 = det3(a00, a01, b0, a01, a11, b1, a02, a12, b2)
+      g.select(col("source"),
+        EngineNeutral.r4(d0 / det).as("w0"),
+        EngineNeutral.r4(d1 / det).as("w1"),
+        EngineNeutral.r4(d2 / det).as("w2"))
+        .orderBy("source")
+    }),
+
     // 104. Robust outlier counts per language: median + MAD (median
     //     absolute deviation), |x - med| > 1.5·MAD (the test corpus'
     //     n_chars is near-uniform, so the usual 3·MAD can never fire
@@ -192,6 +248,43 @@ object GovernanceQueries {
       """SELECT degree, count(*) AS n_users FROM (
         |  SELECT user_id, count(*) AS degree FROM events GROUP BY user_id)
         |GROUP BY degree ORDER BY degree""".stripMargin,
+    // parity with the Spark side is EXACT: every Gram/moment sum is
+    // an integer, both engines cast the identical values to double,
+    // and the determinant expressions use the identical
+    // parenthesization — IEEE arithmetic then matches bit for bit
+    "q_ridge_regress" -> {
+      def det3(m: Seq[String]) =
+        s"${m(0)} * (${m(4)} * ${m(8)} - ${m(5)} * ${m(7)}) - " +
+          s"${m(1)} * (${m(3)} * ${m(8)} - ${m(5)} * ${m(6)}) + " +
+          s"${m(2)} * (${m(3)} * ${m(7)} - ${m(4)} * ${m(6)})"
+      val det = det3(Seq("a00", "a01", "a02", "a01", "a11", "a12", "a02", "a12", "a22"))
+      val d0 = det3(Seq("b0", "a01", "a02", "b1", "a11", "a12", "b2", "a12", "a22"))
+      val d1 = det3(Seq("a00", "b0", "a02", "a01", "b1", "a12", "a02", "b2", "a22"))
+      val d2 = det3(Seq("a00", "a01", "b0", "a01", "a11", "b1", "a02", "a12", "b2"))
+      s"""WITH z AS (
+         |  SELECT source, n_chars AS z1,
+         |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS z2,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS y
+         |  FROM documents
+         |), g AS (
+         |  SELECT source,
+         |    CAST(count(*) + 1 AS DOUBLE) AS a00,
+         |    CAST(sum(z1) AS DOUBLE) AS a01,
+         |    CAST(sum(z2) AS DOUBLE) AS a02,
+         |    CAST(sum(z1 * z1) + 1 AS DOUBLE) AS a11,
+         |    CAST(sum(z1 * z2) AS DOUBLE) AS a12,
+         |    CAST(sum(z2 * z2) + 1 AS DOUBLE) AS a22,
+         |    CAST(sum(y) AS DOUBLE) AS b0,
+         |    CAST(sum(z1 * y) AS DOUBLE) AS b1,
+         |    CAST(sum(z2 * y) AS DOUBLE) AS b2
+         |  FROM z GROUP BY source
+         |)
+         |SELECT source,
+         |  ${EngineNeutral.sql(s"($d0) / ($det)", 4)} AS w0,
+         |  ${EngineNeutral.sql(s"($d1) / ($det)", 4)} AS w1,
+         |  ${EngineNeutral.sql(s"($d2) / ($det)", 4)} AS w2
+         |FROM g ORDER BY source""".stripMargin
+    },
     "q_group_regress" -> {
       val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
       s"""WITH stats AS (

@@ -169,7 +169,24 @@ object Versioned {
     * read.
     */
   def commitDelta(spark: SparkSession, root: String, versionDir: String)
-                 (write: String => Unit): String = {
+                 (write: String => Unit): String =
+    commitDeltaIf(spark, root, versionDir)(true)(write)
+      .getOrElse(sys.error("unreachable: unconditional delta commit skipped"))
+
+  /** [[commitDelta]] with a precondition evaluated UNDER the writer
+    * `_LOCK` (after the superseded re-check): the commit proceeds only
+    * if `guard` is true, else nothing is written and None returns.
+    *
+    * This closes check-then-act races a caller-side pre-check cannot:
+    * e.g. a duplicate-batch-tag test run before the lock lets two
+    * concurrent appends carrying the same tag both pass and both
+    * commit — for non-idempotent content (sketch merges) that silently
+    * double-counts. Re-evaluating the guard here serializes the check
+    * with every other locked commit.
+    */
+  def commitDeltaIf(spark: SparkSession, root: String, versionDir: String)
+                   (guard: => Boolean)
+                   (write: String => Unit): Option[String] = {
     val rootP = new Path(root)
     val vdir = new Path(versionDir)
     val f = fs(spark, vdir)
@@ -194,20 +211,23 @@ object Versioned {
         throw new java.io.IOException(
           s"$versionDir was superseded (current: ${current.getOrElse("none")}) " +
             "while this append was being prepared — re-resolve the index and retry")
-      // reclaim tmp dirs abandoned by crashed appends (hidden names —
-      // never visible to readers, but they accumulate)
-      f.listStatus(vdir).foreach { s =>
-        if (s.getPath.getName.startsWith(".delta_tmp_")) f.delete(s.getPath, true)
+      if (!guard) None
+      else {
+        // reclaim tmp dirs abandoned by crashed appends (hidden names —
+        // never visible to readers, but they accumulate)
+        f.listStatus(vdir).foreach { s =>
+          if (s.getPath.getName.startsWith(".delta_tmp_")) f.delete(s.getPath, true)
+        }
+        val next = listDeltas(spark, versionDir)
+          .flatMap(d => new Path(d).getName.stripPrefix("delta_").toIntOption)
+          .maxOption.getOrElse(0) + 1
+        val tmp = new Path(vdir, s".delta_tmp_$next")
+        write(tmp.toString)
+        val target = new Path(vdir, s"delta_$next")
+        if (!f.rename(tmp, target))
+          throw new java.io.IOException(s"delta commit rename $tmp -> $target failed")
+        Some(target.toString)
       }
-      val next = listDeltas(spark, versionDir)
-        .flatMap(d => new Path(d).getName.stripPrefix("delta_").toIntOption)
-        .maxOption.getOrElse(0) + 1
-      val tmp = new Path(vdir, s".delta_tmp_$next")
-      write(tmp.toString)
-      val target = new Path(vdir, s"delta_$next")
-      if (!f.rename(tmp, target))
-        throw new java.io.IOException(s"delta commit rename $tmp -> $target failed")
-      target.toString
     } finally f.delete(lock, false)
   }
 

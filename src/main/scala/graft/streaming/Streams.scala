@@ -199,7 +199,14 @@ object Streams {
       def us(t: java.sql.Timestamp): Long =
         math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       val buf = st.pending ++ evts.map(e => (us(e.ts), e.event_id, e.event_type))
-      val (ready, pending) = buf.partition(_._1 / 1000L <= wm)
+      // seal STRICTLY-earlier events only: Spark's late-row filter
+      // drops rows strictly older than the watermark, so an arrival
+      // AT the watermark millisecond is still admissible — sealing
+      // ties would let that arrival fold after an already-folded
+      // same-timestamp event and diverge from the batch (ts,
+      // event_id) order. Ties wait in `pending` until the watermark
+      // passes them.
+      val (ready, pending) = buf.partition(_._1 / 1000L < wm)
       var curType = st.curType
       var curFrom = st.curFromUs
       var curN = st.curN

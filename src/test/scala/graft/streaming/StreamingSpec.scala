@@ -186,6 +186,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Stream: an arrival AT the watermark millisecond still folds in order") {
+    import Streams.{Scd2Row, TEvent}
+    // Spark's late filter drops rows strictly OLDER than the
+    // watermark, so an event at exactly the watermark ms is
+    // admissible. Sealing `<= wm` would fold user 7's A(id=2) during
+    // batch 2 (wm == 00:00:00), then the admissible B(id=1) at the
+    // SAME timestamp would arrive in batch 3 and fold after it —
+    // emitting A[00:00,00:00) instead of the batch order's
+    // B[00:00,00:00). Strictly-earlier sealing holds the tie in
+    // pending until the watermark passes it.
+    val ch = Streams.Channel[TEvent](spark)
+    val q = Streams.scd2Stream(ch.toDS, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scd2_tie_out")
+      .outputMode("append").start()
+    try {
+      def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+      // batch 1: the tied A + a driver putting the watermark at 00:00:00
+      ch.send(TEvent(7L, 2, Timestamp.valueOf("2024-01-01 00:00:00"), "A"),
+        TEvent(99L, 100, Timestamp.valueOf("2024-01-01 00:10:00"), "Z"))
+      q.processAllAvailable()
+      // batch 2: same-user traffic runs the fold fn at wm == 00:00:00
+      // without advancing the watermark (00:01 − 10 min < 00:00)
+      ch.send(TEvent(7L, 9, Timestamp.valueOf("2024-01-01 00:01:00"), "A"))
+      q.processAllAvailable()
+      // batch 3: the admissible tie — same timestamp, SMALLER id,
+      // different type: true (ts, id) order folds it FIRST
+      ch.send(TEvent(7L, 1, Timestamp.valueOf("2024-01-01 00:00:00"), "B"))
+      q.processAllAvailable()
+      ch.send(TEvent(99L, 101, Timestamp.valueOf("2024-01-02 00:00:00"), "Z"))
+      q.processAllAvailable()
+      ch.send(TEvent(99L, 102, Timestamp.valueOf("2024-01-02 00:01:00"), "Z"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_tie_out").as[Scd2Row].collect()
+        .filter(_.user_id == 7L)
+        .map(r => (r.event_type, r.valid_from_us, r.valid_to_us, r.n_events)).toSet
+      assert(got == Set(
+        ("B", us("2024-01-01 00:00:00"), us("2024-01-01 00:00:00"), 1L)),
+        s"watermark-tied event folded out of order: $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization agrees with batch session_window") {
     import Streams.SEvent
     val evts = Seq(

@@ -71,16 +71,21 @@ object SketchProfile {
     val spark = batch.sparkSession
     val vdir = graft.operators.Versioned.resolve(spark, path)
       .getOrElse(sys.error(s"no committed sketch profile at $path"))
-    val dup = tag.exists(t => committedTags(spark, vdir).contains(t))
-    if (dup) None
-    else Some(graft.operators.Versioned.commitDelta(spark, path, vdir) { dir =>
+    // cheap pre-check outside the lock (skips the write entirely on a
+    // plain redelivery), but the AUTHORITATIVE duplicate test is the
+    // guard commitDeltaIf re-evaluates under the writer _LOCK — two
+    // concurrent same-tag appends can both pass a caller-side check,
+    // and a double sketch merge double-counts
+    if (tag.exists(t => committedTags(spark, vdir).contains(t))) None
+    else graft.operators.Versioned.commitDeltaIf(spark, path, vdir)(
+      tag.forall(t => !committedTags(spark, vdir).contains(t))) { dir =>
       profileOf(batch, idCol, textCol, srcCol).write.parquet(s"$dir/profile")
       tag.foreach { t =>
         val tp = new org.apache.hadoop.fs.Path(dir, s"_TAG_$t")
         val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
         fs.create(tp, true).close()
       }
-    })
+    }
   }
 
   /** Every batch tag this version has absorbed: the folded `tags/`

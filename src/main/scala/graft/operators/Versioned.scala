@@ -79,6 +79,23 @@ object Versioned {
       .map(v => new Path(root, s"_v=$v").toString)
   }
 
+  /** EXACT same-process mutual exclusion, keyed by canonical root: the
+    * `_LOCK` file below is NOT atomic on every FileSystem —
+    * RawLocalFileSystem's create(path, overwrite=false) is a
+    * check-then-act (exists? then open), so two threads of one driver
+    * hitting it simultaneously can BOTH "create" the lock and both
+    * enter the critical section (observed: both computed delta_1 and
+    * collided in the tmp dir). Same-process writers — the dominant
+    * case: one Spark driver, many streams/threads — therefore
+    * serialize on this monitor FIRST; the file lock only has to fence
+    * cross-process writers, where a human or scheduler already spaces
+    * them out.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def jvmLockFor(f: FileSystem, root: Path): Object =
+    jvmLocks.computeIfAbsent(f.makeQualified(root).toString, _ => new Object)
+
   /** Best-effort writer mutual exclusion: create-exclusive `_LOCK`
     * under the root so two mutators (a rebuild overlapping an append,
     * two appends) fail fast instead of computing the same next version
@@ -87,7 +104,8 @@ object Versioned {
     * by design: object stores without atomic create-exclusive degrade
     * to advisory — the layout is still single-writer BY CONTRACT, the
     * lock just turns a contract violation into a loud error on
-    * filesystems that can.
+    * filesystems that can. Same-process exactness comes from
+    * [[jvmLockFor]], which callers MUST hold around acquire→release.
     */
   private def acquireLock(f: FileSystem, root: Path): Path = {
     val lock = new Path(root, Lock)
@@ -121,6 +139,7 @@ object Versioned {
     val root = new Path(path)
     val f = fs(spark, root)
     f.mkdirs(root)
+    jvmLockFor(f, root).synchronized {
     val lock = acquireLock(f, root)
     try {
       val next = (pointerVersion(f, root).toSeq ++ committedVersions(f, root))
@@ -140,6 +159,7 @@ object Versioned {
       prune(spark, path, keep = 2)
       vdir.toString
     } finally f.delete(lock, false)
+    }
   }
 
   /** Atomic APPEND inside a committed version: `write` fills a hidden
@@ -192,6 +212,7 @@ object Versioned {
     val f = fs(spark, vdir)
     require(f.exists(new Path(vdir, Marker)),
       s"$versionDir is not a committed version — deltas append to committed versions only")
+    jvmLockFor(f, rootP).synchronized {
     val lock = acquireLock(f, rootP)
     try {
       // re-resolve under the lock: the caller resolved versionDir (and
@@ -229,6 +250,7 @@ object Versioned {
         Some(target.toString)
       }
     } finally f.delete(lock, false)
+    }
   }
 
   /** The committed deltas of a version dir, in commit order. Only

@@ -180,8 +180,9 @@ object Streams {
     * can still arrive), then fold in (ts, event_id) order — so the
     * emitted intervals equal the batch fold over the same events
     * (spec-pinned). State is O(open run + unsealed events) per user,
-    * partitioned by the user key; events later than the watermark at
-    * arrival are dropped (the standard streaming contract).
+    * partitioned by the user key; arrivals with ts <= the current
+    * watermark are dropped by Spark's late filter (the standard
+    * streaming contract — 4.1's predicate is LessThanOrEqual).
     */
   def scd2Stream(events: Dataset[TEvent],
                  watermark: String = "10 minutes"): Dataset[Scd2Row] = {
@@ -199,14 +200,14 @@ object Streams {
       def us(t: java.sql.Timestamp): Long =
         math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       val buf = st.pending ++ evts.map(e => (us(e.ts), e.event_id, e.event_type))
-      // seal STRICTLY-earlier events only: Spark's late-row filter
-      // drops rows strictly older than the watermark, so an arrival
-      // AT the watermark millisecond is still admissible — sealing
-      // ties would let that arrival fold after an already-folded
-      // same-timestamp event and diverge from the batch (ts,
-      // event_id) order. Ties wait in `pending` until the watermark
-      // passes them.
-      val (ready, pending) = buf.partition(_._1 / 1000L < wm)
+      // seal everything at-or-before the watermark: Spark 4.1's
+      // late-row filter is LessThanOrEqual(eventTime, watermark)
+      // (WatermarkSupport.watermarkExpression), so any NEW arrival
+      // with ts <= wm is dropped before reaching this function — no
+      // admissible sibling of a sealed tie can ever appear, and
+      // holding ties in `pending` would only delay their emission by
+      // one extra watermark advance.
+      val (ready, pending) = buf.partition(_._1 / 1000L <= wm)
       var curType = st.curType
       var curFrom = st.curFromUs
       var curN = st.curN

@@ -95,6 +95,58 @@ class SketchProfileSpec extends AnyFunSuite {
       "a tag must stay refused across compaction — re-merging double-counts")
   }
 
+  test("concurrent same-tag appends commit exactly once (guard under lock)") {
+    // the check-then-act race commitDeltaIf closes: two appends carrying
+    // the same tag both pass a caller-side committedTags check, then
+    // race to commit — sketch merges are non-idempotent, so a double
+    // commit double-counts every token. The writer _LOCK throws on
+    // contention (single-writer artifacts), so each thread retries on
+    // the "locked by another writer" IOException; what must hold is the
+    // END state: exactly one Some across both threads, and the profile
+    // equal to a single append.
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    val root = tmp("graft_prof_race")
+    SketchProfile.writeIndex(base, "doc_id", "text", "source", root)
+
+    val oneShot = tmp("graft_prof_race_ref")
+    SketchProfile.writeIndex(base, "doc_id", "text", "source", oneShot)
+    SketchProfile.appendBatch(batch, "doc_id", "text", "source", oneShot, Some("rb"))
+
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Option[String]]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def contender(): Thread = new Thread(() => {
+      barrier.await()
+      var done = false
+      while (!done)
+        try {
+          results.add(SketchProfile.appendBatch(
+            batch, "doc_id", "text", "source", root, Some("rb")))
+          done = true
+        } catch {
+          case e: java.io.IOException
+            if e.getMessage.contains("locked by another writer") ||
+               e.getMessage.contains("re-acquiring expired lock") =>
+            Thread.sleep(50) // lock contention: retry until a clean verdict
+          case t: Throwable => errors.add(t); done = true
+        }
+    })
+    val ts = Seq(contender(), contender())
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(ts.forall(!_.isAlive), "contender thread hung")
+    assert(errors.isEmpty,
+      s"contender died: ${errors.toArray.toSeq.map(_.toString).mkString("; ")}")
+    val rs = results.toArray(Array.empty[Option[String]]).toSeq
+    assert(rs.count(_.nonEmpty) == 1 && rs.count(_.isEmpty) == 1,
+      s"same tag must commit exactly once: $rs")
+    assert(estimates(root) === estimates(oneShot),
+      "double-committed sketch merge detected — profile diverges from one append")
+    val vdir = graft.operators.Versioned.resolve(spark, root).get
+    assert(graft.operators.Versioned.listDeltas(spark, vdir).size == 1)
+  }
+
   test("profileIngest: channel-driven micro-batches + redelivery keep " +
     "the profile exactly-once") {
     val docs = Tables.documents(spark, sf)

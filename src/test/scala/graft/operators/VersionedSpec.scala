@@ -60,4 +60,26 @@ class VersionedSpec extends AnyFunSuite {
     Versioned.commitDelta(spark, root, v2)(fill(5))
     assert(Versioned.listDeltas(spark, v2).size == 1)
   }
+
+  test("commitDeltaIf: a false guard commits nothing; the guard is " +
+    "re-evaluated under the lock, closing stale caller pre-checks") {
+    val root = newRoot()
+    val v1 = Versioned.commitNew(spark, root)(fill(10))
+    // the check-then-act window: a caller tests its precondition (here:
+    // "delta_1 absent") BEFORE committing, another writer's commit
+    // lands in between. The by-name guard re-reads the truth under the
+    // _LOCK, so the stale caller refuses instead of double-committing.
+    val staleCheckPassed = Versioned.listDeltas(spark, v1).isEmpty
+    assert(staleCheckPassed)
+    Versioned.commitDelta(spark, root, v1)(fill(5)) // the interleaved writer
+    var wrote = false
+    val r = Versioned.commitDeltaIf(spark, root, v1)(
+      Versioned.listDeltas(spark, v1).isEmpty) { dir => wrote = true; fill(5)(dir) }
+    assert(r.isEmpty && !wrote, "false guard must skip the write entirely")
+    assert(Versioned.listDeltas(spark, v1).size == 1,
+      "exactly the interleaved writer's delta survives")
+    // lock released on the guard-false path: a guarded-true commit works
+    assert(Versioned.commitDeltaIf(spark, root, v1)(true)(fill(3)).nonEmpty)
+    assert(Versioned.listDeltas(spark, v1).size == 2)
+  }
 }

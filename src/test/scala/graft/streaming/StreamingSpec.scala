@@ -186,33 +186,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("scd2Stream: an arrival AT the watermark millisecond still folds in order") {
+  test("scd2Stream: an arrival AT the watermark millisecond is dropped as late") {
     import Streams.{Scd2Row, TEvent}
-    // Spark's late filter drops rows strictly OLDER than the
-    // watermark, so an event at exactly the watermark ms is
-    // admissible. Sealing `<= wm` would fold user 7's A(id=2) during
-    // batch 2 (wm == 00:00:00), then the admissible B(id=1) at the
-    // SAME timestamp would arrive in batch 3 and fold after it —
-    // emitting A[00:00,00:00) instead of the batch order's
-    // B[00:00,00:00). Strictly-earlier sealing holds the tie in
-    // pending until the watermark passes it.
+    // Spark 4.1's late-row filter is LessThanOrEqual(eventTime,
+    // watermark) (verified against WatermarkSupport.watermark-
+    // Expression in spark-sql 4.1.2): a NEW arrival at exactly the
+    // watermark millisecond is inadmissible. So once user 7's
+    // A(id=2) at 00:00:00 is sealed at wm == 00:00:00, the
+    // same-timestamp B(id=1) sent afterwards must be silently
+    // dropped — the fold is deterministic on the admissible events
+    // alone, and the `<= wm` seal cannot be raced by a tie.
     val ch = Streams.Channel[TEvent](spark)
     val q = Streams.scd2Stream(ch.toDS, watermark = "10 minutes")
       .writeStream.format("memory").queryName("scd2_tie_out")
       .outputMode("append").start()
     try {
       def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
-      // batch 1: the tied A + a driver putting the watermark at 00:00:00
+      // batch 1: the A run opener + a driver putting the watermark
+      // at exactly 00:00:00 (00:10:00 − 10 min)
       ch.send(TEvent(7L, 2, Timestamp.valueOf("2024-01-01 00:00:00"), "A"),
         TEvent(99L, 100, Timestamp.valueOf("2024-01-01 00:10:00"), "Z"))
       q.processAllAvailable()
       // batch 2: same-user traffic runs the fold fn at wm == 00:00:00
-      // without advancing the watermark (00:01 − 10 min < 00:00)
+      // without advancing the watermark (00:01 − 10 min < 00:00);
+      // the <= seal folds A(id=2) into the open run here
       ch.send(TEvent(7L, 9, Timestamp.valueOf("2024-01-01 00:01:00"), "A"))
       q.processAllAvailable()
-      // batch 3: the admissible tie — same timestamp, SMALLER id,
-      // different type: true (ts, id) order folds it FIRST
+      // batch 3: a tie AT the watermark ms — different type, smaller
+      // id. Spark's <= late filter drops it before the state fn.
       ch.send(TEvent(7L, 1, Timestamp.valueOf("2024-01-01 00:00:00"), "B"))
+      q.processAllAvailable()
+      ch.send(TEvent(7L, 10, Timestamp.valueOf("2024-01-01 00:02:00"), "C"))
       q.processAllAvailable()
       ch.send(TEvent(99L, 101, Timestamp.valueOf("2024-01-02 00:00:00"), "Z"))
       q.processAllAvailable()
@@ -221,9 +225,12 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("scd2_tie_out").as[Scd2Row].collect()
         .filter(_.user_id == 7L)
         .map(r => (r.event_type, r.valid_from_us, r.valid_to_us, r.n_events)).toSet
+      // the dropped B never splits the A run: A spans both A events
+      // and is closed by C; no interval starts or ends at B's would-be
+      // position other than the A opener itself
       assert(got == Set(
-        ("B", us("2024-01-01 00:00:00"), us("2024-01-01 00:00:00"), 1L)),
-        s"watermark-tied event folded out of order: $got")
+        ("A", us("2024-01-01 00:00:00"), us("2024-01-01 00:02:00"), 2L)),
+        s"late tie leaked into the fold: $got")
     } finally q.stop()
   }
 

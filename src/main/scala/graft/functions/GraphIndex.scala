@@ -245,9 +245,21 @@ object GraphIndex {
     } finally { fresh.unpersist(); () }
   }
 
+  /** How many tagged deltas' heal artifacts a compaction carries
+    * forward (see [[compactIndex]]). The crash window a tag heals —
+    * between a delta commit and the stream's sink write — holds at
+    * most ONE batch per stream (foreachBatch is sequential), so this
+    * bounds concurrent streams on one index, not corpus growth.
+    */
+  private[functions] val TagRetain = 16
+
   /** The committed delta carrying `_TAG_<tag>`, if any — how a
     * streaming caller re-locates its own batch's delta after a crash
-    * between the append commit and its sink write.
+    * between the append commit and its sink write. Falls back to the
+    * version's `tagdeltas/` store, where [[compactIndex]] preserves
+    * the heal artifacts of recently-tagged deltas it folded — without
+    * that, a compaction landing inside the crash window would
+    * silently lose the batch's output partition.
     */
   def deltaByTag(spark: SparkSession, versionDir: String,
                  tag: String): Option[String] = {
@@ -255,12 +267,42 @@ object GraphIndex {
     graft.operators.Versioned.listDeltas(spark, versionDir).find { d =>
       val p = new org.apache.hadoop.fs.Path(d, s"_TAG_$tag")
       p.getFileSystem(conf).exists(p)
+    }.orElse {
+      val td = new org.apache.hadoop.fs.Path(versionDir, "tagdeltas")
+      val fs = td.getFileSystem(conf)
+      if (!fs.exists(td)) None
+      else fs.listStatus(td).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.drop(7) == tag)
+        .map(_.getPath.toString).headOption
     }
+  }
+
+  /** The version's preserved tagged-delta heal dirs, oldest first:
+    * (seq-ordered name, path). Names are `NNNNNN_<tag>`.
+    */
+  private def tagDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           versionDir: String): Seq[(String, org.apache.hadoop.fs.Path)] = {
+    val td = new org.apache.hadoop.fs.Path(versionDir, "tagdeltas")
+    if (!fs.exists(td)) Nil
+    else fs.listStatus(td).toSeq.filter(_.isDirectory)
+      .map(s => (s.getPath.getName, s.getPath)).sortBy(_._1)
   }
 
   /** Fold base + deltas into a fresh deltaless version (the
     * compaction discipline: readers mid-compaction keep resolving the
     * old version; the writer lock serializes against appends).
+    *
+    * Tagged deltas do NOT simply vanish: the crash window graphIngest/
+    * clusterIngest heal by tag — delta committed, stream died before
+    * its sink write — may span this compaction, and the heal needs the
+    * folded delta's own artifacts (its re-judged `edges/`, its
+    * `affected/` set, its `postings/` ids), which the folded base can
+    * no longer attribute to the batch. So each tagged delta's heal
+    * artifacts are preserved under `tagdeltas/NNNNNN_<tag>/` in the
+    * new version, prior preserved dirs carry forward, and the store
+    * trims to the newest [[TagRetain]] (one in-flight batch per
+    * stream, so the bound is on concurrent streams). Batch-
+    * proportional data, copied not recomputed.
     */
   def compactIndex(spark: SparkSession, path: String): String =
     graft.operators.Versioned.commitNew(spark, path) { dir =>
@@ -278,5 +320,33 @@ object GraphIndex {
       readPostings(spark, vdir).write.parquet(s"$dir/postings")
       readDfs(spark, vdir).write.parquet(s"$dir/dfs")
       readEdges(spark, vdir).write.parquet(s"$dir/edges")
+
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      val tagOf: String => Option[String] = d =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
+          .map(_.getPath.getName).find(_.startsWith("_TAG_"))
+          .map(_.stripPrefix("_TAG_"))
+      // oldest-first: prior preserved dirs (already seq-ordered), then
+      // this version's live tagged deltas in commit order
+      val carried: Seq[(String, org.apache.hadoop.fs.Path, Seq[String])] =
+        tagDeltaDirs(fs, vdir).map { case (n, src) =>
+          (n.drop(7), src, Seq("edges", "affected", "postings")) } ++
+        graft.operators.Versioned.listDeltas(spark, vdir).flatMap { d =>
+          tagOf(d).map(t =>
+            (t, new org.apache.hadoop.fs.Path(d), Seq("edges", "affected", "postings")))
+        }
+      carried.takeRight(TagRetain).zipWithIndex.foreach {
+        case ((tag, src, parts), i) =>
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$dir/tagdeltas/${"%06d".format(i + 1)}_$tag")
+          fs.mkdirs(dst)
+          parts.foreach { c =>
+            val s = new org.apache.hadoop.fs.Path(src, c)
+            if (fs.exists(s))
+              org.apache.hadoop.fs.FileUtil.copy(
+                fs, s, fs, new org.apache.hadoop.fs.Path(dst, c), false, conf)
+          }
+      }
     }
 }

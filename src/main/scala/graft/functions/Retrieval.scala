@@ -143,13 +143,21 @@ object Retrieval {
     * schema keeps the layout's own shape, bucketed or legacy — and
     * the declared LEGACY schema (no pb, so pruning skips it; zero
     * rows make the choice unobservable) when inference finds nothing.
+    *
+    * Tolerates ONLY the two conditions an all-empty component
+    * legitimately produces — path absent, or present with no files to
+    * infer from. Any other AnalysisException (corrupt footers, a
+    * mistyped path resolving to something unreadable) rethrows:
+    * swallowing it would score every query as silently empty.
     */
   private def readTolerant(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
                            schema: org.apache.spark.sql.types.StructType): DataFrame =
     try spark.read.parquet(dir)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      case e: org.apache.spark.sql.AnalysisException
+        if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+          .exists(c => Option(e.getCondition).contains(c)) =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }

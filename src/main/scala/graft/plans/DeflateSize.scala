@@ -17,9 +17,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * that reason (no portable SQL reproduces a specific zlib encoder).
   */
 object Deflate {
+  // native-resource discipline: one zlib stream per executor thread,
+  // bounded by pool size, and `end()`ed when the owning thread dies
+  // (the Cleaner fires once the Thread is unreachable — the action
+  // captures only the Deflater, so it cannot pin the thread). On
+  // JDK 12+ java.util.zip.Deflater also carries its own internal
+  // cleaner as a GC backstop; this registration just makes release
+  // prompt instead of whenever the ThreadLocal map gets collected.
+  private val cleaner = java.lang.ref.Cleaner.create()
   private val local = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(6, true)
+    override def initialValue(): java.util.zip.Deflater = {
+      val d = new java.util.zip.Deflater(6, true)
+      cleaner.register(Thread.currentThread(), () => d.end())
+      d
+    }
   }
 
   def deflatedLen(bytes: Array[Byte]): Int = {

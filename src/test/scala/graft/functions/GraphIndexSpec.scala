@@ -159,4 +159,55 @@ class GraphIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dfsFolded === dfsRebuild)
   }
+
+  test("crash-heal window survives compaction: tagged delta artifacts " +
+    "stay locatable by tag") {
+    // the graphIngest/clusterIngest crash window: a batch's delta
+    // commits with its _TAG_, the stream dies before the sink write,
+    // and a COMPACTION folds the delta before the replay runs. The
+    // heal (appendIndex → None, deltaByTag → emit) must still find the
+    // batch's own edges/affected/postings, or the output partition is
+    // silently lost.
+    val docs = Tables.documents(spark, sf)
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val root = tmp()
+    GraphIndex.writeIndex(b1, "doc_id", "text", root)
+    val v1 = graft.operators.Versioned.resolve(spark, root).get
+    val delta = GraphIndex.appendIndex(b2, "doc_id", "text", root, Some("t-42")).get
+    def edgesOf(d: String) = spark.read
+      .schema("id_a long, id_b long, shared long").parquet(s"$d/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def idsOf(d: String, part: String) = spark.read
+      .schema("id long").parquet(s"$d/$part")
+      .collect().map(_.getLong(0)).toSet
+    val wantEdges = edgesOf(delta)
+    val wantAffected = idsOf(delta, "affected")
+    assert(GraphIndex.deltaByTag(spark, v1, "t-42")
+      .exists(_.stripPrefix("file:") == delta.stripPrefix("file:")))
+
+    val nv = GraphIndex.compactIndex(spark, root)
+    assert(graft.operators.Versioned.listDeltas(spark, nv).isEmpty)
+    // the replay: appendIndex refuses (ids present), the tag heals
+    assert(GraphIndex.appendIndex(b2, "doc_id", "text", root, Some("t-42")).isEmpty)
+    val healed = GraphIndex.deltaByTag(spark, nv, "t-42")
+      .getOrElse(fail("compaction lost the tagged delta's heal artifacts"))
+    assert(edgesOf(healed) === wantEdges,
+      "healed dir must carry the batch's own re-judged edges")
+    assert(idsOf(healed, "affected") === wantAffected)
+    // the cluster-heal path reads affected+postings from the healed
+    // dir — updateFromDelta must run against it and relabel the same
+    // ids a pre-compaction heal would
+    val croot = tmp()
+    ClusterIndex.writeIndex(spark, root, croot)
+    val cd = ClusterIndex.updateFromDelta(spark, root, croot, healed)
+    assert(spark.read.schema("id long, label long")
+      .parquet(s"$cd/labels").count() > 0)
+    // a SECOND compaction carries the store forward
+    val nv2 = GraphIndex.compactIndex(spark, root)
+    assert(GraphIndex.deltaByTag(spark, nv2, "t-42").nonEmpty,
+      "heal artifacts must survive repeated compactions (within retention)")
+    // an unknown tag still finds nothing (plain redelivery emits nothing)
+    assert(GraphIndex.deltaByTag(spark, nv2, "t-43").isEmpty)
+  }
 }

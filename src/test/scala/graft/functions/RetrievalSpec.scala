@@ -194,4 +194,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.map(_._2) == Seq(1, 2, 3))
     assert(got.map(_._4).distinct.size == 1)
   }
+
+  test("a corrupt tf/ component THROWS instead of scoring empty") {
+    // the tolerant read exists for all-empty bucketed writes (absent
+    // dir / nothing to infer). A CORRUPT component must not take that
+    // branch — an index whose tf files stopped parsing would otherwise
+    // quietly return zero scores for every query forever.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_bad").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon")).toDF("doc_id", "text")
+    val vdir = Retrieval.writeLexicalIndex(corpus, "doc_id", "text", dir)
+    // clobber every tf parquet file with non-parquet bytes
+    val tf = new java.io.File(s"$vdir/tf")
+    def clobber(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(clobber)
+      else if (f.getName.endsWith(".parquet")) {
+        val w = new java.io.FileOutputStream(f)
+        try w.write("not a parquet file".getBytes) finally w.close()
+      }
+    clobber(tf)
+    val queries = Seq((9L, "beta")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Retrieval.bm25TopKIndexed(spark, vdir, queries, "doc_id", "text", topK = 3)
+        .collect()
+    }
+    assert(!e.isInstanceOf[org.scalatest.exceptions.TestFailedException])
+  }
 }

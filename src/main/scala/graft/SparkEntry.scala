@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.SelectionQueries.queries ++
       graft.queries.ProfilingQueries.queries ++
       graft.queries.WarehouseQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.CalibrationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.SelectionQueries.oracles ++
       graft.queries.ProfilingQueries.oracles ++
       graft.queries.WarehouseQueries.oracles ++
-      graft.queries.SketchQueries.oracles
+      graft.queries.SketchQueries.oracles ++
+      graft.queries.CalibrationQueries.oracles
 }

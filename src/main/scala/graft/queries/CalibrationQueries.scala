@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Dedup, EngineNeutral}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourteenth query wave — model-prep calibration operators
+  * (SURVEY.md §2 rows 148-151): the statistics a training-data
+  * pipeline computes right before data leaves for the trainer —
+  * robust document fingerprints (winnowing), smoothed LM estimates
+  * (Kneser-Ney), normalized quality blending, and embedding-space
+  * health checks.
+  *
+  * Scale notes: winnowing and the KN counts are the only shuffles
+  * here and both are map-side-combinable aggregations over
+  * token-linear rows; per-doc windows partition by doc_id (bounded
+  * groups — never a hash-derived corpus-scale key); the quality
+  * blend broadcasts a languages-sized stats table; embedding stats
+  * aggregate to a dims-sized frame. Nothing in this file keeps
+  * state proportional to the corpus on any single task.
+  */
+object CalibrationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Winnowing constants (Schleimer, Wilkerson, Aiken, SIGMOD 2003):
+    * token k-grams hashed, windows of `W` consecutive gram hashes,
+    * one fingerprint selected per window. Guarantee: any shared run
+    * of K+W-1 tokens between two documents shares at least one
+    * selected fingerprint — detection is position-robust, unlike
+    * fixed-stride sampling.
+    */
+  private val K = 4
+  private val W = 4
+
+  val queries: Map[String, Q] = Map(
+    // 148. Winnowing fingerprint selection: per window of W gram
+    //      hashes pick the minimum, RIGHTMOST on ties (the paper's
+    //      rule — encoded order-free as min over the composite key
+    //      hash ++ (BIG - position), so both engines agree without a
+    //      procedural scan). Output: per-doc fingerprint count and
+    //      density ~ 2/(W+1), the paper's expected selection rate.
+    //      Shuffle is gram-linear; the window partitions by doc_id
+    //      (bounded by document length).
+    "q_winnowing" -> ((s, d) => {
+      val ts = Dedup.tokens(col("text"))
+      val grams = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          (greatest(size(ts) - K, lit(0)) + 1).as("m"),
+          posexplode(transform(sequence(lit(0), greatest(size(ts) - K, lit(0))),
+            i => concat_ws(" ", slice(ts, i + 1, lit(K))))).as(Seq("p", "g")))
+      val key = concat(md5(col("g")),
+        lpad((lit(999999999) - col("p")).cast("string"), 9, "0"))
+      val win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W - 1)
+      grams
+        .withColumn("wmin", min(key).over(win))
+        // full windows only; short docs (m < W) keep their single
+        // start-0 window, which the frame truncates to all m grams
+        .filter(col("p") <= greatest(col("m") - W, lit(0)))
+        .groupBy("doc_id")
+        .agg(max("m").cast("long").as("n_grams"),
+          countDistinct(col("wmin")).as("n_fp"))
+        .withColumn("density",
+          EngineNeutral.r4(col("n_fp").cast("double") / col("n_grams")))
+        .orderBy("doc_id")
+    }),
+
+    // 149. Interpolated Kneser-Ney bigram estimates (Kneser & Ney
+    //      1995; Chen & Goodman 1998), fixed discount D=0.75:
+    //      p_kn(w2|w1) = max(c12-D,0)/c1 + (D·N1+(w1·)/c1)·(N1+(·w2)/B)
+    //      — the continuation-count smoothing every n-gram LM
+    //      pipeline uses. All inputs are exact integers; the double
+    //      expression is written with IDENTICAL association in the
+    //      oracle, so the 6-dp rounding is engine-neutral. Top-100
+    //      bigrams by count plan as TakeOrderedAndProject (never a
+    //      global sort exchange); the vocabulary-scale count tables
+    //      join to the 100 survivors via broadcast of the SMALL side.
+    "q_kneser_ney" -> ((s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val c12 = graft.plans.CacheHandles.track("query.kn.bigrams",
+        toks
+          .select(col("t").as("t1"), lead(col("t"), 1).over(w).as("t2"))
+          .filter(col("t2").isNotNull)
+          .groupBy("t1", "t2").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+      val c1 = c12.groupBy("t1")
+        .agg(sum("c").as("c1"), count(lit(1)).as("n_after"))
+      val nb = c12.groupBy("t2").agg(count(lit(1)).as("n_before"))
+      val bt = c12.agg(count(lit(1)).as("b_types"))
+      val top = c12.orderBy(col("c").desc, col("t1"), col("t2")).limit(100)
+      val pkn =
+        greatest(col("c") - lit(0.75), lit(0.0)) / col("c1") +
+          lit(0.75) * col("n_after") / col("c1") * (col("n_before") / col("b_types"))
+      val j1 = c1.join(broadcast(top), Seq("t1"))
+      nb.join(broadcast(j1), Seq("t2"))
+        .crossJoin(broadcast(bt))
+        .select(col("t1"), col("t2"), col("c").as("c12"), col("c1"),
+          col("n_after"), col("n_before"),
+          EngineNeutral.roundHalfUp(pkn, 6).as("p_kn"))
+        .orderBy(col("c12").desc, col("t1"), col("t2"))
+    }),
+
+    // 150. Per-language z-normalized quality blend: three integer
+    //      signals (chars, tokens, distinct tokens) standardized
+    //      against their LANGUAGE's mean/σ — cross-language
+    //      comparability is the point (a short Chinese doc isn't
+    //      low-quality because German docs are long) — then blended
+    //      0.5/0.3/0.2 into one keep score. Integer sums stay exact
+    //      through sf100 (< 2^53), so μ/σ are bit-identical doubles
+    //      in both engines; the languages-sized stats table
+    //      broadcasts. The per-doc verdict a selection stage
+    //      thresholds on, emitted for every doc.
+    "q_quality_blend" -> ((s, d) => {
+      val ts = Dedup.tokens(col("text"))
+      val base = graft.plans.CacheHandles.track("query.qblend.base",
+        Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars").cast("double").as("x1"),
+            size(ts).cast("double").as("x2"),
+            size(array_distinct(ts)).cast("double").as("x3"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+      val stats = base.groupBy("lang").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x1").as("s1"), sum(col("x1") * col("x1")).as("q1"),
+        sum("x2").as("s2"), sum(col("x2") * col("x2")).as("q2"),
+        sum("x3").as("s3"), sum(col("x3") * col("x3")).as("q3"))
+      def z(x: String, sc: String, q: String) =
+        (col(x) - col(sc) / col("n")) /
+          sqrt((col(q) - col(sc) * col(sc) / col("n")) / (col("n") - 1))
+      val blend =
+        lit(0.5) * z("x1", "s1", "q1") +
+          lit(0.3) * z("x2", "s2", "q2") +
+          lit(0.2) * z("x3", "s3", "q3")
+      base.join(broadcast(stats), Seq("lang"))
+        .select(col("doc_id"), col("source"),
+          EngineNeutral.r4(blend).as("blend"),
+          (blend > lit(-0.5)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // 151. Embedding-space health per dimension: mean, variance, and
+    //      near-zero fraction over an e4 fixed-point view of each
+    //      coordinate (floor(v·10⁴+0.5) as exact longs — sums are
+    //      exact integers in BOTH engines at any partition order,
+    //      double-exact through sf100, so the oracle matches without
+    //      float-association slack). Flags dead dimensions (σ≈0 —
+    //      wasted model capacity, a real embedding-pipeline failure
+    //      mode) before anything trains on or indexes the vectors.
+    //      Aggregates to a dims-sized frame with map-side combine.
+    "q_embed_dim_stats" -> ((s, d) => {
+      val vm = floor(col("v") * lit(10000.0) + lit(0.5)).cast("long")
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim0", "v")))
+        .select((col("dim0") + 1).cast("long").as("dim"), vm.as("vm"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum("vm").as("s"), sum(col("vm") * col("vm")).as("q"),
+          sum(when(abs(col("vm")) < 100, 1L).otherwise(0L)).as("nz"))
+        .select(col("dim"), col("n"),
+          EngineNeutral.roundHalfUp(
+            col("s").cast("double") / col("n") / lit(10000.0), 6).as("mean"),
+          EngineNeutral.roundHalfUp(
+            (col("q").cast("double") / col("n") -
+              (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n"))) /
+              lit(100000000.0), 6).as("variance"),
+          EngineNeutral.r4(col("nz").cast("double") / col("n")).as("frac_near_zero"))
+        .orderBy("dim")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, greatest(len(toks) - 4, 0) + 1 AS m,
+        |    unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS i,
+        |    unnest([md5(array_to_string(toks[j:j+3], ' '))
+        |            FOR j IN range(1, greatest(len(toks) - 4, 0) + 2)]) AS h
+        |  FROM t
+        |), wm AS (
+        |  SELECT doc_id, m, i,
+        |    min(h || lpad(CAST(999999999 - (i - 1) AS VARCHAR), 9, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM g
+        |)
+        |SELECT doc_id, CAST(max(m) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT wmin) AS BIGINT) AS n_fp,
+        |  floor(CAST(count(DISTINCT wmin) AS DOUBLE) / max(m) * 10000 + 0.5) / 10000.0 AS density
+        |FROM wm WHERE i - 1 <= greatest(m - 4, 0)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos, unnest(ts) AS t
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
+        |        FROM documents)
+        |), bg AS (
+        |  SELECT t1, t2 FROM (
+        |    SELECT t AS t1, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |    FROM toks)
+        |  WHERE t2 IS NOT NULL
+        |), cb AS (SELECT t1, t2, count(*) AS c FROM bg GROUP BY t1, t2),
+        |cl AS (SELECT t1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS n_after FROM cb GROUP BY t1),
+        |nb AS (SELECT t2, count(*) AS n_before FROM cb GROUP BY t2),
+        |bt AS (SELECT count(*) AS b_types FROM cb),
+        |top AS (SELECT * FROM cb ORDER BY c DESC, t1, t2 LIMIT 100)
+        |SELECT top.t1, top.t2, CAST(top.c AS BIGINT) AS c12, cl.c1,
+        |  CAST(cl.n_after AS BIGINT) AS n_after,
+        |  CAST(nb.n_before AS BIGINT) AS n_before,
+        |  floor((greatest(top.c - 0.75, 0.0) / cl.c1 +
+        |         0.75 * cl.n_after / cl.c1 * (nb.n_before / bt.b_types))
+        |        * 1000000 + 0.5) / 1000000.0 AS p_kn
+        |FROM top JOIN cl USING (t1) JOIN nb USING (t2) CROSS JOIN bt""".stripMargin,
+    "q_quality_blend" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, lang, CAST(n_chars AS DOUBLE) AS x1,
+        |    CAST(len(ts) AS DOUBLE) AS x2,
+        |    CAST(len(list_distinct(ts)) AS DOUBLE) AS x3
+        |  FROM (SELECT doc_id, source, lang, n_chars,
+        |          list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
+        |        FROM documents)
+        |), st AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x1) AS s1, sum(x1 * x1) AS q1,
+        |    sum(x2) AS s2, sum(x2 * x2) AS q2,
+        |    sum(x3) AS s3, sum(x3 * x3) AS q3
+        |  FROM b GROUP BY lang
+        |), z AS (
+        |  SELECT doc_id, source,
+        |    0.5 * ((x1 - s1 / n) / sqrt((q1 - s1 * s1 / n) / (n - 1))) +
+        |    0.3 * ((x2 - s2 / n) / sqrt((q2 - s2 * s2 / n) / (n - 1))) +
+        |    0.2 * ((x3 - s3 / n) / sqrt((q3 - s3 * s3 / n) / (n - 1))) AS blend
+        |  FROM b JOIN st USING (lang)
+        |)
+        |SELECT doc_id, source, floor(blend * 10000 + 0.5) / 10000.0 AS blend,
+        |  blend > -0.5 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+    "q_embed_dim_stats" ->
+      """WITH e AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT dim, CAST(floor(v * 10000 + 0.5) AS BIGINT) AS vm FROM e
+        |)
+        |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        |  floor(CAST(sum(vm) AS DOUBLE) / count(*) / 10000.0 * 1000000 + 0.5) / 1000000.0 AS mean,
+        |  floor((CAST(sum(vm * vm) AS DOUBLE) / count(*) -
+        |         (CAST(sum(vm) AS DOUBLE) / count(*)) * (CAST(sum(vm) AS DOUBLE) / count(*)))
+        |        / 100000000.0 * 1000000 + 0.5) / 1000000.0 AS variance,
+        |  floor(CAST(count(*) FILTER (WHERE abs(vm) < 100) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS frac_near_zero
+        |FROM m GROUP BY dim ORDER BY dim""".stripMargin)
+}

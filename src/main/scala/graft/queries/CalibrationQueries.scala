@@ -127,9 +127,18 @@ object CalibrationQueries {
         sum("x1").as("s1"), sum(col("x1") * col("x1")).as("q1"),
         sum("x2").as("s2"), sum(col("x2") * col("x2")).as("q2"),
         sum("x3").as("s3"), sum(col("x3") * col("x3")).as("q3"))
+      // Degenerate groups: one doc (n-1 = 0) or a zero-variance
+      // signal would divide by zero, where Spark (NULL, non-ANSI
+      // Divide) and DuckDB (IEEE ±inf/NaN — and DuckDB sorts NaN
+      // ABOVE everything, so even a `> 0` guard diverges) disagree.
+      // The z term is zeroed when n < 2 or variance <= 0, with the
+      // guard written division-free (q·n > s·s computes the identical
+      // IEEE doubles in both engines) and IDENTICALLY in the oracle.
       def z(x: String, sc: String, q: String) =
-        (col(x) - col(sc) / col("n")) /
-          sqrt((col(q) - col(sc) * col(sc) / col("n")) / (col("n") - 1))
+        when(col("n") > 1 && col(q) * col("n") > col(sc) * col(sc),
+          (col(x) - col(sc) / col("n")) /
+            sqrt((col(q) - col(sc) * col(sc) / col("n")) / (col("n") - 1)))
+          .otherwise(lit(0.0))
       val blend =
         lit(0.5) * z("x1", "s1", "q1") +
           lit(0.3) * z("x2", "s2", "q2") +
@@ -214,7 +223,8 @@ object CalibrationQueries {
         |  floor((greatest(top.c - 0.75, 0.0) / cl.c1 +
         |         0.75 * cl.n_after / cl.c1 * (nb.n_before / bt.b_types))
         |        * 1000000 + 0.5) / 1000000.0 AS p_kn
-        |FROM top JOIN cl USING (t1) JOIN nb USING (t2) CROSS JOIN bt""".stripMargin,
+        |FROM top JOIN cl USING (t1) JOIN nb USING (t2) CROSS JOIN bt
+        |ORDER BY c12 DESC, t1, t2""".stripMargin,
     "q_quality_blend" ->
       """WITH b AS (
         |  SELECT doc_id, source, lang, CAST(n_chars AS DOUBLE) AS x1,
@@ -231,9 +241,15 @@ object CalibrationQueries {
         |  FROM b GROUP BY lang
         |), z AS (
         |  SELECT doc_id, source,
-        |    0.5 * ((x1 - s1 / n) / sqrt((q1 - s1 * s1 / n) / (n - 1))) +
-        |    0.3 * ((x2 - s2 / n) / sqrt((q2 - s2 * s2 / n) / (n - 1))) +
-        |    0.2 * ((x3 - s3 / n) / sqrt((q3 - s3 * s3 / n) / (n - 1))) AS blend
+        |    0.5 * (CASE WHEN n > 1 AND q1 * n > s1 * s1
+        |           THEN (x1 - s1 / n) / sqrt((q1 - s1 * s1 / n) / (n - 1))
+        |           ELSE 0.0 END) +
+        |    0.3 * (CASE WHEN n > 1 AND q2 * n > s2 * s2
+        |           THEN (x2 - s2 / n) / sqrt((q2 - s2 * s2 / n) / (n - 1))
+        |           ELSE 0.0 END) +
+        |    0.2 * (CASE WHEN n > 1 AND q3 * n > s3 * s3
+        |           THEN (x3 - s3 / n) / sqrt((q3 - s3 * s3 / n) / (n - 1))
+        |           ELSE 0.0 END) AS blend
         |  FROM b JOIN st USING (lang)
         |)
         |SELECT doc_id, source, floor(blend * 10000 + 0.5) / 10000.0 AS blend,

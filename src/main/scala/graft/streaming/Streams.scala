@@ -206,8 +206,15 @@ object Streams {
       // with ts <= wm is dropped before reaching this function — no
       // admissible sibling of a sealed tie can ever appear, and
       // holding ties in `pending` would only delay their emission by
-      // one extra watermark advance.
-      val (ready, pending) = buf.partition(_._1 / 1000L <= wm)
+      // one extra watermark advance. The comparison must be at FULL
+      // microsecond precision (the filter compares the µs-precision
+      // event time against wm ms * 1000): an event at wm·1000+1..999 µs
+      // is still admissible-sibling territory — a later arrival in
+      // that same millisecond with a smaller (ts, event_id) would fold
+      // AFTER an already-sealed ms-truncated tie and diverge from the
+      // batch order. Sealing at `tsUs <= wm * 1000` makes the sealed
+      // set exactly Spark's inadmissible set.
+      val (ready, pending) = buf.partition(_._1 <= wm * 1000L)
       var curType = st.curType
       var curFrom = st.curFromUs
       var curN = st.curN
@@ -225,9 +232,13 @@ object Streams {
       else {
         state.update(Scd2State(pending, curType, curFrom, curN, hasCur))
         // unsealed events must be folded once the watermark passes
-        // them even if the user goes quiet
+        // them even if the user goes quiet: the sealing watermark for
+        // tsUs is the smallest wm' with tsUs <= wm'·1000, i.e.
+        // ceil(tsUs / 1000) — a floor here would leave a sub-ms event
+        // unsealed at its own timeout and cost one extra advance
         if (pending.nonEmpty)
-          state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000L).min, wm + 1))
+          state.setTimeoutTimestamp(
+            math.max(pending.map(t => math.floorDiv(t._1 + 999L, 1000L)).min, wm + 1))
       }
       out.iterator
     }

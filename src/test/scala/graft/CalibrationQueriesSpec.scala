@@ -121,6 +121,37 @@ class CalibrationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quality_blend: single-doc and zero-variance languages get a " +
+    "zeroed z term, never NaN/Inf/null (round-14 advice guard)") {
+    // a language with exactly ONE doc (n-1 = 0) and a language whose
+    // three signals have ZERO variance (identical docs) — before the
+    // guard, Spark emitted NULL (non-ANSI divide-by-zero) where DuckDB
+    // emitted IEEE inf/NaN; both now zero the z term identically
+    val dir = java.nio.file.Files.createTempDirectory("qblend_degenerate").toString
+    Seq(
+      (1L, "lone wolf document text here", "solo", "src_a", 28L),
+      (2L, "same same words here", "flat", "src_b", 20L),
+      (3L, "same same words here", "flat", "src_b", 20L),
+      (4L, "alpha beta gamma delta epsilon", "ok", "src_c", 30L),
+      (5L, "a b", "ok", "src_c", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_quality_blend")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(!r.isNullAt(2), s"doc ${r.getLong(0)}: NULL blend leaked")
+      val b = r.getDouble(2)
+      assert(!b.isNaN && !b.isInfinite, s"doc ${r.getLong(0)}: blend $b")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // all z terms zeroed for the degenerate languages => blend exactly 0
+    assert(byId(1L) == 0.0 && byId(2L) == 0.0 && byId(3L) == 0.0,
+      s"degenerate-language blends not zeroed: $byId")
+    // the healthy 2-doc language still standardizes (±z, nonzero)
+    assert(byId(4L) != 0.0 && byId(5L) != 0.0 && byId(4L) > byId(5L))
+  }
+
   test("q_embed_dim_stats matches a driver fixed-point recompute " +
     "bit-exactly and reports every dimension") {
     val got = SparkEntry.queries("q_embed_dim_stats")(spark, sf)

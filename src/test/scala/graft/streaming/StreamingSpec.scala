@@ -234,6 +234,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Stream: a sub-ms event above the watermark stays unsealed until truly inadmissible") {
+    import Streams.{Scd2Row, TEvent}
+    // The watermark is ms-granular but event times carry micros, and
+    // Spark's late filter compares FULL micros (eventTime_µs <=
+    // wm·1000). An event at wm·1000+900 µs therefore still has an
+    // admissible sibling at wm·1000+100 µs in the SAME millisecond —
+    // an ms-truncated seal (tsUs/1000 <= wm) would seal the +900 event
+    // first and fold the later-arriving +100 sibling AFTER it,
+    // emitting an inverted interval. The seal must compare micros.
+    val ch = Streams.Channel[TEvent](spark)
+    val q = Streams.scd2Stream(ch.toDS, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scd2_subms_out")
+      .outputMode("append").start()
+    try {
+      def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+      val base = us("2024-01-01 00:00:00")
+      // batch 1: D at base+900 µs, plus a driver putting the watermark
+      // at exactly 00:00:00.000 ms (00:10:00 − 10 min)
+      ch.send(TEvent(8L, 11, Timestamp.valueOf("2024-01-01 00:00:00.0009"), "D"),
+        TEvent(99L, 100, Timestamp.valueOf("2024-01-01 00:10:00"), "Z"))
+      q.processAllAvailable()
+      // batch 2: the EARLIER same-ms sibling C at base+100 µs — still
+      // admissible (base+100 > wm·1000 = base). D must still be
+      // pending here; a ms-truncated seal would already have opened
+      // the D run and C would close it as [base+900, base+100).
+      ch.send(TEvent(8L, 12, Timestamp.valueOf("2024-01-01 00:00:00.0001"), "C"))
+      q.processAllAvailable()
+      // advance the watermark far past both (two sends: the watermark
+      // used by batch N is computed from batch N-1)
+      ch.send(TEvent(99L, 101, Timestamp.valueOf("2024-01-02 00:00:00"), "Z"))
+      q.processAllAvailable()
+      ch.send(TEvent(99L, 102, Timestamp.valueOf("2024-01-02 00:01:00"), "Z"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_subms_out").as[Scd2Row].collect()
+        .filter(_.user_id == 8L)
+        .map(r => (r.event_type, r.valid_from_us, r.valid_to_us, r.n_events)).toSet
+      assert(got == Set(("C", base + 100L, base + 900L, 1L)),
+        s"sub-ms watermark tie sealed too early (inverted interval?): $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization agrees with batch session_window") {
     import Streams.SEvent
     val evts = Seq(

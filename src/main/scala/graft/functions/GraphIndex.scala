@@ -249,7 +249,11 @@ object GraphIndex {
     * forward (see [[compactIndex]]). The crash window a tag heals —
     * between a delta commit and the stream's sink write — holds at
     * most ONE batch per stream (foreachBatch is sequential), so this
-    * bounds concurrent streams on one index, not corpus growth.
+    * bounds concurrent streams on one index, not corpus growth. NOT a
+    * silent cap: when a compaction actually drops an entry it warns
+    * loudly and records the tag in the `tagdeltas/_TRIMMED` ledger,
+    * and [[deltaByTag]] on a trimmed tag throws instead of returning
+    * None (which the heal path would misread as "nothing to emit").
     */
   private[functions] val TagRetain = 16
 
@@ -270,10 +274,43 @@ object GraphIndex {
     }.orElse {
       val td = new org.apache.hadoop.fs.Path(versionDir, "tagdeltas")
       val fs = td.getFileSystem(conf)
-      if (!fs.exists(td)) None
-      else fs.listStatus(td).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.drop(7) == tag)
-        .map(_.getPath.toString).headOption
+      val hit =
+        if (!fs.exists(td)) None
+        else fs.listStatus(td).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.drop(7) == tag)
+          .map(_.getPath.toString).headOption
+      // no-silent-caps: a tag whose heal artifacts compaction TRIMMED
+      // must fail loud, not read as "never committed" — the committed
+      // delta's data IS in the index, but a heal returning None here
+      // would silently skip the batch's sink partition. The caller
+      // (graphIngest/clusterIngest crash heal) cannot recover without
+      // a rebuild, so surface it as the operational error it is.
+      if (hit.isEmpty && trimmedTags(fs, versionDir).contains(tag))
+        throw new IllegalStateException(
+          s"graph-index heal artifacts for batch tag '$tag' were trimmed " +
+            s"by compaction (TagRetain=$TagRetain newest kept; see " +
+            s"$versionDir/tagdeltas/_TRIMMED): the batch's append IS " +
+            "committed, but its sink partition cannot be healed by tag — " +
+            "rebuild the derived output for this batch from the index, or " +
+            "raise TagRetain above the number of concurrent streams")
+      hit
+    }
+  }
+
+  /** Tags whose preserved heal dirs a compaction has EVER dropped —
+    * the `tagdeltas/_TRIMMED` ledger (one tag per line), carried
+    * forward across compactions. Bytes ∝ trimmed batches (tag strings
+    * only), the same order as the delta log itself.
+    */
+  private[functions] def trimmedTags(fs: org.apache.hadoop.fs.FileSystem,
+                                     versionDir: String): Set[String] = {
+    val f = new org.apache.hadoop.fs.Path(versionDir, "tagdeltas/_TRIMMED")
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
     }
   }
 
@@ -336,6 +373,26 @@ object GraphIndex {
           tagOf(d).map(t =>
             (t, new org.apache.hadoop.fs.Path(d), Seq("edges", "affected", "postings")))
         }
+      // no-silent-caps (the 44s discipline): when the trim actually
+      // drops an entry, say so loudly AND record it durably — a crashed
+      // 17th stream healing by a dropped tag must hit a hard error in
+      // deltaByTag, not a silent nothing-to-emit
+      val dropped = carried.dropRight(TagRetain)
+      if (dropped.nonEmpty)
+        System.err.println(
+          s"[graft.GraphIndex] compaction trimmed ${dropped.size} tagged " +
+            s"heal dir(s) beyond TagRetain=$TagRetain: " +
+            dropped.map(_._1).mkString(", ") +
+            " — a stream healing by one of these tags will now FAIL " +
+            "instead of silently skipping its sink partition")
+      val trimmed = trimmedTags(fs, vdir) ++ dropped.map(_._1)
+      if (trimmed.nonEmpty) {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/tagdeltas"))
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$dir/tagdeltas/_TRIMMED"), true)
+        try out.write(trimmed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
       carried.takeRight(TagRetain).zipWithIndex.foreach {
         case ((tag, src, parts), i) =>
           val dst = new org.apache.hadoop.fs.Path(

@@ -210,4 +210,44 @@ class GraphIndexSpec extends AnyFunSuite {
     // an unknown tag still finds nothing (plain redelivery emits nothing)
     assert(GraphIndex.deltaByTag(spark, nv2, "t-43").isEmpty)
   }
+
+  test("TagRetain overflow is observable: a trimmed tag's heal FAILS " +
+    "loud instead of silently emitting nothing") {
+    // 17 concurrent streams on one index = 17 tagged in-flight deltas;
+    // compaction keeps the newest TagRetain=16 heal dirs. Before this
+    // round the 17th's artifacts vanished silently — a crash heal by
+    // that tag returned None, which reads as "plain redelivery, emit
+    // nothing", and the batch's sink partition was silently lost. The
+    // _TRIMMED ledger turns that into a hard, diagnosable error while
+    // unknown tags (true redeliveries) still heal to None.
+    val docs = Tables.documents(spark, sf)
+    val root = tmp()
+    GraphIndex.writeIndex(docs.filter(col("doc_id") < 100), "doc_id", "text", root)
+    val n = GraphIndex.TagRetain + 1
+    (1 to n).foreach { i =>
+      val lo = 100 + (i - 1) * 5
+      GraphIndex.appendIndex(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 5),
+        "doc_id", "text", root, Some(f"t-$i%02d"))
+    }
+    val nv = GraphIndex.compactIndex(spark, root)
+    // newest TagRetain tags still heal by tag
+    assert(GraphIndex.deltaByTag(spark, nv, f"t-$n%02d").nonEmpty)
+    assert(GraphIndex.deltaByTag(spark, nv, "t-02").nonEmpty)
+    // the trimmed oldest tag fails LOUD, naming the cap
+    val e = intercept[IllegalStateException] {
+      GraphIndex.deltaByTag(spark, nv, "t-01")
+    }
+    assert(e.getMessage.contains("trimmed") &&
+      e.getMessage.contains("TagRetain"), e.getMessage)
+    // a tag never committed is still a plain None (redelivery path)
+    assert(GraphIndex.deltaByTag(spark, nv, "t-99").isEmpty)
+    // the ledger carries forward across a SECOND compaction (which
+    // itself drops nothing: 16 preserved dirs, no live deltas)
+    val nv2 = GraphIndex.compactIndex(spark, root)
+    intercept[IllegalStateException] {
+      GraphIndex.deltaByTag(spark, nv2, "t-01")
+    }
+    assert(GraphIndex.deltaByTag(spark, nv2, f"t-$n%02d").nonEmpty)
+  }
 }

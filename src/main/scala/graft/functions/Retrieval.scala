@@ -76,11 +76,12 @@ object Retrieval {
     */
   private def scoreBm25(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
                         queries: DataFrame, idCol: String, textCol: String,
-                        topK: Int, k1: Double, b: Double): DataFrame = {
-    val qTerms = queries
+                        topK: Int, k1: Double, b: Double,
+                        qTermsPre: Option[DataFrame] = None): DataFrame = {
+    val qTerms = qTermsPre.getOrElse(queries
       .select(col(idCol).as("query_id"), explode(Dedup.tokens(col(textCol))).as("tok"))
       .select(col("query_id"), xxhash64(col("tok")).as("th"))
-      .distinct()
+      .distinct())
     val qIdf = dfreq.join(broadcast(qTerms), Seq("th"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("th"),
@@ -114,6 +115,20 @@ object Retrieval {
     */
   val LexBuckets: Int = 64
 
+  /** Spark bucket count for the persisted tf table's BY-ID bucketing
+    * (orthogonal to the [[LexBuckets]] term-hash PARTITION dirs): the
+    * tf files are written `bucketBy(IdBuckets, id)` so a serving read
+    * through the registered table exposes HashPartitioning(id) — and
+    * the (query_id, id) score aggregation then needs NO exchange at
+    * all (id ⊂ (query_id, id) satisfies the clustered distribution).
+    * Without it the scoring shuffle is the query×term fan-out
+    * (measured 108 MB vs 0.7 MB at sf0.1). Local default matches the
+    * 32-thread test box; a cluster build should size this like any
+    * bucketed fact table — readers adapt via the `_ID_BUCKETS` marker,
+    * so mixed-bucket-count indexes coexist.
+    */
+  val IdBuckets: Int = 32
+
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("pb", pmod(col("th"), lit(LexBuckets.toLong)))
 
@@ -127,6 +142,79 @@ object Retrieval {
     */
   private def writeBucketed(df: DataFrame, path: String): Unit =
     withBucket(df).write.partitionBy("pb").parquet(path)
+
+  /** The tf table's two-level production layout: `pb=N` partition
+    * dirs (term-hash — serving reads PRUNE to the query's buckets)
+    * × [[IdBuckets]] Spark buckets on `id` within each (the scoring
+    * aggregation's zero-exchange co-location). Written through a
+    * throwaway external-table registration because `bucketBy` is
+    * table-write-only; DROP TABLE on an external table keeps the
+    * files, and the `_ID_BUCKETS` marker lets ANY later session
+    * re-register them ([[registerTfTable]]). The explicit
+    * repartition aligns write tasks 1:1 with buckets, so file count
+    * stays tasks×partitions like the plain layout (bucketBy from an
+    * arbitrary distribution would write buckets×partitions files
+    * per task).
+    */
+  private def writeTfBucketed(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = "graft_lex_build_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withBucket(df.drop("pb")).repartition(IdBuckets, col("id"))
+      .write.bucketBy(IdBuckets, "id").sortBy("id").partitionBy("pb")
+      .option("path", path).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$tmp`") // external: data files stay
+    val p = new org.apache.hadoop.fs.Path(path, "_ID_BUCKETS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(IdBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The tf dir's by-id bucket count, when the dir carries the
+    * bucketed layout (absent for legacy / delta layouts).
+    */
+  private def idBucketsOf(spark: org.apache.spark.sql.SparkSession,
+                          versionDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(versionDir, "tf/_ID_BUCKETS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toIntOption
+      finally in.close()
+    }
+  }
+
+  /** Register (once per session) the external bucketed table over a
+    * committed version's tf dir — the only way Spark exposes bucket
+    * co-location to the planner is through the catalog. The name is
+    * content-addressed from the qualified path, so every session maps
+    * a given version dir to the same table and re-registration is
+    * idempotent; version dirs are immutable (appends land in delta
+    * dirs), so partitions recovered once never go stale. Synchronized
+    * so a racing second thread cannot read the table between CREATE
+    * and RECOVER PARTITIONS (it would silently scan zero partitions).
+    */
+  private def registerTfTable(spark: org.apache.spark.sql.SparkSession,
+                              versionDir: String, buckets: Int): String =
+    this.synchronized {
+      val loc = new org.apache.hadoop.fs.Path(versionDir, "tf")
+      val q = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(loc).toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val name = "graft_lex_tf_" + md.digest(q.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      if (!spark.catalog.tableExists(name)) {
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS `$name`
+             |(id BIGINT, th BIGINT, tf BIGINT, dl INT)
+             |USING parquet PARTITIONED BY (pb BIGINT)
+             |CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
+             |LOCATION '$q'""".stripMargin)
+        spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+      }
+      name
+    }
 
   private val tfSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
@@ -188,7 +276,7 @@ object Retrieval {
       // tokenize the corpus three times — at 100 TB that triples the
       // dominant cost of the build)
       val (tf, _, _) = lexicalTables(corpus, idCol, textCol)
-      writeBucketed(tf, s"$dir/tf")
+      writeTfBucketed(tf, s"$dir/tf")
       val tfBack = readTolerant(spark, s"$dir/tf", tfSchema)
       writeBucketed(tfBack.groupBy("th").agg(count(lit(1)).as("df")), s"$dir/df")
       writeStatsPartial(tfBack, spark.read.parquet(s"$dir/ids").count(),
@@ -276,6 +364,21 @@ object Retrieval {
         (acc, d) => acc.unionByName(prune(readTolerant(spark, s"$d/$sub", sch(sub))),
           allowMissingColumns = true)
       }
+    // tf serving shape: the common deltaless state reads the
+    // registered BY-ID-bucketed table (zero-exchange score agg, pb
+    // partition pruning intact); deltas or a legacy layout fall back
+    // to the union, co-located by id with ONE pruned-index-sized
+    // repartition — still ~50× under the query×term fan-out shuffle
+    // the aggregation pays on an unpartitioned tf. Compaction's
+    // rewrite consumes either shape: both arrive distributed by id,
+    // which is exactly writeTfBucketed's write distribution.
+    val tf = idBucketsOf(spark, versionDir) match {
+      case Some(b) if deltas.isEmpty =>
+        prune(spark.table(registerTfTable(spark, versionDir, b)))
+      case _ =>
+        merged("tf").repartition(
+          spark.sparkContext.defaultParallelism, col("id"))
+    }
     val df0 = prune(readTolerant(spark, s"$versionDir/df", dfSchema))
     val df = if (deltas.isEmpty) df0
       else deltas.foldLeft(df0)((acc, d) => acc.unionByName(
@@ -287,7 +390,7 @@ object Retrieval {
       }
       .agg(sum("n").as("n"),
         (sum("sdl").cast("double") / sum("n")).as("avgdl"))
-    (merged("tf"), df, stats)
+    (tf, df, stats)
   }
 
   /** O(new-docs) index growth: ingest rounds ADD documents, so
@@ -367,9 +470,10 @@ object Retrieval {
           s"no committed lexical index at $indexPath"))
       val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
       val (tf, df, _) = readLexicalIndex(spark, vdir)
-      // preserve (or adopt) the bucketed layout across compaction so
-      // the folded version keeps pruning serving reads
-      writeBucketed(tf.drop("pb"), s"$dir/tf")
+      // preserve (or adopt) the two-level layout across compaction so
+      // the folded version keeps pruning serving reads AND regains the
+      // zero-exchange by-id bucketing deltas temporarily suspend
+      writeTfBucketed(tf, s"$dir/tf")
       writeBucketed(df.drop("pb"), s"$dir/df")
       indexedIds(spark, vdir, deltas).write.parquet(s"$dir/ids")
       deltas
@@ -390,18 +494,31 @@ object Retrieval {
                       topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
                       prune: Boolean = true): DataFrame = {
     // the query side is bounded by the retrieval contract, so its
-    // bucket set is a ≤LexBuckets-value driver collect — the pruning
-    // key, not data movement. Every term a corpus row could match
-    // hashes into one of these buckets, so pruned ≡ unpruned scoring.
-    // prune=false skips the collect for bulk workloads known to touch
-    // every bucket.
-    val qb =
-      if (!prune) None
-      else Some(queries
-        .select(explode(Dedup.tokens(col(textCol))).as("tok"))
-        .select(pmod(xxhash64(col("tok")), lit(LexBuckets.toLong)).as("pb"))
-        .distinct().collect().map(_.getLong(0)).toSeq)
+    // distinct (query_id, term-hash) set is a driver collect — ONE
+    // query-side tokenization feeds both the bucket-pruning key set
+    // and the broadcast scoring term table (tokenizing twice cost a
+    // visible extra job per serve). Every term a corpus row could
+    // match hashes into one of the collected buckets, so pruned ≡
+    // unpruned scoring. prune=false skips the collect for bulk
+    // workloads known to touch every bucket.
+    val (qb, qTermsPre) =
+      if (!prune) (None, None)
+      else {
+        // coalesce(1): the bounded query set tokenizes in one task —
+        // 32 near-empty tasks cost more scheduler latency than the work
+        val pairs = queries.coalesce(1)
+          .select(col(idCol).as("query_id"),
+            explode(Dedup.tokens(col(textCol))).as("tok"))
+          .select(col("query_id"), xxhash64(col("tok")).as("th"))
+          .distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val buckets = pairs.map(p => math.floorMod(p._2, LexBuckets.toLong))
+          .distinct
+        import spark.implicits._
+        (Some(buckets),
+          Some(pairs.toDF("query_id", "th")))
+      }
     val (tf, dfreq, stats) = readLexicalIndexPruned(spark, versionDir, qb)
-    scoreBm25(tf, dfreq, stats, queries, idCol, textCol, topK, k1, b)
+    scoreBm25(tf, dfreq, stats, queries, idCol, textCol, topK, k1, b, qTermsPre)
   }
 }

@@ -34,6 +34,29 @@ object GovernanceQueries {
     */
   private def contentHash = md5(col("text").cast("binary"))
 
+  /** The 3-feature Gram/moment aggregation behind q_ridge_regress,
+    * extracted so RidgeSpec can drive it past 2⁵³ with synthetic rows:
+    * input (source, z1, z2, y) as longs; output the ten per-group
+    * sums. Per-row products stay in long arithmetic (cheap, exact for
+    * feature magnitudes ≲ 2³¹); the ACCUMULATORS are DECIMAL(38,0) —
+    * Spark's exact 128-bit-backed integer sum, the engine-parity twin
+    * of DuckDB's HUGEINT — because at 100 TB row counts the sums
+    * themselves pass 2⁵³, where a long sum would silently wrap and a
+    * double sum would silently round.
+    */
+  private[graft] def gramAggregate(z: DataFrame): DataFrame = {
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(28,0)"))
+    z.groupBy("source").agg(
+      count(lit(1)).as("g00"),
+      dsum(col("z1")).as("g01"), dsum(col("z2")).as("g02"),
+      dsum(col("z1") * col("z1")).as("g11"),
+      dsum(col("z1") * col("z2")).as("g12"),
+      dsum(col("z2") * col("z2")).as("g22"),
+      dsum(col("y")).as("b0"),
+      dsum(col("z1") * col("y")).as("b1"),
+      dsum(col("z2") * col("y")).as("b2"))
+  }
+
   val queries: Map[String, Q] = Map(
     // 100. Corpus snapshot diff: reconcile two crawl snapshots into
     //     added/removed/changed/unchanged counts. The two snapshots
@@ -116,13 +139,18 @@ object GovernanceQueries {
     //      accumulating the 3×3 Gram matrix Σzᵢzⱼ and moment vector
     //      Σzᵢy in ONE map-side-combined shuffle of ten numbers per
     //      group, then solving (G + λI)w = b in closed form (Cramer,
-    //      3×3). EVERY accumulated sum is an exact integer (integer
-    //      features × integer label, magnitudes < 2⁵³ through sf100 —
-    //      swap the long sums for DECIMAL partials past that), so both
-    //      engines enter the solve with bit-identical doubles and the
-    //      division is IEEE-exact: float parity by construction, not
-    //      by rounding. At 100 TB this is the canonical "fit a model
-    //      per segment" shape: shuffle ∝ groups, never rows.
+    //      3×3). EVERY accumulated sum is EXACT at any corpus size:
+    //      per-row products are longs (features × label ≲ 2⁴⁰), and
+    //      the accumulators are DECIMAL(38,0) — exact integer addition
+    //      to 10³⁸, i.e. sf-anything — matching DuckDB's exact HUGEINT
+    //      sums. Both engines then cast the identical integer to
+    //      double (round-to-nearest of the same value) and enter the
+    //      solve with bit-identical doubles: float parity by
+    //      construction, not by rounding, past 2⁵³ too (RidgeSpec
+    //      pins decimal ≡ long at current SFs and exactness beyond
+    //      2⁵³ where long sums would silently wrap). At 100 TB this is
+    //      the canonical "fit a model per segment" shape: shuffle ∝
+    //      groups, never rows.
     "q_ridge_regress" -> ((s, d) => {
       val z = Tables.documents(s, d).select(
         col("source"),
@@ -130,15 +158,7 @@ object GovernanceQueries {
         (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
           .cast("long").as("z2"),
         size(Dedup.tokens(col("text"))).cast("long").as("y"))
-      val g = z.groupBy("source").agg(
-        count(lit(1)).as("g00"),
-        sum("z1").as("g01"), sum("z2").as("g02"),
-        sum(col("z1") * col("z1")).as("g11"),
-        sum(col("z1") * col("z2")).as("g12"),
-        sum(col("z2") * col("z2")).as("g22"),
-        sum("y").as("b0"),
-        sum(col("z1") * col("y")).as("b1"),
-        sum(col("z2") * col("y")).as("b2"))
+      val g = gramAggregate(z)
       // ridge: λ=1 on the diagonal, exact integer adds
       val a00 = (col("g00") + lit(1L)).cast("double")
       val a11 = (col("g11") + lit(1L)).cast("double")

@@ -298,15 +298,15 @@ object BenchFormat {
     val mergedCounts = merged.groupBy(identity).view.mapValues(_.size).toMap
     val unique = merged.zip(stripped).map { case (k, n) => if (mergedCounts(k) == 1) k else n }
     // final densification (round 11, 160 queries: the +15 headroom
-    // gate tripped again; round 14, 169 queries: floor lowered 3→2 —
-    // the wave-14 arrivals pushed the worst-case line to 2016 chars):
-    // greedily trim each key from the END to ≥2 chars while the set
-    // stays pairwise DISTINCT (keys need distinctness, not
-    // prefix-freeness) — strict-prefix families (percent/percentile,
-    // group/groupby/grouping) otherwise force 7-8-char keys through
-    // the full-name fallback. A trimmed key stays decodable: any
-    // prefix of a (familyPrefix + restPrefix) split is itself such a
-    // split. Deterministic: fixed input order, iterate to fixpoint.
+    // gate tripped again; round 14, 169 queries: floor lowered 3→2,
+    // then 2→1 when wave 15 took the inventory to 173): greedily trim
+    // each key from the END to ≥1 char while the set stays pairwise
+    // DISTINCT (keys need distinctness, not prefix-freeness) —
+    // strict-prefix families (percent/percentile, group/groupby/
+    // grouping) otherwise force 7-8-char keys through the full-name
+    // fallback. A trimmed key stays decodable: any prefix of a
+    // (familyPrefix + restPrefix) split is itself such a split.
+    // Deterministic: fixed input order, iterate to fixpoint.
     val buf = scala.collection.mutable.ArrayBuffer(unique: _*)
     var changed = true
     while (changed) {
@@ -314,7 +314,7 @@ object BenchFormat {
       var i = 0
       while (i < buf.length) {
         val k = buf(i)
-        if (k.length > 2) {
+        if (k.length > 1) {
           val t = k.dropRight(1)
           var dup = false
           var j = 0

@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.ProfilingQueries.queries ++
       graft.queries.WarehouseQueries.queries ++
       graft.queries.SketchQueries.queries ++
-      graft.queries.CalibrationQueries.queries
+      graft.queries.CalibrationQueries.queries ++
+      graft.queries.CorpusHealthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.ProfilingQueries.oracles ++
       graft.queries.WarehouseQueries.oracles ++
       graft.queries.SketchQueries.oracles ++
-      graft.queries.CalibrationQueries.oracles
+      graft.queries.CalibrationQueries.oracles ++
+      graft.queries.CorpusHealthQueries.oracles
 }

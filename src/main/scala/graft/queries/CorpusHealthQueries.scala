@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Dedup, EngineNeutral}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fifteenth query wave — corpus-health diagnostics (SURVEY.md §2
+  * rows 152-155): the distribution-level checks a training-data
+  * pipeline runs per ingest round — a KS two-sample test per source
+  * against the rest of the corpus, token-frequency concentration
+  * (Gini), Zipf-law fit, and conditional bigram entropy. Where the
+  * drift family (q_drift: JSD on binned histograms) monitors a known
+  * binning, these are the binning-free / rank-based complements.
+  *
+  * Scale notes: every aggregation here is map-side combinable over a
+  * BOUNDED key domain — (source × n_chars) for KS, per-source vocab
+  * for Gini/Zipf, bigram types for the entropy — never corpus-row
+  * keys. The KS cumulative distributions avoid any global window:
+  * the per-source running sums ride a domain-bounded window over the
+  * complete source×length grid, and the GLOBAL cumulative is derived
+  * as the sum of the per-source cums at each length (the grid is
+  * complete, so no second scan and no single-task global sort). Gini
+  * ranks ride [[graft.operators.PrefixScan]] (range shuffle + driver
+  * offsets), so no task ever sorts a whole source's vocabulary.
+  */
+object CorpusHealthQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // 152. Kolmogorov–Smirnov two-sample test per source: sup-norm
+    //      distance between each source's n_chars empirical CDF and
+    //      the REST of the corpus's — the classic "did this source's
+    //      length distribution drift" gate, binning-free (unlike
+    //      q_drift's fixed histogram). The sup over step functions is
+    //      attained at a jump point, so evaluating at every distinct
+    //      length is exact. All inputs are exact integer counts; the
+    //      two CDF divisions associate identically in both engines,
+    //      so the max compares bit-identical doubles.
+    "q_ks_test" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val xs = c.select("n_chars").distinct()
+      val srcs = c.groupBy("source").agg(sum("c").as("n_s"))
+      val nTot = c.agg(sum("c").as("n_all"))
+      // complete grid (sources × distinct lengths — value-domain
+      // bounded, never corpus-proportional), zero-filled
+      val grid = srcs.crossJoin(xs)
+        .join(c, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = grid.withColumn("cum_s", sum("c").over(w))
+      // global CDF from the grid itself: the grid is COMPLETE, so
+      // cumG(x) = Σ_sources cum_s(x) — no global window, no second scan
+      val cumG = cums.groupBy("n_chars").agg(sum("cum_s").as("cum_g"))
+      val dStat =
+        abs(col("cum_s").cast("double") / col("n_s") -
+          (col("cum_g") - col("cum_s")).cast("double") /
+            (col("n_all") - col("n_s")))
+      cums.join(cumG, Seq("n_chars"))
+        .crossJoin(broadcast(nTot))
+        .groupBy("source")
+        .agg(max(col("n_s")).as("n_docs"),
+          max(dStat).as("_ks"))
+        .select(col("source"), col("n_docs"),
+          EngineNeutral.roundHalfUp(col("_ks"), 6).as("ks"))
+        .orderBy("source")
+    }),
+
+    // 153. Token-frequency Gini concentration per source: sort each
+    //      source's vocabulary by (count, token), rank ascending, and
+    //      G = (2·Σ rank·count − (V+1)·N) / (V·N) — the inequality
+    //      measure behind "is this source one boilerplate string
+    //      repeated" dashboards (G→1: a few tokens dominate; G→0:
+    //      uniform). Ranks ride PrefixScan (range shuffle + driver
+    //      offsets — no whole-vocabulary single-task sort); ties in
+    //      count are order-free for the Σ rank·count term but the
+    //      (count, token) order is total anyway. Σ rank·count
+    //      accumulates in DECIMAL(38,0) (rank ≤ vocab, count ≤ corpus
+    //      tokens — the product passes 2⁶³ long before sf-anything),
+    //      matching DuckDB's exact HUGEINT; both engines then divide
+    //      identical doubles.
+    "q_gini_tokens" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val (ranked, _) = graft.operators.PrefixScan.runningPerKey(
+        cnt, Seq(col("source")), Seq(col("c"), col("tok")),
+        col("c"), "_run", "r")
+      val g = ranked.groupBy("source").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("r").cast("decimal(19,0)") * col("c")).as("src"))
+      val gini =
+        (lit(2.0) * col("src").cast("double") -
+          (col("vocab") + 1).cast("double") * col("n_tokens").cast("double")) /
+          (col("vocab").cast("double") * col("n_tokens").cast("double"))
+      g.select(col("source"), col("n_tokens"), col("vocab"),
+          EngineNeutral.roundHalfUp(gini, 6).as("gini"))
+        .orderBy("source")
+    }),
+
+    // 154. Zipf-law fit per source: OLS slope of ln(count) on
+    //      ln(rank) over the top-100 tokens (rank 1 = most frequent,
+    //      ties by token) — healthy natural text sits near −1;
+    //      template/boilerplate corpora flatten or steepen it. The
+    //      top-100 survive the native bounded TopKPerKey (≤100 rows
+    //      per source leave each map partition — never a vocabulary
+    //      sort); the rank window then orders ≤100 rows per source.
+    //      ln sums are doubles (4-dp engine-neutral rounding, the
+    //      q_group_regress/q_entropy convention).
+    "q_zipf_slope" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val top = graft.plans.TopKPerKey.topK(cnt, Seq("source"),
+        Seq("c" -> true, "tok" -> false), k = 100)
+      val w = Window.partitionBy("source").orderBy(col("c").desc, col("tok"))
+      val xy = top.withColumn("r", row_number().over(w))
+        .select(col("source"),
+          log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      val f = xy.groupBy("source").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      f.select(col("source"), col("n").cast("long").as("n_top"),
+          EngineNeutral.r4(slope).as("zipf_slope"))
+        .orderBy("source")
+    }),
+
+    // 155. Conditional bigram entropy per source:
+    //      H(w₂|w₁) = Σ c₁₂·(ln c₁ − ln c₁₂) / N over the source's
+    //      bigram types — how predictable the next token is given the
+    //      current one; collapses toward 0 on templated/repeated text
+    //      and complements q_entropy's unigram H and q_bigram_lm's
+    //      per-doc scores with one corpus-level health number. Bigram
+    //      and left-context counts are exact integers from map-side-
+    //      combined aggregations; the c₁ join is bigram-type-scale
+    //      (both sides pre-aggregated, one equi-key shuffle each).
+    "q_cond_entropy" -> ((s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"),
+          posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = toks
+        .select(col("source"), col("t").as("t1"),
+          lead(col("t"), 1).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+      val c12 = bg.groupBy("source", "t1", "t2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("source", "t1").agg(sum("c12").as("c1"))
+      c12.join(c1, Seq("source", "t1"))
+        .groupBy("source")
+        .agg(sum("c12").as("n_bigrams"),
+          sum(col("c12").cast("double") *
+            (log(col("c1").cast("double")) - log(col("c12").cast("double"))))
+            .as("_h"))
+        .select(col("source"), col("n_bigrams"),
+          EngineNeutral.r4(col("_h") / col("n_bigrams").cast("double"))
+            .as("h_cond"))
+        .orderBy("source")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, count(*) AS c FROM documents
+        |  GROUP BY source, n_chars
+        |), xs AS (SELECT DISTINCT n_chars FROM c),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM c GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM c),
+        |grid AS (
+        |  SELECT s.source, s.n_s, x.n_chars, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN xs x
+        |  LEFT JOIN c ON c.source = s.source AND c.n_chars = x.n_chars
+        |), cums AS (
+        |  SELECT source, n_s, n_chars,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+        |  FROM grid
+        |), cumg AS (
+        |  SELECT n_chars, CAST(sum(cum_s) AS BIGINT) AS cum_g FROM cums GROUP BY n_chars
+        |)
+        |SELECT source, max(n_s) AS n_docs,
+        |  floor(max(abs(CAST(cum_s AS DOUBLE) / n_s -
+        |    CAST(cum_g - cum_s AS DOUBLE) / (n_all - n_s))) * 1000000 + 0.5)
+        |    / 1000000.0 AS ks
+        |FROM cums JOIN cumg USING (n_chars) CROSS JOIN tot
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_gini_tokens" ->
+      """WITH cnt AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok
+        |), ranked AS (
+        |  SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c, tok) AS r
+        |  FROM cnt
+        |), g AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab, sum(r * c) AS src
+        |  FROM ranked GROUP BY source
+        |)
+        |SELECT source, n_tokens, vocab,
+        |  floor((2.0 * CAST(src AS DOUBLE) -
+        |         CAST(vocab + 1 AS DOUBLE) * CAST(n_tokens AS DOUBLE)) /
+        |        (CAST(vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |        * 1000000 + 0.5) / 1000000.0 AS gini
+        |FROM g ORDER BY source""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH cnt AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok
+        |), top AS (
+        |  SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+        |  FROM cnt QUALIFY r <= 100
+        |), xy AS (
+        |  SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        |  FROM top
+        |), f AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM xy GROUP BY source
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n_top,
+        |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
+        |    / 10000.0 AS zipf_slope
+        |FROM f ORDER BY source""".stripMargin,
+    "q_cond_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    unnest(range(1, len(ts) + 1)) AS pos, unnest(ts) AS t
+        |  FROM (SELECT source, doc_id,
+        |          list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
+        |        FROM documents)
+        |), bg AS (
+        |  SELECT source, t1, t2 FROM (
+        |    SELECT source, t AS t1,
+        |      lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |    FROM toks)
+        |  WHERE t2 IS NOT NULL
+        |), c12 AS (
+        |  SELECT source, t1, t2, count(*) AS c12 FROM bg GROUP BY source, t1, t2
+        |), c1 AS (
+        |  SELECT source, t1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY source, t1
+        |)
+        |SELECT source, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+        |  floor(sum(CAST(c12 AS DOUBLE) *
+        |            (ln(CAST(c1 AS DOUBLE)) - ln(CAST(c12 AS DOUBLE))))
+        |        / CAST(sum(c12) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS h_cond
+        |FROM c12 JOIN c1 USING (source, t1)
+        |GROUP BY source ORDER BY source""".stripMargin)
+}

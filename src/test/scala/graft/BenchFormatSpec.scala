@@ -95,13 +95,13 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("family rests extend past shared prefixes instead of colliding") {
-    // the round-11 end-trim densification (floor 3→2 in round 14)
+    // the round-11 end-trim densification (floor 3→2→1 in round 14)
     // shortens the extended forms afterwards, but strictly preserves
-    // pairwise distinctness: the first sibling claims the 2-char
+    // pairwise distinctness: the first sibling claims the 1-char
     // floor, the second stops one char past the collision
     val keys = BenchFormat.compactKeys(
       Seq("q_same_prefix_aa", "q_same_prefix_bb", "q_other"))
-    assert(keys == Seq("sp", "spr", "o"))
+    assert(keys == Seq("s", "sp", "o"))
     assert(keys.distinct.size == keys.size)
   }
 

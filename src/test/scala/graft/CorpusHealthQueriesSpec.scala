@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-15 corpus-health invariants: exact driver recomputes for the
+  * KS statistic and the Gini rank sums (pure-integer references), and
+  * tolerance-checked recomputes for the two ln-based fits — the
+  * semantic guarantees behind the SQL oracles.
+  */
+class CorpusHealthQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toks(text: String): Array[String] =
+    text.split(" ").filter(_.nonEmpty)
+
+  private lazy val docs: Array[(String, Long, String)] =
+    Tables.documents(spark, sf)
+      .select($"source".as[String], $"n_chars".as[Long], $"text".as[String])
+      .collect()
+
+  test("q_ks_test matches an exact driver KS recompute per source") {
+    val got = SparkEntry.queries("q_ks_test")(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val bySource = docs.groupBy(_._1)
+    val all = docs.map(_._2).sorted
+    val xs = all.distinct
+    bySource.foreach { case (src, rows) =>
+      val mine = rows.map(_._2).sorted
+      val rest = docs.filterNot(_._1 == src).map(_._2).sorted
+      val d = xs.map { x =>
+        val fs = mine.count(_ <= x).toDouble / mine.length
+        val fr = rest.count(_ <= x).toDouble / rest.length
+        math.abs(fs - fr)
+      }.max
+      val (_, nDocs, ks) = got(src)
+      assert(nDocs == rows.length, s"$src n_docs")
+      assert(math.abs(ks - d) < 1e-6 + 1e-12, f"$src: ks $ks vs driver $d%.8f")
+    }
+    // KS is a probability-scale statistic
+    got.values.foreach { case (s, _, ks) =>
+      assert(ks >= 0.0 && ks <= 1.0, s"$s ks out of [0,1]: $ks")
+    }
+  }
+
+  test("q_gini_tokens matches an exact BigInt rank-sum recompute") {
+    val got = SparkEntry.queries("q_gini_tokens")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val cnt = rows.flatMap(r => toks(r._3)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toSeq
+      val ranked = cnt.sortBy { case (tok, c) => (c, tok) }.zipWithIndex
+      val v = ranked.length
+      val n = cnt.map(_._2).sum
+      val src2 = ranked.map { case ((_, c), i) => BigInt(i + 1) * c }.sum
+      val gini = (2.0 * src2.toDouble - (v + 1).toDouble * n.toDouble) /
+        (v.toDouble * n.toDouble)
+      val (_, gn, gv, gg) = got(src)
+      assert(gn == n && gv == v, s"$src totals: ($gn,$gv) vs ($n,$v)")
+      assert(math.abs(gg - gini) < 1e-6 + 1e-12, s"$src gini $gg vs $gini")
+      assert(gg >= 0.0 && gg < 1.0)
+    }
+  }
+
+  test("q_zipf_slope matches a driver OLS over the top-100 and is negative") {
+    val got = SparkEntry.queries("q_zipf_slope")(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val cnt = rows.flatMap(r => toks(r._3)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toSeq
+      val top = cnt.sortBy { case (tok, c) => (-c, tok) }.take(100)
+      val xy = top.zipWithIndex.map { case ((_, c), i) =>
+        (math.log((i + 1).toDouble), math.log(c.toDouble))
+      }
+      val n = xy.length.toDouble
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val (_, nTop, gs) = got(src)
+      assert(nTop == xy.length, s"$src n_top")
+      assert(math.abs(gs - slope) < 1e-4 + 1e-9, s"$src slope $gs vs $slope")
+      assert(gs < 0.0, s"$src: Zipf slope must be negative, got $gs")
+    }
+  }
+
+  test("q_cond_entropy matches a driver recompute and sits in [0, ln vocab]") {
+    val got = SparkEntry.queries("q_cond_entropy")(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val bgs = rows.flatMap { r => val w = toks(r._3); w.zip(w.drop(1)) }
+      val c12 = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val c1 = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val nBg = bgs.length.toLong
+      val h = c12.map { case ((t1, _), c) =>
+        c.toDouble * (math.log(c1(t1).toDouble) - math.log(c.toDouble))
+      }.sum / nBg
+      val (_, gn, gh) = got(src)
+      assert(gn == nBg, s"$src n_bigrams")
+      assert(math.abs(gh - h) < 1e-4 + 1e-9, s"$src h_cond $gh vs $h")
+      val vocab = rows.flatMap(r => toks(r._3)).distinct.length
+      assert(gh >= 0.0 && gh <= math.log(vocab.toDouble) + 1e-9,
+        s"$src h_cond $gh outside [0, ln($vocab)]")
+    }
+  }
+}

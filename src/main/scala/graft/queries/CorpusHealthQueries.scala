@@ -45,8 +45,10 @@ object CorpusHealthQueries {
       val srcs = c.groupBy("source").agg(sum("c").as("n_s"))
       val nTot = c.agg(sum("c").as("n_all"))
       // complete grid (sources × distinct lengths — value-domain
-      // bounded, never corpus-proportional), zero-filled
-      val grid = srcs.crossJoin(xs)
+      // bounded, never corpus-proportional), zero-filled; xs broadcast
+      // so the grid is a broadcast nested-loop, never a cartesian
+      // shuffle
+      val grid = srcs.crossJoin(broadcast(xs))
         .join(c, Seq("source", "n_chars"), "left")
         .na.fill(0L, Seq("c"))
       val w = Window.partitionBy("source").orderBy("n_chars")
@@ -61,6 +63,11 @@ object CorpusHealthQueries {
             (col("n_all") - col("n_s")))
       cums.join(cumG, Seq("n_chars"))
         .crossJoin(broadcast(nTot))
+        // a single-source corpus has no "rest" sample: its F_rest is
+        // 0/0, where Spark (NULL) and DuckDB (NaN, which sorts ABOVE
+        // all values in max) diverge — KS is undefined there, so the
+        // source is excluded identically in both engines
+        .filter(col("n_all") > col("n_s"))
         .groupBy("source")
         .agg(max(col("n_s")).as("n_docs"),
           max(dStat).as("_ks"))
@@ -129,7 +136,11 @@ object CorpusHealthQueries {
         sum(col("x") * col("x")).as("sxx"))
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
-      f.select(col("source"), col("n").cast("long").as("n_top"),
+      // a single-type vocabulary (n = 1) zeroes the OLS denominator
+      // (Spark NULL vs DuckDB NaN) — no line fits one point, so the
+      // source is excluded identically in both engines
+      f.filter(col("n") >= 2)
+        .select(col("source"), col("n").cast("long").as("n_top"),
           EngineNeutral.r4(slope).as("zipf_slope"))
         .orderBy("source")
     }),
@@ -191,6 +202,7 @@ object CorpusHealthQueries {
         |    CAST(cum_g - cum_s AS DOUBLE) / (n_all - n_s))) * 1000000 + 0.5)
         |    / 1000000.0 AS ks
         |FROM cums JOIN cumg USING (n_chars) CROSS JOIN tot
+        |WHERE n_all > n_s
         |GROUP BY source ORDER BY source""".stripMargin,
     "q_gini_tokens" ->
       """WITH cnt AS (
@@ -236,7 +248,7 @@ object CorpusHealthQueries {
         |SELECT source, CAST(n AS BIGINT) AS n_top,
         |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
         |    / 10000.0 AS zipf_slope
-        |FROM f ORDER BY source""".stripMargin,
+        |FROM f WHERE n >= 2 ORDER BY source""".stripMargin,
     "q_cond_entropy" ->
       """WITH toks AS (
         |  SELECT source, doc_id,

@@ -85,6 +85,34 @@ class CorpusHealthQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate corpora: single-source KS and single-token Zipf are excluded, not NaN") {
+    // KS against an empty "rest" sample is 0/0 and a one-point Zipf
+    // fit has a zero OLS denominator — Spark (NULL on /0) and DuckDB
+    // (NaN, which sorts ABOVE everything in max) would diverge, so
+    // both queries exclude the degenerate group identically in query
+    // and oracle; this pins the Spark half
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("chealth_degen").toString
+    Seq(
+      (1L, "alpha beta gamma alpha", "en", "only_source", 22L),
+      (2L, "beta gamma delta", "en", "only_source", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ks = SparkEntry.queries("q_ks_test")(spark, dir).collect()
+    assert(ks.isEmpty, s"single-source corpus must yield no KS rows: ${ks.toSeq}")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("chealth_degen2").toString
+    Seq(
+      (1L, "same same same", "en", "one_type", 14L),
+      (2L, "alpha beta gamma alpha beta", "en", "healthy", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val z = SparkEntry.queries("q_zipf_slope")(spark, dir2).collect()
+    assert(z.map(_.getString(0)).toSet == Set("healthy"),
+      s"one-type-vocabulary source must be excluded: ${z.toSeq}")
+    z.foreach(r => assert(!r.getDouble(2).isNaN && !r.isNullAt(2)))
+  }
+
   test("q_cond_entropy matches a driver recompute and sits in [0, ln vocab]") {
     val got = SparkEntry.queries("q_cond_entropy")(spark, sf)
       .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap

@@ -293,6 +293,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!ci.contains("SortMergeJoin"),
       s"q_dedup_clusters_indexed grew a join at serve time:\n$ci")
   }
+
+  test("wave-15 shapes: no cartesians in KS, native top-k in Zipf, " +
+    "map-side combine everywhere") {
+    // q_ks_test: the source×length grid rides broadcast nested-loop
+    // joins (both sides value-domain bounded) — a CartesianProduct
+    // here would shuffle at scale
+    val ks = plan("q_ks_test")
+    assert(!ks.contains("CartesianProduct"),
+      s"q_ks_test grew a cartesian shuffle:\n$ks")
+    assert(ks.contains("partial_count") || ks.contains("partial_sum"),
+      s"q_ks_test lost map-side combine on the length counts:\n$ks")
+    // q_zipf_slope: the top-100 survives the native bounded TopKPerKey
+    // (≤k rows/source leave each map partition), never a vocabulary
+    // sort
+    val z = plan("q_zipf_slope")
+    assert(z.contains("TopK"),
+      s"q_zipf_slope no longer uses the native TopKPerKey operator:\n$z")
+    // q_gini_tokens: token counts combine map-side; ranks come from
+    // PrefixScan's range exchange, never a whole-vocabulary
+    // single-task window
+    val g = plan("q_gini_tokens")
+    assert(g.contains("partial_count"),
+      s"q_gini_tokens lost map-side combine on token counts:\n$g")
+    assert(g.contains("rangepartitioning") || g.contains("RangePartitioning"),
+      s"q_gini_tokens lost the PrefixScan range exchange:\n$g")
+    // q_cond_entropy: bigram-type counts combine map-side on both join
+    // sides
+    val ce = plan("q_cond_entropy")
+    assert(ce.contains("partial_count"),
+      s"q_cond_entropy lost map-side combine on bigram counts:\n$ce")
+  }
 }
 
 /** Builds the bucketed tables outside the measured plan (the gated

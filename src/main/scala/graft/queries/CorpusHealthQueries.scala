@@ -165,7 +165,13 @@ object CorpusHealthQueries {
         .filter(col("t2").isNotNull)
       val c12 = bg.groupBy("source", "t1", "t2").agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy("source", "t1").agg(sum("c12").as("c1"))
-      c12.join(c1, Seq("source", "t1"))
+      // merge hint (the q_bigram_lm discipline): c1 is
+      // vocabulary×sources-scale — small on the synthetic corpus, so
+      // the planner would auto-broadcast it, but on a natural 100 TB
+      // vocabulary it is NOT a broadcastable side; both sides arrive
+      // pre-aggregated on the join key, so the sort-merge join is the
+      // shape that survives scale
+      c12.hint("merge").join(c1, Seq("source", "t1"))
         .groupBy("source")
         .agg(sum("c12").as("n_bigrams"),
           sum(col("c12").cast("double") *

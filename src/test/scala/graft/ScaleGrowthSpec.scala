@@ -125,7 +125,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // buckets, q_kll_quantiles moves ~3 KB sketch bytes per partial.
     // All three must stay far under the ceiling — growth here means a
     // corpus-sized exchange snuck in
-    "q_source_minhash_overlap", "q_quantile_sketch", "q_kll_quantiles")
+    "q_source_minhash_overlap", "q_quantile_sketch", "q_kll_quantiles",
+    // wave-15 arrivals: q_cond_entropy shuffles the (source, t1, t2)
+    // bigram-count aggregation plus the merge-joined c1 probe — one
+    // row per token position into map-side combine, token-linear; the
+    // c1 side must STAY a merge join (it is vocabulary-scale — the
+    // auto-broadcast ScaleGuardSweep caught on arrival). q_gini_tokens
+    // moves (source, token) count rows plus PrefixScan's vocab-sized
+    // range exchange — vocabulary-scale, corpus-sublinear; growth
+    // here means token rows started riding an exchange un-combined
+    "q_cond_entropy", "q_gini_tokens")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

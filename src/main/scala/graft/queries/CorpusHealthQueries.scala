@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
 object CorpusHealthQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Committed health-profile version dir per sf dir (built once per
+    * session — the lexIndexCache convention).
+    */
+  private val healthProfileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
     // 152. Kolmogorov–Smirnov two-sample test per source: sup-norm
     //      distance between each source's n_chars empirical CDF and
@@ -38,42 +44,34 @@ object CorpusHealthQueries {
     //      length is exact. All inputs are exact integer counts; the
     //      two CDF divisions associate identically in both engines,
     //      so the max compares bit-identical doubles.
-    "q_ks_test" -> ((s, d) => {
-      val c = Tables.documents(s, d)
-        .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
-      val xs = c.select("n_chars").distinct()
-      val srcs = c.groupBy("source").agg(sum("c").as("n_s"))
-      val nTot = c.agg(sum("c").as("n_all"))
-      // complete grid (sources × distinct lengths — value-domain
-      // bounded, never corpus-proportional), zero-filled; xs broadcast
-      // so the grid is a broadcast nested-loop, never a cartesian
-      // shuffle
-      val grid = srcs.crossJoin(broadcast(xs))
-        .join(c, Seq("source", "n_chars"), "left")
-        .na.fill(0L, Seq("c"))
-      val w = Window.partitionBy("source").orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cums = grid.withColumn("cum_s", sum("c").over(w))
-      // global CDF from the grid itself: the grid is COMPLETE, so
-      // cumG(x) = Σ_sources cum_s(x) — no global window, no second scan
-      val cumG = cums.groupBy("n_chars").agg(sum("cum_s").as("cum_g"))
-      val dStat =
-        abs(col("cum_s").cast("double") / col("n_s") -
-          (col("cum_g") - col("cum_s")).cast("double") /
-            (col("n_all") - col("n_s")))
-      cums.join(cumG, Seq("n_chars"))
-        .crossJoin(broadcast(nTot))
-        // a single-source corpus has no "rest" sample: its F_rest is
-        // 0/0, where Spark (NULL) and DuckDB (NaN, which sorts ABOVE
-        // all values in max) diverge — KS is undefined there, so the
-        // source is excluded identically in both engines
-        .filter(col("n_all") > col("n_s"))
-        .groupBy("source")
-        .agg(max(col("n_s")).as("n_docs"),
-          max(dStat).as("_ks"))
-        .select(col("source"), col("n_docs"),
-          EngineNeutral.roundHalfUp(col("_ks"), 6).as("ks"))
-        .orderBy("source")
+    //      The CDF/grid math lives in HealthProfile.ksFromHist (the
+    //      complete source×length grid, per-source domain-bounded
+    //      window cums, global CDF as the grid's own per-length sum —
+    //      no global window; single-source corpora excluded because
+    //      F_rest is 0/0, where Spark NULL and DuckDB NaN diverge),
+    //      shared bit-identically with the profile-served variant.
+    "q_ks_test" -> ((s, d) =>
+      graft.functions.HealthProfile.ksFromHist(
+        Tables.documents(s, d)
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))),
+
+    // 156. KS drift through the PERSISTED health profile — the
+    //      production monitoring path (row 44av): the per-(source,
+    //      n_chars) count partials live under a Versioned root with
+    //      O(batch) tagged appends, and the drift report folds KBs of
+    //      histogram partials instead of re-scanning the corpus. Same
+    //      oracle as q_ks_test (HealthProfileSpec pins the fold ≡
+    //      scan equality; this gate drives the served path against
+    //      DuckDB too). Profile built once per sf dir per session —
+    //      the lexIndexCache convention.
+    "q_ks_test_indexed" -> ((s, d) => {
+      val vdir = healthProfileCache.computeIfAbsent(d, _ => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_healthprof").toString
+        graft.functions.HealthProfile.writeIndex(
+          Tables.documents(s, d), "source", "n_chars", root)
+      })
+      graft.functions.HealthProfile.readKs(s, vdir)
     }),
 
     // 153. Token-frequency Gini concentration per source: sort each
@@ -183,8 +181,11 @@ object CorpusHealthQueries {
         .orderBy("source")
     }))
 
-  val oracles: Map[String, String] = Map(
-    "q_ks_test" ->
+  /** The KS oracle, shared by q_ks_test (in-job scan) and
+    * q_ks_test_indexed (persisted-profile path) — the two must produce
+    * the identical result set (the bm25/bm25_indexed convention).
+    */
+  private val ksOracleSql: String =
       """WITH c AS (
         |  SELECT source, n_chars, count(*) AS c FROM documents
         |  GROUP BY source, n_chars
@@ -209,7 +210,11 @@ object CorpusHealthQueries {
         |    / 1000000.0 AS ks
         |FROM cums JOIN cumg USING (n_chars) CROSS JOIN tot
         |WHERE n_all > n_s
-        |GROUP BY source ORDER BY source""".stripMargin,
+        |GROUP BY source ORDER BY source""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ks_test" -> ksOracleSql,
+    "q_ks_test_indexed" -> ksOracleSql,
     "q_gini_tokens" ->
       """WITH cnt AS (
         |  SELECT source, tok, count(*) AS c FROM (

@@ -980,6 +980,43 @@ object Streams {
     q
   }
 
+  /** Streaming growth of the persisted HEALTH profile
+    * ([[graft.functions.HealthProfile]]): each document micro-batch
+    * appends its (source × distinct-lengths)-bounded count partial,
+    * and the CURRENT exact KS drift report lands at `outPath` under
+    * the `batch_id=N` dynamic-partition overwrite sink — continuous
+    * distribution-drift monitoring that never re-reads old data.
+    *
+    * Count merges are NOT idempotent, so replay safety rides the
+    * batch tag (query-id + batch-id), exactly the [[profileIngest]]
+    * discipline: a redelivered batch's append is refused and the
+    * report re-emits idempotently from the committed state.
+    */
+  def healthIngest(stream: DataFrame, indexPath: String, outPath: String,
+                   checkpoint: String, srcCol: String = "source",
+                   lenCol: String = "n_chars"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          graft.functions.HealthProfile.appendBatch(
+            batch, srcCol, lenCol, indexPath, Some(tag))
+          val vdir = graft.operators.Versioned.resolve(spark, indexPath).get
+          graft.functions.HealthProfile.readKs(spark, vdir)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Durable sink: append the stream to a parquet directory with a
     * checkpoint (exactly-once file sink). The production counterpart
     * of [[runToMemory]] — same query, swap the sink.

@@ -290,9 +290,13 @@ object GraphIndex {
           s"graph-index heal artifacts for batch tag '$tag' were trimmed " +
             s"by compaction (TagRetain=$TagRetain newest kept; see " +
             s"$versionDir/tagdeltas/_TRIMMED): the batch's append IS " +
-            "committed, but its sink partition cannot be healed by tag — " +
-            "rebuild the derived output for this batch from the index, or " +
-            "raise TagRetain above the number of concurrent streams")
+            "committed, but it can no longer be healed BY TAG. Check the " +
+            "sink first — if the batch's output partition is already " +
+            "present (crash landed after the sink write), nothing was " +
+            "lost and the stream can resume past this batch; if it is " +
+            "missing, rebuild the derived output for this batch from the " +
+            "index. Raise TagRetain above the number of concurrent " +
+            "streams to widen the heal window")
       hit
     }
   }

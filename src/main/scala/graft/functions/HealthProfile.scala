@@ -47,46 +47,22 @@ object HealthProfile {
   }
 
   /** Append ONE batch's histogram partial as a delta; `tag` is the
-    * replay guard (a committed tag returns None and commits nothing).
+    * replay guard (a committed tag returns None and commits nothing —
+    * the shared [[graft.operators.TaggedProfile]] protocol, guard
+    * re-evaluated under the writer lock).
     */
   def appendBatch(batch: DataFrame, srcCol: String, lenCol: String,
-                  path: String, tag: Option[String] = None): Option[String] = {
-    val spark = batch.sparkSession
-    val vdir = graft.operators.Versioned.resolve(spark, path)
-      .getOrElse(sys.error(s"no committed health profile at $path"))
-    if (tag.exists(t => committedTags(spark, vdir).contains(t))) None
-    else graft.operators.Versioned.commitDeltaIf(spark, path, vdir)(
-      tag.forall(t => !committedTags(spark, vdir).contains(t))) { dir =>
+                  path: String, tag: Option[String] = None): Option[String] =
+    graft.operators.TaggedProfile.appendTagged(
+      batch.sparkSession, path, "health profile", tag) { dir =>
       histOf(batch, srcCol, lenCol).write.parquet(s"$dir/hist")
-      tag.foreach { t =>
-        val tp = new org.apache.hadoop.fs.Path(dir, s"_TAG_$t")
-        val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.create(tp, true).close()
-      }
     }
-  }
 
-  /** Every batch tag this version has absorbed (folded `tags/` table
-    * plus live deltas' `_TAG_` markers — tags must survive compaction
-    * because count merges are not idempotent).
+  /** Every batch tag this version has absorbed (tags must survive
+    * compaction because count merges are not idempotent).
     */
-  def committedTags(spark: SparkSession, versionDir: String): Set[String] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val tagsDir = new org.apache.hadoop.fs.Path(s"$versionDir/tags")
-    val folded =
-      if (tagsDir.getFileSystem(conf).exists(tagsDir))
-        spark.read.parquet(s"$versionDir/tags").collect()
-          .map(_.getString(0)).toSet
-      else Set.empty[String]
-    val live = graft.operators.Versioned.listDeltas(spark, versionDir)
-      .flatMap { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).listStatus(p).toSeq
-          .map(_.getPath.getName)
-          .collect { case n if n.startsWith("_TAG_") => n.stripPrefix("_TAG_") }
-      }.toSet
-    folded ++ live
-  }
+  def committedTags(spark: SparkSession, versionDir: String): Set[String] =
+    graft.operators.TaggedProfile.committedTags(spark, versionDir)
 
   /** The current folded histogram: per-(source, n_chars) count sums
     * over base + deltas — KBs of input per delta, never corpus data.
@@ -138,16 +114,12 @@ object HealthProfile {
     ksFromHist(readHist(spark, versionDir))
 
   /** Fold base + deltas into a fresh deltaless version; absorbed tags
-    * fold into `tags/` so replayed batches stay refused (resolution
-    * inside the writer lock — the compactLexicalIndex discipline).
+    * fold into `tags/` so replayed batches stay refused (the shared
+    * [[graft.operators.TaggedProfile]] compaction).
     */
   def compactIndex(spark: SparkSession, path: String): String =
-    graft.operators.Versioned.commitNew(spark, path) { dir =>
-      val vdir = graft.operators.Versioned.resolve(spark, path)
-        .getOrElse(sys.error(s"no committed health profile at $path"))
+    graft.operators.TaggedProfile.compactWithTags(
+      spark, path, "health profile") { (vdir, dir) =>
       readHist(spark, vdir).write.parquet(s"$dir/hist")
-      import spark.implicits._
-      committedTags(spark, vdir).toSeq.sorted.toDF("tag")
-        .coalesce(1).write.parquet(s"$dir/tags")
     }
 }

@@ -504,19 +504,29 @@ object Retrieval {
     val (qb, qTermsPre) =
       if (!prune) (None, None)
       else {
-        // coalesce(1): the bounded query set tokenizes in one task —
-        // 32 near-empty tasks cost more scheduler latency than the work
-        val pairs = queries.coalesce(1)
+        // repartition(1) — NOT coalesce(1): the bounded query set
+        // tokenizes in one task (32 near-empty explode tasks cost more
+        // scheduler latency than the work), but coalesce is narrow and
+        // would collapse the query side's whole upstream lineage
+        // (corpus scan + filter) into that one task; the repartition
+        // barrier keeps the scan parallel and single-tasks only the
+        // bounded rows. The id column stays type-generic (Row-based
+        // round trip with the frame's own schema — the old string/int
+        // id callers of this public API must keep working and keep
+        // their output schema).
+        val pairsDf = queries.repartition(1)
           .select(col(idCol).as("query_id"),
             explode(Dedup.tokens(col(textCol))).as("tok"))
           .select(col("query_id"), xxhash64(col("tok")).as("th"))
-          .distinct().collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSeq
-        val buckets = pairs.map(p => math.floorMod(p._2, LexBuckets.toLong))
-          .distinct
-        import spark.implicits._
+          .distinct()
+        val rows = pairsDf.collect()
+        val thIdx = pairsDf.schema.fieldIndex("th")
+        val buckets = rows
+          .map(r => math.floorMod(r.getLong(thIdx), LexBuckets.toLong))
+          .distinct.toSeq
         (Some(buckets),
-          Some(pairs.toDF("query_id", "th")))
+          Some(spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), pairsDf.schema)))
       }
     val (tf, dfreq, stats) = readLexicalIndexPruned(spark, versionDir, qb)
     scoreBm25(tf, dfreq, stats, queries, idCol, textCol, topK, k1, b, qTermsPre)

@@ -67,26 +67,15 @@ object SketchProfile {
     */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
                   srcCol: String, path: String,
-                  tag: Option[String] = None): Option[String] = {
-    val spark = batch.sparkSession
-    val vdir = graft.operators.Versioned.resolve(spark, path)
-      .getOrElse(sys.error(s"no committed sketch profile at $path"))
-    // cheap pre-check outside the lock (skips the write entirely on a
-    // plain redelivery), but the AUTHORITATIVE duplicate test is the
-    // guard commitDeltaIf re-evaluates under the writer _LOCK — two
-    // concurrent same-tag appends can both pass a caller-side check,
-    // and a double sketch merge double-counts
-    if (tag.exists(t => committedTags(spark, vdir).contains(t))) None
-    else graft.operators.Versioned.commitDeltaIf(spark, path, vdir)(
-      tag.forall(t => !committedTags(spark, vdir).contains(t))) { dir =>
+                  tag: Option[String] = None): Option[String] =
+    // the shared TaggedProfile protocol: cheap pre-check outside the
+    // lock, AUTHORITATIVE duplicate test re-evaluated under the
+    // writer _LOCK via commitDeltaIf (a double sketch merge
+    // double-counts)
+    graft.operators.TaggedProfile.appendTagged(
+      batch.sparkSession, path, "sketch profile", tag) { dir =>
       profileOf(batch, idCol, textCol, srcCol).write.parquet(s"$dir/profile")
-      tag.foreach { t =>
-        val tp = new org.apache.hadoop.fs.Path(dir, s"_TAG_$t")
-        val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.create(tp, true).close()
-      }
     }
-  }
 
   /** Every batch tag this version has absorbed: the folded `tags/`
     * table a compaction writes, plus the live deltas' `_TAG_` files.
@@ -95,23 +84,8 @@ object SketchProfile {
     * replayed batch whose tag a compaction discarded would re-append.
     * A tag is ~50 bytes; the table grows with batch count, not data.
     */
-  def committedTags(spark: SparkSession, versionDir: String): Set[String] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val tagsDir = new org.apache.hadoop.fs.Path(s"$versionDir/tags")
-    val folded =
-      if (tagsDir.getFileSystem(conf).exists(tagsDir))
-        spark.read.parquet(s"$versionDir/tags").collect()
-          .map(_.getString(0)).toSet
-      else Set.empty[String]
-    val live = graft.operators.Versioned.listDeltas(spark, versionDir)
-      .flatMap { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).listStatus(p).toSeq
-          .map(_.getPath.getName)
-          .collect { case n if n.startsWith("_TAG_") => n.stripPrefix("_TAG_") }
-      }.toSet
-    folded ++ live
-  }
+  def committedTags(spark: SparkSession, versionDir: String): Set[String] =
+    graft.operators.TaggedProfile.committedTags(spark, versionDir)
 
   /** The current folded profile: per-source sketch unions + exact
     * count sums over base + deltas. Kilobytes of input per source per
@@ -146,12 +120,8 @@ object SketchProfile {
     * stays refused across compactions (see [[committedTags]]).
     */
   def compactIndex(spark: SparkSession, path: String): String =
-    graft.operators.Versioned.commitNew(spark, path) { dir =>
-      val vdir = graft.operators.Versioned.resolve(spark, path)
-        .getOrElse(sys.error(s"no committed sketch profile at $path"))
+    graft.operators.TaggedProfile.compactWithTags(
+      spark, path, "sketch profile") { (vdir, dir) =>
       readProfile(spark, vdir).write.parquet(s"$dir/profile")
-      import spark.implicits._
-      committedTags(spark, vdir).toSeq.sorted.toDF("tag")
-        .coalesce(1).write.parquet(s"$dir/tags")
     }
 }

@@ -129,16 +129,23 @@ object CalibrationQueries {
         sum("x3").as("s3"), sum(col("x3") * col("x3")).as("q3"))
       // Degenerate groups: one doc (n-1 = 0) or a zero-variance
       // signal would divide by zero, where Spark (NULL, non-ANSI
-      // Divide) and DuckDB (IEEE ±inf/NaN — and DuckDB sorts NaN
-      // ABOVE everything, so even a `> 0` guard diverges) disagree.
-      // The z term is zeroed when n < 2 or variance <= 0, with the
-      // guard written division-free (q·n > s·s computes the identical
-      // IEEE doubles in both engines) and IDENTICALLY in the oracle.
-      def z(x: String, sc: String, q: String) =
-        when(col("n") > 1 && col(q) * col("n") > col(sc) * col(sc),
-          (col(x) - col(sc) / col("n")) /
-            sqrt((col(q) - col(sc) * col(sc) / col("n")) / (col("n") - 1)))
+      // Divide) and DuckDB (IEEE ±inf/NaN) disagree. The z term is
+      // zeroed when n < 2 or the variance term is <= 0, guarding on
+      // the COMPUTED denominator itself — `(q − s²/n)/(n−1) > 0`
+      // compares the identical IEEE doubles in both engines, and the
+      // n > 1 conjunct makes the division well-defined inside the
+      // guard (for n = 1 the conjunction is false in both engines
+      // regardless of the other operand — even DuckDB's NaN>0=true
+      // cannot flip `false AND x`). A proxy guard like q·n > s·s can
+      // pass while the real denominator rounds to exactly 0 past
+      // 2⁵³-magnitude sums, reopening the divergence.
+      def z(x: String, sc: String, q: String) = {
+        val varTerm =
+          (col(q) - col(sc) * col(sc) / col("n")) / (col("n") - 1)
+        when(col("n") > 1 && varTerm > 0,
+          (col(x) - col(sc) / col("n")) / sqrt(varTerm))
           .otherwise(lit(0.0))
+      }
       val blend =
         lit(0.5) * z("x1", "s1", "q1") +
           lit(0.3) * z("x2", "s2", "q2") +
@@ -241,13 +248,13 @@ object CalibrationQueries {
         |  FROM b GROUP BY lang
         |), z AS (
         |  SELECT doc_id, source,
-        |    0.5 * (CASE WHEN n > 1 AND q1 * n > s1 * s1
+        |    0.5 * (CASE WHEN n > 1 AND (q1 - s1 * s1 / n) / (n - 1) > 0
         |           THEN (x1 - s1 / n) / sqrt((q1 - s1 * s1 / n) / (n - 1))
         |           ELSE 0.0 END) +
-        |    0.3 * (CASE WHEN n > 1 AND q2 * n > s2 * s2
+        |    0.3 * (CASE WHEN n > 1 AND (q2 - s2 * s2 / n) / (n - 1) > 0
         |           THEN (x2 - s2 / n) / sqrt((q2 - s2 * s2 / n) / (n - 1))
         |           ELSE 0.0 END) +
-        |    0.2 * (CASE WHEN n > 1 AND q3 * n > s3 * s3
+        |    0.2 * (CASE WHEN n > 1 AND (q3 - s3 * s3 / n) / (n - 1) > 0
         |           THEN (x3 - s3 / n) / sqrt((q3 - s3 * s3 / n) / (n - 1))
         |           ELSE 0.0 END) AS blend
         |  FROM b JOIN st USING (lang)

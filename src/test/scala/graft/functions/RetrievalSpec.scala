@@ -195,6 +195,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.map(_._4).distinct.size == 1)
   }
 
+  test("bm25TopKIndexed stays type-generic in the QUERY id column") {
+    // the round-14 pruned serving path collects the query-side
+    // (query_id, term-hash) pairs and round-trips them as Rows with
+    // the frame's own schema — a getLong on the id would break every
+    // string/int-id caller of this public API and silently retype the
+    // output schema. Corpus ids stay long (the index layout); QUERY
+    // ids are caller-defined.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_sid").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon")).toDF("doc_id", "text")
+    val vdir = Retrieval.writeLexicalIndex(corpus, "doc_id", "text", dir)
+    val queries = Seq(("qA", "beta gamma"), ("qB", "epsilon"))
+      .toDF("qid", "text")
+    val got = Retrieval
+      .bm25TopKIndexed(spark, vdir, queries, "qid", "text", topK = 2)
+      .as[(String, Int, Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set("qA", "qB"))
+    assert(got.nonEmpty && got.forall(_._4 > 0.0))
+    // pruned ≡ unpruned on the same string-id workload
+    val unpruned = Retrieval
+      .bm25TopKIndexed(spark, vdir, queries, "qid", "text", topK = 2,
+        prune = false)
+      .as[(String, Int, Long, Double)].collect()
+    assert(got.toSet == unpruned.toSet)
+  }
+
   test("a corrupt tf/ component THROWS instead of scoring empty") {
     // the tolerant read exists for all-empty bucketed writes (absent
     // dir / nothing to infer). A CORRUPT component must not take that

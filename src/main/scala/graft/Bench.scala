@@ -273,11 +273,34 @@ object BenchFormat {
     }
     val families = split.map(_._1).distinct
     val fab = families.map(f => f -> shortest(f, families, 1)).toMap
+    // per-family COMMON rest prefix, stripped before uniquifying
+    // (round 14, 176 queries): a family whose rests all share a
+    // prefix — tpch's q1..q22 — otherwise burns that prefix in every
+    // key (`tpq15`); stripping yields `tp15`. Capped so every
+    // stripped rest keeps ≥1 char (a rest that IS the common prefix
+    // would otherwise empty out and collide with the family's
+    // standalone form). Reader-side decodability survives: the
+    // common prefix is recomputed from the inventory the same way.
+    val commonLen: Map[String, Int] = split.groupBy(_._1).map { case (f, g) =>
+      val rests = g.map(_._2).filter(_.nonEmpty)
+      val len =
+        if (rests.size < 2) 0
+        else {
+          val shortest0 = rests.minBy(_.length)
+          val lcp = (0 until shortest0.length)
+            .takeWhile(i => rests.forall(_.charAt(i) == shortest0.charAt(i)))
+            .size
+          math.min(lcp, rests.map(_.length).min - 1)
+        }
+      f -> len
+    }
     val restKey = split.map { case (f, r) =>
       if (r.isEmpty) ""
       else {
-        val sibs = split.collect { case (`f`, r2) if r2.nonEmpty => r2 }
-        shortest(r, sibs, 1)
+        val rs = r.drop(commonLen(f))
+        val sibs = split.collect { case (`f`, r2) if r2.nonEmpty =>
+          r2.drop(commonLen(f)) }
+        shortest(rs, sibs, 1)
       }
     }
     // the '_' separator drops wherever the bare concatenation is
@@ -297,34 +320,33 @@ object BenchFormat {
     }
     val mergedCounts = merged.groupBy(identity).view.mapValues(_.size).toMap
     val unique = merged.zip(stripped).map { case (k, n) => if (mergedCounts(k) == 1) k else n }
-    // final densification (round 11, 160 queries: the +15 headroom
-    // gate tripped again; round 14, 169 queries: floor lowered 3→2,
-    // then 2→1 when wave 15 took the inventory to 173): greedily trim
-    // each key from the END to ≥1 char while the set stays pairwise
-    // DISTINCT (keys need distinctness, not prefix-freeness) —
-    // strict-prefix families (percent/percentile, group/groupby/
-    // grouping) otherwise force 7-8-char keys through the full-name
-    // fallback. A trimmed key stays decodable: any prefix of a
-    // (familyPrefix + restPrefix) split is itself such a split.
-    // Deterministic: fixed input order, iterate to fixpoint.
-    val buf = scala.collection.mutable.ArrayBuffer(unique: _*)
-    var changed = true
-    while (changed) {
-      changed = false
-      var i = 0
-      while (i < buf.length) {
-        val k = buf(i)
-        if (k.length > 1) {
-          val t = k.dropRight(1)
-          var dup = false
-          var j = 0
-          while (j < buf.length && !dup) { dup = j != i && buf(j) == t; j += 1 }
-          if (!dup) { buf(i) = t; changed = true }
-        }
-        i += 1
-      }
+    // final densification (round 11, 160 queries: end-trim to ≥3
+    // chars; round 14: floor 3→2→1 as waves 14-15 grew the inventory,
+    // then the end-trim itself was outgrown at 176 queries and
+    // replaced by this global SHORTEST-FREE-PREFIX assignment):
+    // process keys shortest-first (ties lexicographic, then input
+    // index — fully deterministic); each key claims its shortest
+    // not-yet-taken prefix. Distinct by construction — a key's FULL
+    // form is provably always free when processed: every earlier
+    // claim is a prefix of a shorter-or-equal earlier key, so it is
+    // either shorter than this key's full form or equal to a DISTINCT
+    // same-length full form. Decodable: any prefix of a decodable
+    // (familyPrefix + restPrefix) form is itself such a split.
+    // ~2.1 chars/key at the 191-key worst case vs the end-trim's ~2.8.
+    val order = unique.zipWithIndex
+      .sortBy { case (k, i) => (k.length, k, i) }
+    val taken = scala.collection.mutable.HashSet.empty[String]
+    val out = new Array[String](unique.length)
+    order.foreach { case (k, i) =>
+      var pick = (1 to k.length).iterator.map(k.take)
+        .find(p => !taken.contains(p)).getOrElse(k)
+      // unreachable per the proof above; belt for distinctness anyway
+      var n = 2
+      while (taken.contains(pick)) { pick = k + "_" + n; n += 1 }
+      taken += pick
+      out(i) = pick
     }
-    buf.toSeq
+    out.toSeq
   }
 
   /** Per-query seconds at ~2 significant figures (full 3-decimal

@@ -143,6 +143,68 @@ object CorpusHealthQueries {
         .orderBy("source")
     }),
 
+    // 157. Seasonal anomaly scan per event type: baseline each
+    //      hour-of-day's HOURLY event count across observed days
+    //      (μ, σ over the (type, day, hod) buckets), flag buckets with
+    //      |c − μ| > 3σ — the ops-monitoring twin of q_anomaly (which
+    //      is value-level and season-blind). All inputs are exact
+    //      integer counts (DECIMAL(38,0) accumulators — HUGEINT
+    //      parity); the per-(type, hod) baseline table is
+    //      types×24-bounded and broadcasts. Degenerate baselines
+    //      (one observed day, zero variance) z-score to 0 under the
+    //      computed-denominator guard, identically in both engines.
+    "q_seasonal_anomaly" -> ((s, d) => {
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(28,0)"))
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("c"))
+      val st = hc.groupBy("event_type", "hod").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("c")).as("sc"),
+        dsum(col("c") * col("c")).as("qc"))
+      val varT =
+        (col("qc").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double") / col("n")) /
+          (col("n") - 1)
+      val z = when(col("n") > 1 && varT > 0,
+        abs(col("c") - col("sc").cast("double") / col("n")) / sqrt(varT))
+        .otherwise(lit(0.0))
+      hc.join(broadcast(st), Seq("event_type", "hod"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(z > 3.0, 1L).otherwise(0L)).as("n_anomalous"),
+          EngineNeutral.r4(max(z)).as("max_z"))
+        .orderBy("event_type")
+    }),
+
+    // 158. Event-count Gini concentration per event type across USERS
+    //      — "do a few users dominate this event stream" (bot/abuse
+    //      and sampling-bias dashboards), the q_gini_tokens design on
+    //      the events table: PrefixScan ranks (never a whole-userbase
+    //      single-task sort), DECIMAL(38,0) rank·count sums, identical
+    //      double association in both engines.
+    "q_gini_users" -> ((s, d) => {
+      val cnt = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val (ranked, _) = graft.operators.PrefixScan.runningPerKey(
+        cnt, Seq(col("event_type")), Seq(col("c"), col("user_id")),
+        col("c"), "_run", "r")
+      val g = ranked.groupBy("event_type").agg(
+        sum("c").as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(col("r").cast("decimal(19,0)") * col("c")).as("src"))
+      val gini =
+        (lit(2.0) * col("src").cast("double") -
+          (col("n_users") + 1).cast("double") * col("n_events").cast("double")) /
+          (col("n_users").cast("double") * col("n_events").cast("double"))
+      g.select(col("event_type"), col("n_events"), col("n_users"),
+          EngineNeutral.roundHalfUp(gini, 6).as("gini"))
+        .orderBy("event_type")
+    }),
+
     // 155. Conditional bigram entropy per source:
     //      H(w₂|w₁) = Σ c₁₂·(ln c₁ − ln c₁₂) / N over the source's
     //      bigram types — how predictable the next token is given the
@@ -260,6 +322,47 @@ object CorpusHealthQueries {
         |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
         |    / 10000.0 AS zipf_slope
         |FROM f WHERE n >= 2 ORDER BY source""".stripMargin,
+    "q_seasonal_anomaly" ->
+      """WITH hc AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    hour(ts) AS hod, count(*) AS c
+        |  FROM events GROUP BY event_type, day, hod
+        |), st AS (
+        |  SELECT event_type, hod, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(c) AS sc, sum(c * c) AS qc
+        |  FROM hc GROUP BY event_type, hod
+        |), z AS (
+        |  SELECT hc.event_type,
+        |    CASE WHEN n > 1 AND
+        |      (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1) > 0
+        |    THEN abs(c - CAST(sc AS DOUBLE) / n) /
+        |      sqrt((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1))
+        |    ELSE 0.0 END AS z
+        |  FROM hc JOIN st ON hc.event_type = st.event_type AND hc.hod = st.hod
+        |)
+        |SELECT event_type, count(*) AS n_buckets,
+        |  CAST(count(*) FILTER (WHERE z > 3.0) AS BIGINT) AS n_anomalous,
+        |  floor(max(z) * 10000 + 0.5) / 10000.0 AS max_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_gini_users" ->
+      """WITH cnt AS (
+        |  SELECT event_type, user_id, count(*) AS c FROM events
+        |  GROUP BY event_type, user_id
+        |), ranked AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS r
+        |  FROM cnt
+        |), g AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_users, sum(r * c) AS src
+        |  FROM ranked GROUP BY event_type
+        |)
+        |SELECT event_type, n_events, n_users,
+        |  floor((2.0 * CAST(src AS DOUBLE) -
+        |         CAST(n_users + 1 AS DOUBLE) * CAST(n_events AS DOUBLE)) /
+        |        (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE))
+        |        * 1000000 + 0.5) / 1000000.0 AS gini
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_cond_entropy" ->
       """WITH toks AS (
         |  SELECT source, doc_id,

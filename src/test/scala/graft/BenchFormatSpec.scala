@@ -69,6 +69,7 @@ class BenchFormatSpec extends AnyFunSuite {
       s"at +15 queries the line is ${line.length} chars: " +
         "shrink the compact format before adding the next query wave")
     assert(!line.contains("\"queries\":{}"))
+    info(s"headroom: +15-query worst-case line is ${line.length} of ${BenchFormat.MaxLineChars} chars")
   }
 
   test("current inventory emits collision-free, decodable segment keys") {
@@ -76,32 +77,52 @@ class BenchFormatSpec extends AnyFunSuite {
     val keys = BenchFormat.compactKeys(names)
     assert(keys.distinct.size == keys.size)
     // decodability: some split of the key yields a prefix of the
-    // name's family and a prefix of its rest (separator-free keys
-    // concatenate the two halves; '_'-keeping keys split there) — a
-    // reader can match keys back to inventory names with the
-    // inventory in hand (full names stay in BENCH_DETAIL.json)
+    // name's family and a prefix of its rest AFTER the family's
+    // common rest prefix (recomputable from the inventory — round 14
+    // strips it: tpch_q15 → tp15). A reader can match keys back to
+    // inventory names with the inventory in hand (full names stay in
+    // BENCH_DETAIL.json).
+    val split = names.map { n =>
+      val s = n.stripPrefix("q_")
+      s.indexOf('_') match {
+        case -1 => (s, ""); case i => (s.substring(0, i), s.substring(i + 1))
+      }
+    }
+    val commonLen: Map[String, Int] = split.groupBy(_._1).map { case (f, g) =>
+      val rests = g.map(_._2).filter(_.nonEmpty)
+      val len =
+        if (rests.size < 2) 0
+        else {
+          val sh = rests.minBy(_.length)
+          val lcp = (0 until sh.length)
+            .takeWhile(i => rests.forall(_.charAt(i) == sh.charAt(i))).size
+          math.min(lcp, rests.map(_.length).min - 1)
+        }
+      f -> len
+    }
     names.zip(keys).foreach { case (n, k) =>
       val s = n.stripPrefix("q_")
       val (sf, sr) = s.indexOf('_') match {
         case -1 => (s, ""); case i => (s.substring(0, i), s.substring(i + 1))
       }
+      val srs = sr.drop(commonLen(sf))
       val decodes = (0 to k.length).exists { i =>
         val (kf, kr0) = (k.substring(0, i), k.substring(i))
         val kr = kr0.stripPrefix("_")
-        sf.startsWith(kf) && sr.startsWith(kr)
+        sf.startsWith(kf) && (sr.startsWith(kr) || srs.startsWith(kr))
       } || s.startsWith(k) // full-name fallback
       assert(decodes, s"$k does not decode to $s")
     }
   }
 
   test("family rests extend past shared prefixes instead of colliding") {
-    // the round-11 end-trim densification (floor 3→2→1 in round 14)
-    // shortens the extended forms afterwards, but strictly preserves
-    // pairwise distinctness: the first sibling claims the 1-char
-    // floor, the second stops one char past the collision
+    // round-14 scheme: the family-common rest prefix ("prefix_")
+    // strips first, then shortest-free-prefix assignment — the first
+    // sibling claims the 1-char form, the second stops one char past
+    // the collision, distinctness preserved by construction
     val keys = BenchFormat.compactKeys(
       Seq("q_same_prefix_aa", "q_same_prefix_bb", "q_other"))
-    assert(keys == Seq("s", "sp", "o"))
+    assert(keys == Seq("s", "sb", "o"))
     assert(keys.distinct.size == keys.size)
   }
 

@@ -113,6 +113,56 @@ class CorpusHealthQueriesSpec extends AnyFunSuite {
     z.foreach(r => assert(!r.getDouble(2).isNaN && !r.isNullAt(2)))
   }
 
+  test("q_seasonal_anomaly matches a driver baseline recompute; degenerate " +
+    "baselines z-score to 0") {
+    import org.apache.spark.sql.functions.{col, date_format, date_trunc, hour}
+    val buckets = Tables.events(spark, sf)
+      .select(col("event_type").as[String],
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as[String],
+        hour(col("ts")).as[Int])
+      .collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((t, day, hod), c) => (t, day, hod, c) }
+    val got = SparkEntry.queries("q_seasonal_anomaly")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    buckets.groupBy(_._1).foreach { case (t, rows) =>
+      val byHod = rows.groupBy(_._3)
+      val zs = rows.map { case (_, _, hod, c) =>
+        val cs = byHod(hod).map(_._4)
+        val n = cs.length.toDouble
+        val s = cs.sum.toDouble; val q = cs.map(x => x.toDouble * x).sum
+        val varT = (q - s * s / n) / (n - 1)
+        if (n > 1 && varT > 0) math.abs(c - s / n) / math.sqrt(varT) else 0.0
+      }
+      val (_, nb, na, mz) = got(t)
+      assert(nb == rows.length, s"$t n_buckets")
+      assert(na == zs.count(_ > 3.0), s"$t n_anomalous")
+      assert(math.abs(mz - zs.max) < 1e-4 + 1e-9, s"$t max_z $mz vs ${zs.max}")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q_gini_users matches an exact BigInt rank-sum recompute on events") {
+    import org.apache.spark.sql.functions.col
+    val evts = Tables.events(spark, sf)
+      .select(col("event_type").as[String], col("user_id").as[Long])
+      .collect()
+    val got = SparkEntry.queries("q_gini_users")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    evts.groupBy(_._1).foreach { case (t, rows) =>
+      val cnt = rows.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      val ranked = cnt.sortBy { case (uid, c) => (c, uid) }.zipWithIndex
+      val v = ranked.length; val n = cnt.map(_._2).sum
+      val src = ranked.map { case ((_, c), i) => BigInt(i + 1) * c }.sum
+      val gini = (2.0 * src.toDouble - (v + 1).toDouble * n.toDouble) /
+        (v.toDouble * n.toDouble)
+      val (_, gn, gv, gg) = got(t)
+      assert(gn == n && gv == v, s"$t totals")
+      assert(math.abs(gg - gini) < 1e-6 + 1e-12, s"$t gini $gg vs $gini")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q_cond_entropy matches a driver recompute and sits in [0, ln vocab]") {
     val got = SparkEntry.queries("q_cond_entropy")(spark, sf)
       .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap

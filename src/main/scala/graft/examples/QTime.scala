@@ -23,9 +23,26 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try graft.SparkEntry.queries("q_groupby")(spark, sfDir)
+    // fail fast on a typo'd query name — a raw NoSuchElementException
+    // halfway through a measurement session is the worse experience
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[qtime] unknown queries: ${unknown.mkString(", ")} — " +
+        s"known names: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
+    // JVM/codegen/parquet-footer warmup: any cheap known query works,
+    // so fall back to the first inventory entry if the usual one is
+    // ever renamed — and LOG a warmup failure (a silently cold JVM
+    // inflates the first measured query)
+    val warmup = if (graft.SparkEntry.queries.contains("q_groupby")) "q_groupby"
+      else graft.SparkEntry.queries.keys.toSeq.sorted.head
+    try graft.SparkEntry.queries(warmup)(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[qtime] warmup $warmup FAILED (${e.getMessage}) — " +
+        "first measured iteration includes JVM/codegen startup") }
     names.foreach { name =>
       val l = new graft.Bench.TaskTotals
       spark.sparkContext.addSparkListener(l)

@@ -122,10 +122,11 @@ object Retrieval {
     * the (query_id, id) score aggregation then needs NO exchange at
     * all (id ⊂ (query_id, id) satisfies the clustered distribution).
     * Without it the scoring shuffle is the query×term fan-out
-    * (measured 108 MB vs 0.7 MB at sf0.1). Local default matches the
-    * 32-thread test box; a cluster build should size this like any
-    * bucketed fact table — readers adapt via the `_ID_BUCKETS` marker,
-    * so mixed-bucket-count indexes coexist.
+    * (measured 108 MB vs 0.7 MB at sf0.1). This DEFAULT matches the
+    * 32-thread test box; a cluster build sizes it like any bucketed
+    * fact table via [[writeLexicalIndex]]/[[compactLexicalIndex]]'s
+    * `idBuckets` parameter — readers adapt via the `_ID_BUCKETS`
+    * marker, so mixed-bucket-count indexes coexist (spec-pinned).
     */
   val IdBuckets: Int = 32
 
@@ -156,18 +157,23 @@ object Retrieval {
     * arbitrary distribution would write buckets×partitions files
     * per task).
     */
-  private def writeTfBucketed(df: DataFrame, path: String): Unit = {
+  private def writeTfBucketed(df: DataFrame, path: String,
+                              idBuckets: Int): Unit = {
     val spark = df.sparkSession
     val tmp = "graft_lex_build_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    withBucket(df.drop("pb")).repartition(IdBuckets, col("id"))
-      .write.bucketBy(IdBuckets, "id").sortBy("id").partitionBy("pb")
+    // the DROP rides a finally so a mid-write failure cannot leave the
+    // throwaway catalog entry registered (pointing at a half-written
+    // dir) for the rest of the session — the version dir itself is
+    // discarded by Versioned's commit protocol on failure
+    try withBucket(df.drop("pb")).repartition(idBuckets, col("id"))
+      .write.bucketBy(idBuckets, "id").sortBy("id").partitionBy("pb")
       .option("path", path).saveAsTable(tmp)
-    spark.sql(s"DROP TABLE `$tmp`") // external: data files stay
+    finally spark.sql(s"DROP TABLE IF EXISTS `$tmp`") // external: data files stay
     val p = new org.apache.hadoop.fs.Path(path, "_ID_BUCKETS")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(IdBuckets.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(idBuckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** The tf dir's by-id bucket count, when the dir carries the
@@ -193,14 +199,24 @@ object Retrieval {
     * idempotent; version dirs are immutable (appends land in delta
     * dirs), so partitions recovered once never go stale. Synchronized
     * so a racing second thread cannot read the table between CREATE
-    * and RECOVER PARTITIONS (it would silently scan zero partitions).
+    * and RECOVER PARTITIONS (it would silently scan zero partitions)
+    * — that lock is JVM-local, so on a SHARED (Hive) metastore a
+    * second driver could still observe the table mid-registration;
+    * the partition-count verification below closes that half of the
+    * race too: the first use in EVERY JVM confirms the catalog's
+    * partition list is nonempty whenever the tf dir actually carries
+    * `pb=` partition dirs, re-running RECOVER (idempotent) if another
+    * driver's registration was caught between CREATE and RECOVER.
     */
+  private val verifiedTfTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def registerTfTable(spark: org.apache.spark.sql.SparkSession,
                               versionDir: String, buckets: Int): String =
     this.synchronized {
       val loc = new org.apache.hadoop.fs.Path(versionDir, "tf")
-      val q = loc.getFileSystem(spark.sessionState.newHadoopConf())
-        .makeQualified(loc).toString
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      val q = fs.makeQualified(loc).toString
       val md = java.security.MessageDigest.getInstance("MD5")
       val name = "graft_lex_tf_" + md.digest(q.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
@@ -212,6 +228,19 @@ object Retrieval {
              |CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
              |LOCATION '$q'""".stripMargin)
         spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+      }
+      if (!verifiedTfTables.contains(name)) {
+        val hasPbDirs = fs.exists(loc) &&
+          fs.listStatus(loc).exists(_.getPath.getName.startsWith("pb="))
+        if (hasPbDirs &&
+            spark.sql(s"SHOW PARTITIONS `$name`").isEmpty) {
+          spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+          if (spark.sql(s"SHOW PARTITIONS `$name`").isEmpty)
+            throw new IllegalStateException(
+              s"table $name recovered zero partitions over $q, which has pb= dirs — " +
+                "metastore registration is inconsistent; DROP the table and re-serve")
+        }
+        verifiedTfTables.add(name)
       }
       name
     }
@@ -261,7 +290,8 @@ object Retrieval {
     * version dir.
     */
   def writeLexicalIndex(corpus: DataFrame, idCol: String, textCol: String,
-                        indexPath: String): String =
+                        indexPath: String,
+                        idBuckets: Int = IdBuckets): String =
     graft.operators.Versioned.commitNew(corpus.sparkSession, indexPath) { dir =>
       val spark = corpus.sparkSession
       // ids/ records EVERY indexed doc id — including zero-token docs,
@@ -276,7 +306,7 @@ object Retrieval {
       // tokenize the corpus three times — at 100 TB that triples the
       // dominant cost of the build)
       val (tf, _, _) = lexicalTables(corpus, idCol, textCol)
-      writeTfBucketed(tf, s"$dir/tf")
+      writeTfBucketed(tf, s"$dir/tf", idBuckets)
       val tfBack = readTolerant(spark, s"$dir/tf", tfSchema)
       writeBucketed(tfBack.groupBy("th").agg(count(lit(1)).as("df")), s"$dir/df")
       writeStatsPartial(tfBack, spark.read.parquet(s"$dir/ids").count(),
@@ -457,7 +487,8 @@ object Retrieval {
     * resolving the old version.
     */
   def compactLexicalIndex(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String): String =
+                          indexPath: String,
+                          idBuckets: Int = IdBuckets): String =
     graft.operators.Versioned.commitNew(spark, indexPath) { dir =>
       // resolved INSIDE commitNew's write callback, i.e. under the
       // writer _LOCK: appends go through commitDelta, which takes the
@@ -472,8 +503,11 @@ object Retrieval {
       val (tf, df, _) = readLexicalIndex(spark, vdir)
       // preserve (or adopt) the two-level layout across compaction so
       // the folded version keeps pruning serving reads AND regains the
-      // zero-exchange by-id bucketing deltas temporarily suspend
-      writeTfBucketed(tf, s"$dir/tf")
+      // zero-exchange by-id bucketing deltas temporarily suspend —
+      // possibly at a NEW bucket count (re-bucketing a grown index is
+      // exactly a compaction-time decision; the marker keeps readers
+      // honest either way)
+      writeTfBucketed(tf, s"$dir/tf", idBuckets)
       writeBucketed(df.drop("pb"), s"$dir/df")
       indexedIds(spark, vdir, deltas).write.parquet(s"$dir/ids")
       deltas

@@ -3,27 +3,33 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench stdout line must fit the consumer's 2000-char tail
-  * window for the CURRENT query inventory — this is the regression
-  * gate for "add a query, silently lose the per-query map" (or worse,
-  * pre-guard: "add a query, the line truncates mid-JSON and the
-  * artifact records parsed: null", which went unnoticed for five
-  * rounds). Worst-case per-query value is pinned at 240 s — the
-  * bench's own per-query timeout ceiling, so no real run can print a
-  * wider number.
+  * window — this is the regression gate for "add a query, truncate
+  * the line mid-JSON and the artifact records parsed: null", which
+  * went unnoticed for five rounds. Round 15 made the fit STRUCTURAL:
+  * keys are enumerated base-36 positions and the fastest entries trim
+  * adaptively (with an explicit `q_omitted` count) when the full map
+  * would overflow, so the line parses at ANY inventory size — the
+  * recurring per-wave headroom wall is gone by construction.
+  *
+  * Worst-case per-query value is pinned at 99.9 s — fCompact's WIDEST
+  * rendering (4 chars; ≥100 s prints 3, the old 240 s pin was
+  * narrower than this).
   */
 class BenchFormatSpec extends AnyFunSuite {
 
-  private val worstCase = 240.0
+  private val worstCase = 99.9
 
-  test("compact line fits the tail window for every current query at worst-case widths") {
+  test("current inventory: the FULL map fits at worst-case value widths") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, worstCase))
-    val (line, overflow) = BenchFormat.compactLine(
+    val (line, note) = BenchFormat.compactLine(
       results, total = 99999.999, failed = 0, sfDir = "/root/testdata/sf0.1",
       shuffleWriteBytes = 99999L * 1048576L)
-    assert(overflow.isEmpty,
-      s"query inventory outgrew the stdout budget (${line.length} chars): " +
-        "shrink names or move more detail to BENCH_DETAIL.json")
+    assert(note.isEmpty,
+      s"query inventory outgrew the full-map budget (${line.length} chars): " +
+        "the adaptive trim will keep the line parsing, but a full stdout map " +
+        "needs either realistic-width acceptance or a denser value format")
     assert(line.length <= BenchFormat.MaxLineChars)
+    assert(!line.contains("\"q_omitted\""))
     assert(line.contains("\"metric\":\"total\""))
     assert(line.contains("\"shuffle_mb\":99999"))
     assert(line.contains("\"sf\":0.1"))
@@ -59,79 +65,72 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(mapper.readTree(c).get("metric").asText == "total")
   }
 
-  test("15 more queries still carry a per-query map (headroom gate)") {
+  test("+50 queries: the line still fits, parses, and any trim is loud (headroom gate)") {
     val padded = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, worstCase)) ++
-      (1 to 15).map(i => (f"q_future_$i%02d", worstCase))
-    val (line, overflow) = BenchFormat.compactLine(
+      (1 to 50).map(i => (f"q_future_$i%02d", worstCase))
+    val (line, note) = BenchFormat.compactLine(
       padded, total = 99999.999, failed = 0, sfDir = "/root/testdata/sf0.1",
       shuffleWriteBytes = 99999L * 1048576L)
-    assert(overflow.isEmpty && line.length <= BenchFormat.MaxLineChars,
-      s"at +15 queries the line is ${line.length} chars: " +
-        "shrink the compact format before adding the next query wave")
-    assert(!line.contains("\"queries\":{}"))
-    info(s"headroom: +15-query worst-case line is ${line.length} of ${BenchFormat.MaxLineChars} chars")
+    assert(line.length <= BenchFormat.MaxLineChars)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(line)
+    val kept = tree.get("queries").size
+    assert(kept > 100, s"only $kept per-query entries survived at +50 queries")
+    // a partial map must be loud: q_omitted in the JSON AND a stderr note
+    if (kept < padded.size) {
+      assert(tree.get("q_omitted").asInt == padded.size - kept)
+      assert(note.isDefined)
+    } else assert(note.isEmpty)
+    info(s"+50-query worst case: ${line.length} of ${BenchFormat.MaxLineChars} chars, " +
+      s"$kept of ${padded.size} entries on the line")
   }
 
-  test("current inventory emits collision-free, decodable segment keys") {
+  test("+500 queries: structural durability — fits and parses at any size") {
+    val padded = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, worstCase)) ++
+      (1 to 500).map(i => (f"q_future_$i%03d", worstCase))
+    val (line, note) = BenchFormat.compactLine(
+      padded, total = 99999.999, failed = 0, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.MaxLineChars)
+    assert(note.isDefined)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(line)
+    assert(tree.get("queries").size + tree.get("q_omitted").asInt == padded.size)
+  }
+
+  test("keys are base-36 positions, reproducible by reader-side replay") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val keys = BenchFormat.compactKeys(names)
     assert(keys.distinct.size == keys.size)
-    // decodability: some split of the key yields a prefix of the
-    // name's family and a prefix of its rest AFTER the family's
-    // common rest prefix (recomputable from the inventory — round 14
-    // strips it: tpch_q15 → tp15). A reader can match keys back to
-    // inventory names with the inventory in hand (full names stay in
-    // BENCH_DETAIL.json).
-    val split = names.map { n =>
-      val s = n.stripPrefix("q_")
-      s.indexOf('_') match {
-        case -1 => (s, ""); case i => (s.substring(0, i), s.substring(i + 1))
-      }
+    // the decode contract: a reader with the inventory (full names ship
+    // in BENCH_DETAIL.json every run) sorts it and renders each index
+    // in base 36 — no assignment algorithm to replay
+    names.zipWithIndex.foreach { case (_, i) =>
+      assert(keys(i) == java.lang.Long.toString(i.toLong, 36))
     }
-    val commonLen: Map[String, Int] = split.groupBy(_._1).map { case (f, g) =>
-      val rests = g.map(_._2).filter(_.nonEmpty)
-      val len =
-        if (rests.size < 2) 0
-        else {
-          val sh = rests.minBy(_.length)
-          val lcp = (0 until sh.length)
-            .takeWhile(i => rests.forall(_.charAt(i) == sh.charAt(i))).size
-          math.min(lcp, rests.map(_.length).min - 1)
-        }
-      f -> len
-    }
-    names.zip(keys).foreach { case (n, k) =>
-      val s = n.stripPrefix("q_")
-      val (sf, sr) = s.indexOf('_') match {
-        case -1 => (s, ""); case i => (s.substring(0, i), s.substring(i + 1))
-      }
-      val srs = sr.drop(commonLen(sf))
-      val decodes = (0 to k.length).exists { i =>
-        val (kf, kr0) = (k.substring(0, i), k.substring(i))
-        val kr = kr0.stripPrefix("_")
-        sf.startsWith(kf) && (sr.startsWith(kr) || srs.startsWith(kr))
-      } || s.startsWith(k) // full-name fallback
-      assert(decodes, s"$k does not decode to $s")
-    }
+    assert(BenchFormat.compactKeys(Seq("q_a", "q_b", "q_c")) == Seq("0", "1", "2"))
   }
 
-  test("family rests extend past shared prefixes instead of colliding") {
-    // round-14 scheme: the family-common rest prefix ("prefix_")
-    // strips first, then shortest-free-prefix assignment — the first
-    // sibling claims the 1-char form, the second stops one char past
-    // the collision, distinctness preserved by construction
-    val keys = BenchFormat.compactKeys(
-      Seq("q_same_prefix_aa", "q_same_prefix_bb", "q_other"))
-    assert(keys == Seq("s", "sb", "o"))
-    assert(keys.distinct.size == keys.size)
-  }
-
-  test("a family name that is also a standalone query stays unique") {
-    // 'distinct' alone abbreviates to the family key; 'distinct_count'
-    // concatenates the rest — distinct strings by the collision check
-    val keys = BenchFormat.compactKeys(Seq("q_distinct", "q_distinct_count"))
-    assert(keys == Seq("d", "dc"))
-    assert(keys.distinct.size == 2)
+  test("trim drops the fastest entries first and never drops failed markers") {
+    // long names are irrelevant now (keys are positions); force a trim
+    // with sheer count, with one slow query, one failed, many fast
+    val many = Seq(("q_failed", -1.0), ("q_slowest", 99.9)) ++
+      (1 to 400).map(i => (f"q_fast_$i%03d", 0.1))
+    val sorted = many.sortBy(_._1)
+    val (line, note) = BenchFormat.compactLine(sorted, 139.9, 1, "/sf")
+    assert(note.isDefined)
+    assert(line.length <= BenchFormat.MaxLineChars)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(line)
+    assert(tree.get("q_omitted").asInt ==
+      sorted.size - tree.get("queries").size)
+    // the failed marker and the slow query survive under their
+    // positional keys; trimmed entries are exclusively fast ones
+    val failedKey = java.lang.Long.toString(
+      sorted.indexWhere(_._1 == "q_failed").toLong, 36)
+    val slowKey = java.lang.Long.toString(
+      sorted.indexWhere(_._1 == "q_slowest").toLong, 36)
+    assert(tree.get("queries").get(failedKey).asDouble == -1.0)
+    assert(tree.get("queries").get(slowKey).asDouble == 99.9)
   }
 
   test("sfJson only emits valid JSON numbers, escaping everything else") {
@@ -156,7 +155,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(BenchFormat.fCompact(-1.0) == "-1")
     val (line, _) = BenchFormat.compactLine(
       Seq(("q_a", 1.5), ("q_b", -1.0)), total = -1.0, failed = 1, "/sf")
-    assert(line.contains("\"b\":-1"))
+    assert(line.contains("\"1\":-1"))
     assert(line.contains("\"failed\":1"))
     assert(line.contains("\"value\":-1"))
     assert(line.contains("\"sf\":\"/sf\""))
@@ -168,13 +167,5 @@ class BenchFormatSpec extends AnyFunSuite {
       Seq(("q_tpch_q1", (2097152L, 1048576L, 0L))))
     assert(detail.contains("\"q_tpch_q1\":1.500"))
     assert(detail.contains("\"shuffle_mb\":{\"q_tpch_q1\":[2.00,1.00,0.00]}"))
-  }
-
-  test("overflow degrades to an empty map that still parses, with a warning") {
-    val many = (1 to 400).map(i => (f"q_synthetic_query_name_$i%03d", 1.0))
-    val (line, overflow) = BenchFormat.compactLine(many, 400.0, 0, "/sf")
-    assert(overflow.isDefined)
-    assert(line.contains("\"queries\":{}"))
-    assert(line.length <= BenchFormat.MaxLineChars)
   }
 }

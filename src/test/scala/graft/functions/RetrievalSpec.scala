@@ -248,4 +248,49 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(!e.isInstanceOf[org.scalatest.exceptions.TestFailedException])
   }
+
+  test("indexes built at different idBuckets coexist in one session, scoring identically") {
+    // a cluster build sizes the by-id bucketing per corpus (the
+    // writeIndex parameter); readers adapt via each index's own
+    // _ID_BUCKETS marker, so a session serving an old 32-bucket index
+    // and a new 128-bucket one must keep both correct simultaneously
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val queries = docs.filter(col("source") === "src0")
+    val direct = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(direct.nonEmpty)
+    val served = Seq(4, 16).map { nb =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_lex_b$nb").toString
+      val vdir = Retrieval.writeLexicalIndex(corpus, "doc_id", "text", dir,
+        idBuckets = nb)
+      val marker = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$vdir/tf/_ID_BUCKETS")), "UTF-8").trim
+      assert(marker == nb.toString, s"marker $marker != requested $nb")
+      vdir -> Retrieval
+        .bm25TopKIndexed(spark, vdir, queries, "doc_id", "text", topK = 5)
+        .as[(Long, Int, Long, Double)].collect().toSet
+    }
+    // interleave: re-serve the FIRST index after the second registered,
+    // so per-session table registrations demonstrably don't collide
+    served.foreach { case (_, got) => assert(got == direct) }
+    val again = Retrieval
+      .bm25TopKIndexed(spark, served.head._1, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(again == direct)
+    // compaction may RE-bucket: fold the 4-bucket index at 8 and the
+    // marker, layout, and scores must all follow
+    val dir4 = new java.io.File(served.head._1).getParent
+    val cdir = Retrieval.compactLexicalIndex(spark, dir4, idBuckets = 8)
+    val cm = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$cdir/tf/_ID_BUCKETS")), "UTF-8").trim
+    assert(cm == "8")
+    val compacted = Retrieval
+      .bm25TopKIndexed(spark, cdir, queries, "doc_id", "text", topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(compacted == direct)
+  }
 }

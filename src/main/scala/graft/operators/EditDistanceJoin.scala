@@ -60,6 +60,47 @@ object EditDistanceJoin {
     array_distinct(concat(array(s), d1, d2))
   }
 
+  /** The (id, band, bkey) deletion-neighborhood key table — the
+    * blocking structure [[selfJoin]] derives per run and
+    * [[graft.functions.LinkageIndex]] persists once per corpus
+    * version. The block columns are part of the bucket key: candidates
+    * must be generated in-block (a variant shared across blocks is not
+    * a candidate), and the exact blockEq re-check in
+    * [[verifyCandidates]] keeps hash collisions from smuggling a
+    * cross-block pair in. Always enumerates the τ=2 neighborhood —
+    * a superset of every legal maxDist's candidates, so ONE persisted
+    * key table serves any verify threshold ≤ 2.
+    */
+  private[graft] def deletionKeys(df: DataFrame, idCol: String,
+                                  nameCol: String,
+                                  blockCols: Seq[String]): DataFrame =
+    graft.Tables.spread(df)
+      .select((col(idCol).as("id") +: blockCols.map(col)) :+
+        explode(deletionVariants(col(nameCol))).as("v"): _*)
+      .select(col("id"), lit(0).as("band"),
+        xxhash64(blockCols.map(col) :+ col("v"): _*).as("bkey"))
+
+  /** The exact half: candidate (id_a, id_b) pairs re-join payloads by
+    * id, then the blockCols equality AND the Levenshtein threshold run
+    * per candidate — nothing correctness-bearing rides the 64-bit
+    * bucket hash. Returns (id_a, id_b, dist).
+    */
+  private[graft] def verifyCandidates(pairs: DataFrame, docs: DataFrame,
+                                      idCol: String, nameCol: String,
+                                      blockCols: Seq[String],
+                                      maxDist: Int): DataFrame = {
+    val payload = Seq(nameCol) ++ blockCols
+    val a = docs.select(col(idCol).as("id_a") +: payload.map(c => col(c).as(s"_a_$c")): _*)
+    val b = docs.select(col(idCol).as("id_b") +: payload.map(c => col(c).as(s"_b_$c")): _*)
+    val blockEq = blockCols.map(c => col(s"_a_$c") === col(s"_b_$c"))
+      .foldLeft(lit(true))(_ && _)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .filter(blockEq)
+      .withColumn("dist", levenshtein(col(s"_a_$nameCol"), col(s"_b_$nameCol")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Self-join `df` on Levenshtein(nameCol) ≤ maxDist within equal
     * blockCols. Returns (id_a, id_b, dist) with id_a < id_b.
     *
@@ -71,27 +112,9 @@ object EditDistanceJoin {
                blockCols: Seq[String], maxDist: Int = 2,
                maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2, "deletion neighborhood enumerates tau <= 2")
-    val spread = graft.Tables.spread(df)
-    // the block columns are part of the bucket key: candidates must be
-    // generated in-block (a variant shared across blocks is not a
-    // candidate), and the exact blockEq re-check below keeps hash
-    // collisions from smuggling a cross-block pair in
-    val keyed = spread
-      .select((col(idCol).as("id") +: blockCols.map(col)) :+
-        explode(deletionVariants(col(nameCol))).as("v"): _*)
-      .select(col("id"), lit(0).as("band"),
-        xxhash64(blockCols.map(col) :+ col("v"): _*).as("bkey"))
+    val keyed = deletionKeys(df, idCol, nameCol, blockCols)
     val pairs = graft.functions.Dedup.pairsFromBucketsIds(
       keyed, maxBucket, "edit_join_drops")
-    val payload = Seq(nameCol) ++ blockCols
-    val a = df.select(col(idCol).as("id_a") +: payload.map(c => col(c).as(s"_a_$c")): _*)
-    val b = df.select(col(idCol).as("id_b") +: payload.map(c => col(c).as(s"_b_$c")): _*)
-    val blockEq = blockCols.map(c => col(s"_a_$c") === col(s"_b_$c"))
-      .foldLeft(lit(true))(_ && _)
-    pairs.join(a, "id_a").join(b, "id_b")
-      .filter(blockEq)
-      .withColumn("dist", levenshtein(col(s"_a_$nameCol"), col(s"_b_$nameCol")))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    verifyCandidates(pairs, df, idCol, nameCol, blockCols, maxDist)
   }
 }

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
 object ExtendedQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // one linkage-index build per sf dir per suite run (the
+  // lexIndexCache convention): the INDEXED query's per-run cost is the
+  // pairs read, exactly what production pays after the build
+  private val linkageIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
     // 58. JSON extraction: pull typed fields out of a JSON payload
     //     column and aggregate. get_json_object is a native streaming
@@ -68,6 +74,28 @@ object ExtendedQueries {
       graft.operators.EditDistanceJoin.selfJoin(
           c, idCol = "c_custkey", nameCol = "c_name",
           blockCols = Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 60b. The same linkage through the PERSISTED index (the
+    //      q_bm25_indexed convention): writeIndex commits the
+    //      deletion-neighborhood keys + verified pair set once per
+    //      corpus version; serving is a pairs/ read — no variant
+    //      enumeration, no candidate join, no Levenshtein pass.
+    //      Gated against the SAME oracle as q_linkage, so index build
+    //      + indexed serving are driver-verified end to end.
+    "q_linkage_indexed" -> ((s, d) => {
+      val root = linkageIndexCache.computeIfAbsent(d, _ => {
+        val r = java.nio.file.Files.createTempDirectory("graft_linkidx").toString
+        graft.functions.LinkageIndex.writeIndex(
+          Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), r)
+        r
+      })
+      val vdir = graft.operators.Versioned.resolve(s, root).get
+      graft.functions.LinkageIndex.readPairs(s, vdir)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy("id_a", "id_b")
     }),
@@ -267,6 +295,17 @@ object ExtendedQueries {
         |  AND p.ts <= fc.first_click + INTERVAL 24 HOUR
         |GROUP BY p.user_id, fc.first_click ORDER BY p.user_id""".stripMargin,
     "q_linkage" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the indexed route must reproduce the in-job result EXACTLY —
+    // one truth, two physical paths
+    "q_linkage_indexed" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  levenshtein(a.c_name, b.c_name) AS dist
         |FROM customer a JOIN customer b

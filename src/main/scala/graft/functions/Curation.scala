@@ -18,6 +18,46 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The curation funnel's LM-gate cutoff: keep documents whose
+    * r6-rounded mean unigram NLL is ≤ this (high mean NLL = the LM
+    * finds the text surprising = the CCNet tail bucket). 3.41 sits in
+    * a measured gap of the corpus's NLL distribution — it drops the
+    * ~5% tail at every tested scale (sf0.001/0.01/1) while the bulk
+    * (median ≈ 3.40) passes; a production pipeline tunes this per
+    * corpus exactly like CCNet tunes its perplexity cutoffs. The
+    * comparison is engine-safe because both engines round the per-doc
+    * mean to 6 decimals first (the q_lm_score precedent).
+    */
+  val CurateNllMax: Double = 3.41
+
+  /** Persist a unigram LM (token → NLL under the training corpus's
+    * empirical distribution) as a [[graft.operators.Versioned]]
+    * `vocab/` table — the frozen REFERENCE model the streaming
+    * curation funnel scores against (CCNet scores web text against an
+    * LM trained on a fixed clean corpus; freezing is also what makes
+    * streaming verdicts replay-stable). The vocabulary aggregate is
+    * one map-side-combined shuffle on the token; the model table is
+    * vocabulary-bounded and broadcasts at serve time.
+    */
+  def writeLmModel(docs: DataFrame, textCol: String, path: String): String = {
+    val spark = docs.sparkSession
+    graft.operators.Versioned.commitNew(spark, path) { dir =>
+      val toks = graft.Tables.spread(docs)
+        .select(explode(Dedup.tokens(col(textCol))).as("t"))
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum("c").as("n_total"))
+      vocab.crossJoin(broadcast(total))
+        .select(col("t"),
+          (-log(col("c").cast("double") / col("n_total"))).as("nll"))
+        .write.parquet(s"$dir/vocab")
+    }
+  }
+
+  /** The (t, nll) model table of a committed LM version dir. */
+  def readLmModel(spark: org.apache.spark.sql.SparkSession,
+                  versionDir: String): DataFrame =
+    spark.read.parquet(s"$versionDir/vocab")
+
   private def par(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 

@@ -88,9 +88,14 @@ object CurationQueries {
     //      dedup keep-first → SPAN-LEVEL TRIM (drop docs mostly made
     //      of corpus-repeated k-word passages — q_span_dup_frac's
     //      signal acted on, the published stage after doc-level
-    //      dedup) → per-language corpus stats. The composed form of
-    //      rows 35/36/28/106 — one query, one oracle, proving the
-    //      stages stack without driver round-trips.
+    //      dedup) → LM PERPLEXITY GATE (q_lm_score's unigram-NLL
+    //      machinery as a filter — the CCNet recipe's final stage:
+    //      quality → lang → dedup → LM score; the LM trains on the
+    //      post-dedup kept set in the SAME pass, so every scored
+    //      token is in-vocabulary by construction) → per-language
+    //      corpus stats. The composed form of rows 35/36/28/106/93 —
+    //      one query, one oracle, proving the stages stack without
+    //      driver round-trips.
     "q_curate_e2e" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.spread(Tables.documents(s, d))
@@ -122,9 +127,17 @@ object CurationQueries {
       // (Dedup.joinKeyStats — never a window over the span hash).
       val spanK = 8
       val toks = graft.functions.Dedup.tokens(col("text"))
-      val tokRows = kept
-        .select(col("doc_id"), col("lang_guess"), col("n_words"),
-          posexplode(toks))
+      // persisted: THREE consumers flow from the kept docs' exploded
+      // tokens (the span pipeline, the LM vocabulary aggregate, and
+      // the per-doc NLL scoring join) — without the persist each one
+      // replays the whole scan→filter→dedup funnel (the q_simjoin
+      // shingle-persist rationale); Bench/Verify release between
+      // queries via CacheHandles
+      val tokRows = graft.plans.CacheHandles.track("query.curate.tokrows",
+        kept
+          .select(col("doc_id"), col("lang_guess"), col("n_words"),
+            posexplode(toks))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val parts = col("col") +: (1 until spanK).map(j => lead(col("col"), j).over(w))
       val spans = tokRows
@@ -132,7 +145,7 @@ object CurationQueries {
           xxhash64(parts: _*).as("h"), parts.last.isNotNull.as("full"))
         .filter(col("full"))
         .dropDuplicates("doc_id", "h")
-      graft.functions.Dedup.joinKeyStats(spans, "h",
+      val trimmed = graft.functions.Dedup.joinKeyStats(spans, "h",
           Seq(count(lit(1)).as("nd")), col("nd") >= 2, "left")
         .groupBy(col("doc_id"))
         .agg(first(col("lang_guess")).as("lang_guess"),
@@ -140,6 +153,25 @@ object CurationQueries {
           (count(col("nd")) / count(lit(1))).as("dup_frac"))
         .filter(col("dup_frac") <= 0.5)
         .observe("curate_span_trimmed", count(lit(1)).as("rows"))
+      // LM gate: unigram probabilities from the kept corpus's OWN
+      // token stream (vocab aggregates map-side, broadcasts back —
+      // the q_lm_score shape), per-doc mean NLL r6-rounded so the
+      // threshold comparison is engine-identical, then the fixed
+      // cutoff. The NLL side is docs-scale (unbounded), so the join
+      // back to the trimmed survivors is merge-hinted.
+      val vocab = tokRows.groupBy(col("col").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val totalN = vocab.agg(sum("c").as("n_total"))
+      val probs = vocab.crossJoin(broadcast(totalN))
+        .select(col("t"),
+          (-log(col("c").cast("double") / col("n_total"))).as("nll"))
+      val nll = tokRows.select(col("doc_id"), col("col").as("t"))
+        .join(broadcast(probs), "t")
+        .groupBy("doc_id")
+        .agg(EngineNeutral.roundHalfUp(avg("nll"), 6).as("avg_nll"))
+      trimmed.join(nll.hint("merge"), Seq("doc_id"))
+        .filter(col("avg_nll") <= graft.functions.Curation.CurateNllMax)
+        .observe("curate_lm_kept", count(lit(1)).as("rows"))
         .groupBy("lang_guess")
         .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_tokens"))
         .orderBy("lang_guess")
@@ -383,10 +415,20 @@ object CurationQueries {
         |    any_value(n_words) AS n_words,
         |    count(CASE WHEN nd >= 2 THEN 1 END)::DOUBLE / count(*) AS dup_frac
         |  FROM nd GROUP BY doc_id
+        |), lm0 AS (
+        |  SELECT doc_id, unnest(tk) AS t FROM keptd
+        |), v AS (SELECT t, count(*) AS c FROM lm0 GROUP BY t),
+        |ntot AS (SELECT sum(c) AS n_total FROM v),
+        |p AS (SELECT t, -ln(c::DOUBLE / n_total) AS nll FROM v, ntot),
+        |doc_nll AS (
+        |  SELECT doc_id,
+        |    floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS avg_nll
+        |  FROM lm0 JOIN p USING (t) GROUP BY doc_id
         |)
         |SELECT lang_guess, count(*) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS total_tokens
-        |FROM frac WHERE dup_frac <= 0.5
+        |FROM frac JOIN doc_nll USING (doc_id)
+        |WHERE dup_frac <= 0.5 AND avg_nll <= 3.41
         |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
     "q_data_quality" ->
       """WITH n AS (SELECT count(*) AS n_rows FROM orders),

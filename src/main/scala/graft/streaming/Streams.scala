@@ -593,11 +593,28 @@ object Streams {
   /** Streaming curation funnel — the online face of q_curate_e2e:
     * each micro-batch of documents runs quality scoring → language
     * gate → exact dedup against a persisted seen-hash index → span
-    * dup-frac trim against the persisted span index, then grows both
-    * indexes by O(batch). Kept docs land under `outPath/batch_id=N`;
-    * per-batch funnel-stage counts (the streaming form of the batch
-    * query's Observe tripwires) land as one row under
-    * `statsPath/batch_id=N`.
+    * dup-frac trim against the persisted span index → optional LM
+    * perplexity gate, then grows both indexes by O(batch). Kept docs
+    * land under `outPath/batch_id=N`; per-batch funnel-stage counts
+    * (the streaming form of the batch query's Observe tripwires) land
+    * as one row under `statsPath/batch_id=N`.
+    *
+    * LM gate (`lmModelPath`): documents are scored against a FROZEN
+    * reference unigram LM ([[graft.functions.Curation.writeLmModel]])
+    * — the CCNet discipline, and the only replay-stable choice: the
+    * model VERSION is pinned once at stream start, so a checkpoint
+    * replay re-scores every batch against exactly the model it
+    * originally saw even if an operator committed a newer model
+    * meanwhile (restart the stream to adopt one). Unlike the batch
+    * funnel (whose LM trains on the same kept corpus it scores, so
+    * every token is in-vocabulary), a frozen reference model can meet
+    * out-of-vocabulary tokens: they are excluded from the mean (the
+    * model has no estimate for them), and a document with NO in-vocab
+    * tokens fails the gate — zero evidence of natural text is the
+    * tail bucket, and silently passing it would let adversarial
+    * all-novel junk through the one stage built to catch it. Kept
+    * rows carry `avg_nll`; stats gain `lm_kept` (= `trimmed` when no
+    * model is configured, and `avg_nll` is then null).
     *
     * Index discipline ([[graft.functions.Dedup.writeHashIndex]] ×2 —
     * bootstrap both with an empty frame or a corpus build):
@@ -619,10 +636,19 @@ object Streams {
                    spanIndexPath: String, outPath: String, statsPath: String,
                    checkpoint: String, idCol: String = "doc_id",
                    textCol: String = "text", minWords: Int = 10,
-                   maxDupFrac: Double = 0.5, spanK: Int = 8): StreamingQuery = {
+                   maxDupFrac: Double = 0.5, spanK: Int = 8,
+                   lmModelPath: Option[String] = None,
+                   maxAvgNll: Double = graft.functions.Curation.CurateNllMax)
+      : StreamingQuery = {
     require(minWords >= spanK,
       s"minWords ($minWords) must be ≥ spanK ($spanK): every doc past the " +
         "quality gate must produce at least one full span")
+    // pin the LM VERSION once, at stream start (see the scaladoc)
+    val lmVersionDir = lmModelPath.map { p =>
+      graft.operators.Versioned.resolve(stream.sparkSession, p)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed LM model at $p — build one with Curation.writeLmModel"))
+    }
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -675,22 +701,49 @@ object Streams {
                 graft.functions.Dedup.readSpanIndex(spark, spanV,
                   excludeTag = Some(tag)),
                 idCol)
-              val out = kept
+              val trimmed0 = kept
                 .join(spanScores.select(col(idCol), col("dup_frac")).hint("merge"),
                   Seq(idCol))
                 .filter(col("dup_frac") <= maxDupFrac)
+              // optional LM gate against the PINNED frozen model (see
+              // scaladoc): per-doc mean NLL over in-vocab tokens,
+              // r6-rounded like the batch funnel; OOV-only docs score
+              // null and fail the gate
+              val gated = lmVersionDir match {
+                case None =>
+                  trimmed0.withColumn("avg_nll", lit(null).cast("double"))
+                case Some(vd) =>
+                  val model = graft.functions.Curation.readLmModel(spark, vd)
+                  val nll = kept
+                    .select(col(idCol),
+                      explode(graft.functions.Dedup.tokens(col(textCol))).as("t"))
+                    .join(broadcast(model), "t")
+                    .groupBy(idCol)
+                    .agg(graft.functions.EngineNeutral.roundHalfUp(avg("nll"), 6)
+                      .as("avg_nll"))
+                  trimmed0.join(nll.hint("merge"), Seq(idCol), "left")
+                    .filter(col("avg_nll").isNotNull &&
+                      col("avg_nll") <= maxAvgNll)
+              }
+              val out = gated
                 .select(col(idCol), col("lang_guess"), col("n_words"),
-                  col("dup_frac"))
+                  col("dup_frac"), col("avg_nll"))
                 .withColumn("batch_id", lit(batchId))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
               try {
-                val nTrimmed = out.count()
+                val nLmKept = out.count()
+                // one extra count only when the gate is on (kept and
+                // spans are persisted, so this re-runs the cheap
+                // join+filter, not the funnel)
+                val nTrimmed =
+                  if (lmVersionDir.isEmpty) nLmKept else trimmed0.count()
                 out.write.mode("overwrite")
                   .option("partitionOverwriteMode", "dynamic")
                   .partitionBy("batch_id").parquet(outPath)
                 import spark.implicits._
-                Seq((batchId, nScored, nFiltered, nKept, nTrimmed))
-                  .toDF("batch_id", "scored", "filtered", "kept", "trimmed")
+                Seq((batchId, nScored, nFiltered, nKept, nTrimmed, nLmKept))
+                  .toDF("batch_id", "scored", "filtered", "kept", "trimmed",
+                    "lm_kept")
                   .write.mode("overwrite")
                   .option("partitionOverwriteMode", "dynamic")
                   .partitionBy("batch_id").parquet(statsPath)

@@ -47,6 +47,7 @@ class QueriesSpec extends AnyFunSuite {
     val filtered = m("curate_filtered").getAs[Long]("rows")
     val kept = m("curate_kept").getAs[Long]("rows")
     val trimmed = m("curate_span_trimmed").getAs[Long]("rows")
+    val lmKept = m("curate_lm_kept").getAs[Long]("rows")
     // stage 1 sees every document; each later stage can only shrink
     assert(scored == graft.Tables.documents(spark, sf).count())
     assert(filtered < scored, "the quality filter stopped filtering")
@@ -54,6 +55,10 @@ class QueriesSpec extends AnyFunSuite {
       s"funnel shape violated: $scored -> $filtered -> $kept")
     assert(trimmed <= kept && trimmed > 0,
       s"span-trim shape violated: $kept -> $trimmed")
+    // the LM gate must demonstrably GATE (drop a tail) while keeping
+    // the bulk — a cutoff drifted out of the distribution fails here
+    assert(lmKept < trimmed && lmKept > 0,
+      s"LM-gate shape violated: $trimmed -> $lmKept")
   }
 
   test("representative queries return rows at sf0.001") {

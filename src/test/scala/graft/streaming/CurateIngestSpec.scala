@@ -128,4 +128,61 @@ class CurateIngestSpec extends AnyFunSuite {
         "redelivery must grow neither index")
     } finally q.stop()
   }
+
+  test("LM gate: frozen reference model filters streamed docs like the driver reference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_lm").toString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = docs.toSeq.splitAt(docs.length / 2)
+    // reference LM trained on the WHOLE corpus (the frozen clean-corpus
+    // discipline), served to the stream by version dir
+    val lmRoot = s"$dir/lm"
+    graft.functions.Curation.writeLmModel(
+      docs.toSeq.toDF("doc_id", "text"), "text", lmRoot)
+    val lmV = graft.operators.Versioned.resolve(spark, lmRoot).get
+    // driver-side scorer mirroring the contract: mean NLL over
+    // IN-VOCAB occurrences, r6 half-up; no in-vocab tokens → fail
+    val model = graft.functions.Curation.readLmModel(spark, lmV)
+      .as[(String, Double)].collect().toMap
+    def scoreOk(text: String, cutoff: Double): Boolean = {
+      val nlls = text.split(" ").filter(_.nonEmpty).flatMap(model.get)
+      nlls.nonEmpty &&
+        math.floor(nlls.sum / nlls.length * 1e6 + 0.5) / 1e6 <= cutoff
+    }
+    // cutoff at the corpus median-ish value so BOTH branches are
+    // demonstrably exercised on this data
+    val cutoff = 3.402
+    Dedup.writeHashIndex(Seq.empty[Array[Byte]].toDF("h"), s"$dir/exact")
+    Dedup.writeHashIndex(Seq.empty[Long].toDF("h"), s"$dir/span")
+    val ch = Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = Streams.curateIngest(ch.toDS.toDF("doc_id", "text"),
+      s"$dir/exact", s"$dir/span", s"$dir/out", s"$dir/stats", s"$dir/ckpt",
+      minWords = MinWords, maxDupFrac = MaxDup, spanK = SpanK,
+      lmModelPath = Some(lmRoot), maxAvgNll = cutoff)
+    try {
+      ch.send(b2: _*); q.processAllAvailable()
+      val (wantNoLm, _) = reference(Seq(b1, b2))
+      val textOf = docs.toMap
+      val want = wantNoLm.filter { case (id, _) => scoreOk(textOf(id), cutoff) }
+      val got = spark.read.parquet(s"$dir/out")
+        .select("doc_id", "dup_frac").as[(Long, Double)].collect().toSet
+      assert(got == want.toSet,
+        s"LM-gated kept set diverged: got ${got.size}, want ${want.size}")
+      // the gate demonstrably gates: strictly between 0 and the
+      // ungated kept count
+      assert(got.nonEmpty && got.size < wantNoLm.size,
+        s"degenerate LM gate: ${got.size} of ${wantNoLm.size}")
+      // stats trace the new stage: lm_kept ≤ trimmed per batch, and
+      // kept rows carry the score
+      val st = spark.read.parquet(s"$dir/stats")
+        .select("batch_id", "trimmed", "lm_kept")
+        .as[(Long, Long, Long)].collect()
+      assert(st.nonEmpty && st.forall { case (_, t, l) => l <= t })
+      assert(st.map(_._3).sum == got.size.toLong)
+      val nullScores = spark.read.parquet(s"$dir/out")
+        .filter(col("avg_nll").isNull).count()
+      assert(nullScores == 0, "kept rows must carry their LM score")
+    } finally q.stop()
+  }
 }

@@ -168,17 +168,54 @@ object RelationalQueries {
           graft.functions.EngineNeutral.exactSum(col("value"), 2).as("total_value"))
         .orderBy("hr", "event_type")),
 
-    // 26. Approximate distinct (HLL sketch) — rows-only check: DuckDB's
-    //     approx_count_distinct uses a different sketch. spread(): the
-    //     high-precision sketch (rsd 0.01 → 2^14 registers) makes the
-    //     per-row update the bottleneck, and the single-row-group scan
-    //     would otherwise run it on ONE core.
-    "q_approx_distinct" -> ((s, d) =>
-      Tables.spread(Tables.events(s, d).select("event_type", "user_id"))
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type")),
+    // 26. Approximate distinct — a PORTABLE fixed-seed HyperLogLog
+    //     (Flajolet et al. 2007; m = 1024 registers over a 60-bit
+    //     md5-derived hash) composed from groupBy/max/sum, so BOTH
+    //     engines reproduce the estimate bit-identically and the row
+    //     is hash-gated (rows-only for 14 rounds because Spark's
+    //     native approx_count_distinct sketch is engine-private —
+    //     round-15 verdict ask #8). Engine-neutrality: the register
+    //     fold is an EXACT integer sum (register j contributes the
+    //     long 2^(51−M_j); Σ ≤ 1024·2^51 = 2^61 fits a long, and
+    //     integer addition is order-free where a double Σ2^(−M_j)
+    //     would be partial-aggregation-order-dependent); the only
+    //     floating math is literal-derived constants divided by that
+    //     one long, written in the identical order in both engines.
+    //     Small-range linear counting (m·ln(m/V) below 2.5m, V = empty
+    //     registers) as published; the 60-bit hash space makes the
+    //     32-bit large-range collision correction unnecessary. The
+    //     register shuffle is ≤ (types × 1024) rows regardless of
+    //     corpus size — strictly cheaper at scale than the old
+    //     rsd=0.01 sketch's 2^14-register partials.
+    "q_approx_distinct" -> ((s, d) => {
+      val m = 1024
+      val regs = Tables.spread(Tables.events(s, d).select("event_type", "user_id"))
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        .select(col("event_type"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+          expr("h div 1024").as("rest"))
+        .select(col("event_type"), col("bucket"),
+          when(col("rest") === 0L, lit(51))
+            .otherwise(lit(51) - length(expr("bin(rest)"))).as("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(max(col("rho")).as("mr"), count(lit(1)).as("cnt"))
+      val v = lit(m.toLong) - col("nb")
+      val sumInt = col("sp") + v * lit(2251799813685248L) // + V empty regs · 2^51
+      val e = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)) *
+        lit(1048576.0) * lit(2251799813685248.0)) / sumInt.cast("double")
+      regs.groupBy("event_type")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mr AS INT))")).as("sp"),
+          count(lit(1)).as("nb"), sum(col("cnt")).as("n"))
+        .select(col("event_type"),
+          when(e <= lit(2560.0) && v > 0,
+              floor(lit(1024.0) * log(lit(1024.0) / v.cast("double")) + lit(0.5)))
+            .otherwise(floor(e + lit(0.5)))
+            .cast("long").as("approx_users"),
+          col("n"))
+        .orderBy("event_type")
+    }),
 
     // 20b. As-of join (union+window composition, one shuffle): each
     //      purchase gets the user's latest prior-or-equal click value.
@@ -332,6 +369,41 @@ object RelationalQueries {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+    // the portable fixed-seed HLL, replayed exactly: integer register
+    // sums (order-free), float math only on literal-derived constants
+    // written in the Spark side's operation order; ::DOUBLE casts keep
+    // DuckDB's decimal literals out of the float path
+    "q_approx_distinct" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, h % 1024 AS bucket,
+        |    CASE WHEN h // 1024 = 0 THEN 51
+        |         ELSE 51 - length(bin(h // 1024)) END AS rho
+        |  FROM ev
+        |), regs AS (
+        |  SELECT event_type, bucket, max(rho) AS mr, count(*) AS cnt
+        |  FROM r GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type,
+        |    sum(CAST(1 AS BIGINT) << CAST(51 - mr AS INT)) AS sp,
+        |    count(*) AS nb, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT event_type, n, 1024 - nb AS v,
+        |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+        |      * 1048576.0::DOUBLE * 2251799813685248.0::DOUBLE)
+        |      / CAST(sp + (1024 - nb) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS e
+        |  FROM agg
+        |)
+        |SELECT event_type,
+        |  CAST(CASE WHEN e <= 2560.0::DOUBLE AND v > 0
+        |    THEN floor(1024.0::DOUBLE * ln(1024.0::DOUBLE / CAST(v AS DOUBLE)) + 0.5::DOUBLE)
+        |    ELSE floor(e + 0.5::DOUBLE) END AS BIGINT) AS approx_users,
+        |  n
+        |FROM est ORDER BY event_type""".stripMargin,
     "q_asof" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'

@@ -21,11 +21,13 @@ class QueriesSpec extends AnyFunSuite {
     // explicit rows-only allowlist (SURVEY §2 "✅rows" — hash/LSH
     // internals no portable SQL can reproduce). A new query without an
     // oracle fails here until it is consciously declared rows-only.
-    // q_fingerprint LEFT this list in round 10: DuckDB's list_reduce
-    // reproduces the byte-fold exactly on the (verified-ASCII) corpus
+    // q_fingerprint LEFT this list in round 10 (DuckDB's list_reduce
+    // reproduces the byte-fold exactly on the verified-ASCII corpus);
+    // q_approx_distinct left in round 15 (rebuilt as a portable
+    // fixed-seed HLL whose integer register sums both engines replay)
     val rowsOnly = Set(
       "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
-      "q_approx_distinct", "q_approx_percentile",
+      "q_approx_percentile",
       "q_bpe_merges", "q_compress_ratio", "q_coreness", "q_dedup_minhash",
       "q_dedup_simhash", "q_hll_union", "q_kll_quantiles")
     val withoutOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -16,7 +16,11 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.01"
 
-  test("q_approx_distinct is within 3x the configured rsd of exact counts") {
+  test("q_approx_distinct is within 3x the sketch rsd of exact counts") {
+    // no longer rows-only (the round-15 portable HLL is hash-gated),
+    // but the ACCURACY invariant stays: the oracle proves both engines
+    // compute the same estimate, not that the estimate is any good.
+    // m = 1024 → rsd ≈ 1.04/√1024 ≈ 3.25%
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap
     val exact = Tables.events(spark, sf).groupBy("event_type")
@@ -24,7 +28,7 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
     assert(approx.keySet == exact.keySet)
     exact.foreach { case (k, n) =>
       val rel = math.abs(approx(k) - n).toDouble / n
-      assert(rel <= 0.03, f"$k: approx=${approx(k)} exact=$n relErr=$rel%.4f > 3*rsd")
+      assert(rel <= 3 * 1.04 / 32.0, f"$k: approx=${approx(k)} exact=$n relErr=$rel%.4f > 3*rsd")
     }
   }
 

@@ -84,6 +84,16 @@ object EditDistanceJoin {
     * id, then the blockCols equality AND the Levenshtein threshold run
     * per candidate — nothing correctness-bearing rides the 64-bit
     * bucket hash. Returns (id_a, id_b, dist).
+    *
+    * Both payload joins are merge-hinted: the docs side is
+    * CORPUS-scale by construction, but it reaches the planner as a
+    * column-pruned parquet scan whose static size estimate shrinks
+    * with the corpus's (dictionary-friendly) on-disk footprint — at
+    * the sf10 spot-check the pruned customer scan estimated under the
+    * 10 MB broadcast threshold and the planner collected a 1.5 M-row
+    * payload (~1 GiB of task results) to the driver, killing the job
+    * on maxResultSize. A corpus side must never ride a stats
+    * estimate into a broadcast, however small the files look.
     */
   private[graft] def verifyCandidates(pairs: DataFrame, docs: DataFrame,
                                       idCol: String, nameCol: String,
@@ -94,7 +104,7 @@ object EditDistanceJoin {
     val b = docs.select(col(idCol).as("id_b") +: payload.map(c => col(c).as(s"_b_$c")): _*)
     val blockEq = blockCols.map(c => col(s"_a_$c") === col(s"_b_$c"))
       .foldLeft(lit(true))(_ && _)
-    pairs.join(a, "id_a").join(b, "id_b")
+    pairs.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
       .filter(blockEq)
       .withColumn("dist", levenshtein(col(s"_a_$nameCol"), col(s"_b_$nameCol")))
       .filter(col("dist") <= maxDist)

@@ -24,13 +24,26 @@ import org.apache.spark.sql.functions.col
   */
 object BloomJoin {
 
+  /** Sentinel: size the sketch from the small side's ACTUAL row count
+    * (one extra cheap action over the — by assumption — small
+    * relation). A FIXED `expectedItems` is a scale defect waiting to
+    * happen: the round-15 sf10 sweep measured q_bloom_join's shuffle
+    * growing 342× across a 10× jump because a 4096-capacity filter
+    * met a 10×-grown key set — an overloaded bloom saturates, the fpp
+    * goes to ~1, and the prefilter silently stops pruning (correctness
+    * holds, the scale win evaporates). Auto-sizing makes the pruning
+    * rate SF-invariant.
+    */
+  val AutoSize: Long = -1L
+
   /** Prune `big` to rows whose `bigKey` might be in `small.smallKey`,
     * then inner-join. `expectedItems`/`fpp` size the sketch — bits ≈
     * −n·ln(fpp)/ln(2)², so overestimating n costs memory linearly but
-    * never correctness.
+    * never correctness; the [[AutoSize]] default counts the small
+    * side first.
     */
   def innerJoin(big: DataFrame, bigKey: String, small: DataFrame,
-                smallKey: String, expectedItems: Long = 1L << 20,
+                smallKey: String, expectedItems: Long = AutoSize,
                 fpp: Double = 0.01): DataFrame = {
     val pruned = prefilter(big, bigKey, small, smallKey, expectedItems, fpp)
     // frame-qualified keys: bigKey/smallKey may share a NAME (the
@@ -44,9 +57,12 @@ object BloomJoin {
     * multi-stage pipelines) and for the spec's pruning-rate assertion.
     */
   def prefilter(big: DataFrame, bigKey: String, small: DataFrame,
-                smallKey: String, expectedItems: Long = 1L << 20,
+                smallKey: String, expectedItems: Long = AutoSize,
                 fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val n =
+      if (expectedItems == AutoSize) math.max(small.count(), 64L)
+      else expectedItems
+    val bloom = small.stat.bloomFilter(smallKey, n, fpp)
     big.filter(bloom_might_contain(col(bigKey), bloom))
   }
 }

@@ -346,9 +346,13 @@ object AdvancedQueries {
         .filter(col("p_size") === 15)
         .select("p_partkey", "p_brand")
       val li = Tables.lineitem(s, d).select("l_partkey", "l_extendedprice")
+      // AutoSize (round 15): the fixed expectedItems=4096 this query
+      // shipped with saturated at the sf10 sweep (20k keys → fpp ≈ 1 →
+      // 342× shuffle growth across the decade); sizing from the actual
+      // filtered-dim count keeps the pruning rate SF-invariant
       graft.operators.BloomJoin
         .innerJoin(Tables.spread(li), "l_partkey", pk, "p_partkey",
-          expectedItems = 4096, fpp = 0.01)
+          fpp = 0.01)
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
           EngineNeutral.exactSum(col("l_extendedprice"), 2).as("revenue"))

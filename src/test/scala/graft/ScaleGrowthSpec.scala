@@ -134,7 +134,18 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // moves (source, token) count rows plus PrefixScan's vocab-sized
     // range exchange — vocabulary-scale, corpus-sublinear; growth
     // here means token rows started riding an exchange un-combined
-    "q_cond_entropy", "q_gini_tokens")
+    "q_cond_entropy", "q_gini_tokens",
+    // round-15 arrivals: q_approx_distinct's portable HLL shuffles
+    // ≤ (event-types × 1024) register rows by construction — it must
+    // stay ~FLAT across any SF jump (growth means the register
+    // aggregation stopped map-side-combining); q_curate_e2e gained
+    // the LM stage — its exchanges are the kept-docs token/vocab/NLL
+    // aggregations plus the span rows, all token-linear, and the
+    // probs table must STAY a broadcast (vocabulary-bounded). The two
+    // new INDEXED serves are deliberately absent here: their iter-1
+    // index builds make per-call bytes run-order-dependent (the
+    // graph-query exclusion), and their warm-serve shuffle is ~zero
+    "q_approx_distinct", "q_curate_e2e")
 
   test("top-shuffle queries grow ≤ ~linear in shuffle bytes across a 10× SF jump") {
     val failures = heavy.flatMap { q =>

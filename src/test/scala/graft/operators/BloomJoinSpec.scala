@@ -28,6 +28,21 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(fpRate <= 0.03, f"false-positive rate $fpRate%.4f far above configured 0.01")
   }
 
+  test("AutoSize keeps the pruning rate flat when the dim outgrows a fixed capacity") {
+    // the round-15 sf10 finding: a fixed expectedItems saturates when
+    // the key set grows past it (fpp → ~1, the prefilter stops
+    // pruning). Auto-sizing counts the dim first, so the same call
+    // site prunes at ANY scale. 20k keys vs the old query's 4096 cap:
+    val small = (0L until 20000L).map(_ * 5).toDF("k")
+    val big = (1000000L until 1100000L).toDF("x") // zero true matches
+    val fixed = BloomJoin.prefilter(big, "x", small, "k",
+      expectedItems = 4096, fpp = 0.01).count().toDouble / 100000.0
+    val auto = BloomJoin.prefilter(big, "x", small, "k",
+      fpp = 0.01).count().toDouble / 100000.0
+    assert(fixed > 0.5, f"saturated-filter premise broke ($fixed%.3f) — retune the test")
+    assert(auto <= 0.03, f"auto-sized fp rate $auto%.4f above configured 0.01")
+  }
+
   test("innerJoin result is row-identical to the plain join") {
     val small = (0L until 100L).map(i => (i * 3, s"dim$i")).toDF("k", "name")
     val big = (0L until 1000L).map(i => (i, i * 2.0)).toDF("x", "v")

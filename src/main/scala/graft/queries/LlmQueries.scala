@@ -20,10 +20,21 @@ object LlmQueries {
   /** Committed lexical-index version dir per sf dir (built once per
     * session, like the IVF centroids — the production split: pay the
     * corpus aggregation at index-build time, serve every query round
-    * from the persisted tf/df/stats tables).
+    * from the persisted tf/df/stats tables). Shared with every query
+    * whose sparse leg scores the same corpus split (q_bm25_indexed,
+    * q_rrf_fusion_indexed) — ONE index, many serving faces.
     */
   private val lexIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def lexIndexVdir(s: SparkSession, d: String): String =
+    lexIndexCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lexindex").toString
+      Retrieval.writeLexicalIndex(
+        Tables.documents(s, d).filter(col("source") =!= "src0"),
+        "doc_id", "text", root)
+    })
 
   /** Deterministic PQ codebooks per sf dir (trained once). */
   private val codebookCache =
@@ -380,13 +391,7 @@ object LlmQueries {
     //      and this gate drives the indexed path against DuckDB too.
     "q_bm25_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val vdir = lexIndexCache.computeIfAbsent(d, _ => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_lexindex").toString
-        Retrieval.writeLexicalIndex(
-          docs.filter(col("source") =!= "src0"), "doc_id", "text", root)
-      })
-      Retrieval.bm25TopKIndexed(s, vdir,
+      Retrieval.bm25TopKIndexed(s, lexIndexVdir(s, d),
           docs.filter(col("source") === "src0"), "doc_id", "text", topK = 5)
         .orderBy("query_id", "rank")
     }),

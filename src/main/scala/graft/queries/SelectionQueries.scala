@@ -123,6 +123,39 @@ object SelectionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // 118b. The same fusion with the SPARSE leg served from the
+    //       persisted lexical index (LlmQueries' shared build — ONE
+    //       index, many serving faces): the corpus tokenization +
+    //       tf/df aggregation never recur per fusion run; only the
+    //       dense brute-force leg still scans (kept exact so the
+    //       oracle stays the in-job fusion's own SQL — an IVF leg
+    //       would trade exactness for recall, a different row).
+    //       Gated against q_rrf_fusion's oracle.
+    "q_rrf_fusion_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val sparse = Retrieval.bm25TopKIndexed(s, LlmQueries.lexIndexVdir(s, d),
+          docs.filter(col("source") === "src0"), "doc_id", "text", topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+      val srcOf = docs.select(col("doc_id").as("vec_id"), col("source"))
+      val embSrc = emb.join(srcOf, "vec_id")
+      val dense = Similarity.bruteForceTopK(
+          embSrc.filter(col("source") =!= "src0").drop("source"),
+          embSrc.filter(col("source") === "src0").drop("source"), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("r_dense"))
+      val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (col("r_lex") + lit(60.0)), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r_dense") + lit(60.0)), lit(0.0))).as("rrf"))
+      val top = graft.plans.TopKPerKey.topK(fused, Seq("query_id"),
+        Seq("rrf" -> true, "doc_id" -> false), k = 10)
+      val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+        .orderBy("query_id", "rank")
+    }),
+
     // 119. Per-node triangle counts on the near-dup edge graph — the
     //      density signal that separates a true duplicate CLIQUE from
     //      a chain of pairwise matches glued by boilerplate. Scale
@@ -480,42 +513,11 @@ object SelectionQueries {
     // lexical CTEs are q_bm25's verbatim (top-20 here); the dense leg
     // mirrors q_ann_bruteforce's r4-rounded cosine; RRF values are
     // sums of two exact-int divisions — bit-identical, unrounded
-    "q_rrf_fusion" -> (bm25Cte +
-      """, lex AS (
-        |  SELECT query_id, doc_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY score DESC, doc_id) AS r_lex
-        |  FROM scored
-        |), den0 AS (
-        |  SELECT eq.vec_id AS query_id, ec.vec_id AS doc_id,
-        |    floor(list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) /
-        |      (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[]))) * 10000 + 0.5) / 10000.0 AS sim
-        |  FROM embeddings eq
-        |  JOIN documents dq ON dq.doc_id = eq.vec_id AND dq.source = 'src0'
-        |  CROSS JOIN embeddings ec
-        |  JOIN documents dc ON dc.doc_id = ec.vec_id AND dc.source <> 'src0'
-        |), den AS (
-        |  SELECT query_id, doc_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, doc_id) AS r_dense
-        |  FROM den0
-        |), fused AS (
-        |  SELECT query_id, doc_id,
-        |    coalesce(1.0 / (l.r_lex + 60.0), 0.0) +
-        |    coalesce(1.0 / (d.r_dense + 60.0), 0.0) AS rrf
-        |  FROM (SELECT * FROM lex WHERE r_lex <= 20) l
-        |  FULL OUTER JOIN (SELECT * FROM den WHERE r_dense <= 20) d
-        |  USING (query_id, doc_id)
-        |), ranked AS (
-        |  SELECT query_id, doc_id, rrf,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY rrf DESC, doc_id) AS rank
-        |  FROM fused
-        |)
-        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf
-        |FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin),
+    "q_rrf_fusion" -> rrfOracleSql,
+    // the indexed route (sparse leg served from the persisted lexical
+    // index) must reproduce the in-job fusion EXACTLY
+    "q_rrf_fusion_indexed" -> rrfOracleSql,
+
     // undirected triangle enumeration on the same edge rule as
     // q_dedup_clusters (edges carry id_a < id_b, so x<y<z counts each
     // triangle once); the Spark side's degree orientation changes the
@@ -664,6 +666,44 @@ object SelectionQueries {
     // one truth, two physical paths
     "q_simjoin_indexed" -> simjoinOracleSql
   )
+
+  private lazy val rrfOracleSql: String =
+    bm25Cte +
+      """, lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS r_lex
+        |  FROM scored
+        |), den0 AS (
+        |  SELECT eq.vec_id AS query_id, ec.vec_id AS doc_id,
+        |    floor(list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[]))) * 10000 + 0.5) / 10000.0 AS sim
+        |  FROM embeddings eq
+        |  JOIN documents dq ON dq.doc_id = eq.vec_id AND dq.source = 'src0'
+        |  CROSS JOIN embeddings ec
+        |  JOIN documents dc ON dc.doc_id = ec.vec_id AND dc.source <> 'src0'
+        |), den AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, doc_id) AS r_dense
+        |  FROM den0
+        |), fused AS (
+        |  SELECT query_id, doc_id,
+        |    coalesce(1.0 / (l.r_lex + 60.0), 0.0) +
+        |    coalesce(1.0 / (d.r_dense + 60.0), 0.0) AS rrf
+        |  FROM (SELECT * FROM lex WHERE r_lex <= 20) l
+        |  FULL OUTER JOIN (SELECT * FROM den WHERE r_dense <= 20) d
+        |  USING (query_id, doc_id)
+        |), ranked AS (
+        |  SELECT query_id, doc_id, rrf,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
 
   private lazy val simjoinOracleSql: String =
       """WITH sh AS (

@@ -127,8 +127,11 @@ object Curation {
     val top = bigrams
       .groupBy("doc_id", "bh").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_n"))
+    // both sides are doc-keyed explode descendants already
+    // hash-partitioned by doc_id — merge reuses that partitioning and
+    // keeps tiny-SF stats from broadcasting an exploded subtree
     base.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
-      .join(top, Seq("doc_id"), "left")
+      .join(top.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         EngineNeutral.r4(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
           .as("dup_token_frac"),
@@ -141,10 +144,11 @@ object Curation {
     * whole corpus). `docFilter` restricts which documents are scored
     * (pushed to the scan) without changing the corpus statistics.
     *
-    * The document-frequency table is vocabulary-sized; the join back to
-    * the (filtered) tf table is a plain equi-join AQE can broadcast
-    * when the filtered side is small — no forced strategy, both sides
-    * can be large at corpus scale.
+    * The document-frequency table is vocabulary-sized and the tf side
+    * corpus-sized — both explode descendants that can be large at
+    * corpus scale, so their join is merge-hinted (they share
+    * hashpartitioning(tok) from their own aggregations; a tiny-SF
+    * size estimate must not ride either into a broadcast build).
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
                 docFilter: Column): DataFrame = {
@@ -154,7 +158,7 @@ object Curation {
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ndocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.filter(docFilter)
-      .join(dfreq, "tok")
+      .join(dfreq.hint("merge"), "tok")
       .crossJoin(broadcast(ndocs))
       .select(col("doc_id"), col("tok"),
         EngineNeutral.r4(col("tf") * log(col("n_docs").cast("double") / col("df")))

@@ -472,9 +472,14 @@ object Dedup {
     // id-only pairs in buckets (a pair found in several bands would
     // otherwise materialize its two 64-long signatures once per band);
     // signatures join back once per distinct pair
+    // payload joins merge-hinted (the ngramJaccard precedent): both
+    // sides are corpus-derived explode descendants, and a tiny-SF
+    // size estimate must not broadcast either build
     pairsFromBucketsIds(banded, maxBucket, "lsh_drops_minhash")
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("merge"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / numHashes).as("est_jaccard"))

@@ -121,6 +121,15 @@ object LinkageIndex {
     * the delta lands atomically under the current version — an
     * all-duplicates replay appends nothing. Returns the delta dir, or
     * None when nothing was new.
+    *
+    * The batch-id probes broadcast ONLY while the batch is actually
+    * batch-sized: the batch is counted once (off its own cache) and
+    * past [[graft.functions.IndexAppend.MaxBroadcastRows]] every probe
+    * degrades to a shuffle join with a loud advisory — an index-scale
+    * "append" (bulk replay, bootstrap misuse) must not ride an
+    * unconditional broadcast hint into a driver OOM, the by-hint twin
+    * of the stats-estimate broadcast the round-15 sf10 sweep killed in
+    * q_linkage. Corpus-scale inputs belong in [[writeIndex]].
     */
   def appendIndex(newDocs: DataFrame, idCol: String, nameCol: String,
                   blockCols: Seq[String], indexPath: String): Option[String] = {
@@ -133,47 +142,54 @@ object LinkageIndex {
       s"index at $indexPath was built with ${meta.nBlock} block columns, " +
         s"append passed ${blockCols.size}")
     val bn = bNames(blockCols.size)
-    // index side streams through a broadcast batch-id probe; the
-    // anti-join back is broadcast too — the index never shuffles
-    val hits = component(spark, vdir, "docs").select("id")
-      .join(broadcast(newDocs.select(col(idCol).as("id"))), Seq("id"), "left_semi")
-      .distinct()
-    val fresh = canon(newDocs, idCol, nameCol, blockCols)
-      .join(broadcast(hits), Seq("id"), "left_anti")
+    val batch = canon(newDocs, idCol, nameCol, blockCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     try {
-      if (fresh.isEmpty) None
-      else Some(graft.operators.Versioned.commitDelta(spark, indexPath, vdir) { d =>
-        fresh.write.parquet(s"$d/docs")
-        val freshBack = spark.read.parquet(s"$d/docs")
-        graft.operators.EditDistanceJoin
-          .deletionKeys(freshBack, "id", "name", bn)
-          .write.parquet(s"$d/keys")
-        val freshKeys = spark.read.parquet(s"$d/keys")
-        // full membership of every TOUCHED bucket = old keys in those
-        // buckets ∪ the batch's keys — the batch-derived semi-join side
-        // is batch-bounded, so the planner broadcasts it and the
-        // corpus-scale key table only streams
-        val touched = freshKeys.select("band", "bkey").distinct()
-        val members = component(spark, vdir, "keys")
-          .join(touched, Seq("band", "bkey"), "left_semi")
-          .unionByName(freshKeys)
-        val cand = Dedup.pairsFromBucketsIds(members, meta.maxBucket,
-          "linkage_append_drops")
-        // only pairs with a fresh side are NEW (old-old pairs in
-        // touched buckets already sit in pairs/)
-        val fids = fresh.select("id")
-        val candFresh = cand
-          .join(broadcast(fids.select(col("id").as("id_a"))), Seq("id_a"), "left_semi")
-          .unionByName(cand
-            .join(broadcast(fids.select(col("id").as("id_b"))), Seq("id_b"), "left_semi"))
-          .dropDuplicates("id_a", "id_b")
-        val allDocs = component(spark, vdir, "docs").unionByName(freshBack)
-        graft.operators.EditDistanceJoin
-          .verifyCandidates(candFresh, allDocs, "id", "name", bn, meta.maxDist)
-          .write.parquet(s"$d/pairs")
-      })
-    } finally { fresh.unpersist(); () }
+      val probe = IndexAppend.probeHint(batch.count(), "linkage index",
+        indexPath)
+      // index side streams through the batch-id probe; the anti-join
+      // back probes with `hits` (⊆ batch ids) — the index never
+      // shuffles while the batch is broadcast-sized
+      val hits = component(spark, vdir, "docs").select("id")
+        .join(probe(batch.select("id")), Seq("id"), "left_semi")
+        .distinct()
+      val fresh = batch
+        .join(probe(hits), Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      try {
+        if (fresh.isEmpty) None
+        else Some(graft.operators.Versioned.commitDelta(spark, indexPath, vdir) { d =>
+          fresh.write.parquet(s"$d/docs")
+          val freshBack = spark.read.parquet(s"$d/docs")
+          graft.operators.EditDistanceJoin
+            .deletionKeys(freshBack, "id", "name", bn)
+            .write.parquet(s"$d/keys")
+          val freshKeys = spark.read.parquet(s"$d/keys")
+          // full membership of every TOUCHED bucket = old keys in those
+          // buckets ∪ the batch's keys — the batch-derived semi-join side
+          // is batch-bounded, so the planner broadcasts it while small
+          // and reverts to a key shuffle as it grows (no forced hint)
+          val touched = freshKeys.select("band", "bkey").distinct()
+          val members = component(spark, vdir, "keys")
+            .join(touched, Seq("band", "bkey"), "left_semi")
+            .unionByName(freshKeys)
+          val cand = Dedup.pairsFromBucketsIds(members, meta.maxBucket,
+            "linkage_append_drops")
+          // only pairs with a fresh side are NEW (old-old pairs in
+          // touched buckets already sit in pairs/)
+          val fids = fresh.select("id")
+          val candFresh = cand
+            .join(probe(fids.select(col("id").as("id_a"))), Seq("id_a"), "left_semi")
+            .unionByName(cand
+              .join(probe(fids.select(col("id").as("id_b"))), Seq("id_b"), "left_semi"))
+            .dropDuplicates("id_a", "id_b")
+          val allDocs = component(spark, vdir, "docs").unionByName(freshBack)
+          graft.operators.EditDistanceJoin
+            .verifyCandidates(candFresh, allDocs, "id", "name", bn, meta.maxDist)
+            .write.parquet(s"$d/pairs")
+        })
+      } finally { fresh.unpersist(); () }
+    } finally { batch.unpersist(); () }
   }
 
   /** Fold base + deltas into a fresh deltaless version — the

@@ -157,6 +157,11 @@ object SimJoinIndex {
     * STORED Ω) probe only the postings they touch; only pairs with a
     * fresh side are new. An all-duplicates replay appends nothing.
     * Returns the delta dir, or None when nothing was new.
+    *
+    * Batch-id probes broadcast only below
+    * [[graft.functions.IndexAppend.MaxBroadcastRows]]; an index-scale
+    * input degrades to shuffle joins with a loud advisory (see
+    * [[IndexAppend]] — corpus-scale inputs belong in [[writeIndex]]).
     */
   def appendIndex(newDocs: DataFrame, idCol: String, textCol: String,
                   indexPath: String): Option[String] = {
@@ -165,11 +170,15 @@ object SimJoinIndex {
       .getOrElse(throw new IllegalStateException(
         s"no committed simjoin index at $indexPath — build one with writeIndex first"))
     val meta = readMeta(spark, vdir)
+    val batch = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+    val probe = IndexAppend.probeHint(batch.count(), "simjoin index", indexPath)
     val hits = component(spark, vdir, "ids")
-      .join(broadcast(newDocs.select(col(idCol).as("id"))), Seq("id"), "left_semi")
+      .join(probe(batch.select("id")), Seq("id"), "left_semi")
       .distinct()
-    val fresh = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .join(broadcast(hits), Seq("id"), "left_anti")
+    val fresh = batch
+      .join(probe(hits), Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     try {
       if (fresh.isEmpty) None
@@ -200,6 +209,7 @@ object SimJoinIndex {
         verify(cand, shPruned, meta.t).write.parquet(s"$d/pairs")
       })
     } finally { fresh.unpersist(); () }
+    } finally { batch.unpersist(); () }
   }
 
   /** Fold base + deltas into a fresh deltaless version, RE-PINNING Ω

@@ -219,9 +219,14 @@ object Similarity {
     val banded = vecs
       .select(col("id"), posexplode(array(bandKey(0, half), bandKey(half, planes))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    // payload joins merge-hinted (the ngramJaccard precedent): both
+    // sides are corpus-derived explode descendants, and a tiny-SF
+    // size estimate must not broadcast either build
     Dedup.pairsFromBucketsIds(banded, maxBucket, "lsh_drops_embedding_axis")
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+        .hint("merge"), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))
+        .hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.EngineNeutral.r4(dot(col("vec_a"), col("vec_b"))).as("sim"))
       .filter(col("sim") >= minSim)

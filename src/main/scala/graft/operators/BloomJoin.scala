@@ -59,10 +59,21 @@ object BloomJoin {
   def prefilter(big: DataFrame, bigKey: String, small: DataFrame,
                 smallKey: String, expectedItems: Long = AutoSize,
                 fpp: Double = 0.01): DataFrame = {
-    val n =
-      if (expectedItems == AutoSize) math.max(small.count(), 64L)
-      else expectedItems
-    val bloom = small.stat.bloomFilter(smallKey, n, fpp)
+    val bloom =
+      if (expectedItems == AutoSize) {
+        // AutoSize runs TWO actions over the small side (count, then
+        // bloomFilter) before the join's own probe-side build — an
+        // uncached derived/filtered dim would materialize its lineage
+        // three times. Persist around the count+bloomFilter pair;
+        // unpersist eagerly once the sketch (a plain driver value) is
+        // built, so nothing lingers for the lazy join.
+        val cached = small.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = math.max(cached.count(), 64L)
+          cached.stat.bloomFilter(smallKey, n, fpp)
+        } finally cached.unpersist(blocking = false)
+      } else small.stat.bloomFilter(smallKey, expectedItems, fpp)
     big.filter(bloom_might_contain(col(bigKey), bloom))
   }
 }

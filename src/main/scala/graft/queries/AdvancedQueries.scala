@@ -148,7 +148,10 @@ object AdvancedQueries {
       val postings = top.groupBy("tok")
         .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
           _.cast("string")), ",").as("postings"))
-      dfc.join(postings, "tok")
+      // both sides are vocabulary-scale explode descendants — merge
+      // keeps either from riding a tiny-SF size estimate into a
+      // broadcast build; they share hashpartitioning(tok) anyway
+      dfc.join(postings.hint("merge"), "tok")
         .select("tok", "df", "postings")
         .orderBy("tok")
     }),
@@ -173,7 +176,11 @@ object AdvancedQueries {
       val na = pairs.groupBy("a").agg(count(lit(1)).as("n_a"))
       val nb = pairs.groupBy("b").agg(count(lit(1)).as("n_b"))
       val tot = pairs.agg(count(lit(1)).as("n_total"))
-      ab.join(na, "a").join(nb, "b").crossJoin(broadcast(tot))
+      // the unigram tables are vocabulary-scale (explode-derived and
+      // corpus-unbounded): merge-hinted so tiny-SF stats never ride
+      // them into a broadcast build (the q_linkage sf10 lesson)
+      ab.join(na.hint("merge"), "a").join(nb.hint("merge"), "b")
+        .crossJoin(broadcast(tot))
         .select(col("a"), col("b"), col("n"),
           EngineNeutral.r4(log(
             (col("n").cast("double") * col("n_total").cast("double")) /

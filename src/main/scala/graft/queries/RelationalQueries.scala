@@ -187,6 +187,14 @@ object RelationalQueries {
     //     register shuffle is ≤ (types × 1024) rows regardless of
     //     corpus size — strictly cheaper at scale than the old
     //     rsd=0.01 sketch's 2^14-register partials.
+    //     ROW CONTRACT (changed with the round-15 rebuild, by design):
+    //     `n` counts non-NULL-user rows only, and event types whose
+    //     user_id values are ALL NULL are absent from the output —
+    //     the pre-round-15 version counted every row and kept the
+    //     group. NULLs carry no distinct identity, so the estimator
+    //     only sees rows that contribute to it; consumers needing the
+    //     old all-rows total should take it from q_events_hourly/
+    //     q_count-style ungated counts.
     "q_approx_distinct" -> ((s, d) => {
       val m = 1024
       val regs = Tables.spread(Tables.events(s, d).select("event_type", "user_id"))

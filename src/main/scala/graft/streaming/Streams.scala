@@ -616,6 +616,16 @@ object Streams {
     * rows carry `avg_nll`; stats gain `lm_kept` (= `trimmed` when no
     * model is configured, and `avg_nll` is then null).
     *
+    * SCHEMA UPGRADE NOTE (round 15 added `avg_nll` to outPath and
+    * `lm_kept` to statsPath): a stream upgraded IN PLACE leaves
+    * pre-upgrade `batch_id=N` partitions without the new columns.
+    * Parquet readers that sample one footer for the schema can then
+    * silently miss them (or fail) depending on which partition they
+    * sample — read such mixed directories with
+    * `spark.read.option("mergeSchema", true)` (pre-upgrade rows
+    * surface the new columns as null), or start the upgraded stream
+    * on fresh out/stats paths. New streams are unaffected.
+    *
     * Index discipline ([[graft.functions.Dedup.writeHashIndex]] ×2 —
     * bootstrap both with an empty frame or a corpus build):
     * the exact index grows with QUALITY-PASSING hashes (what the

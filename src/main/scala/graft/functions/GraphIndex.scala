@@ -234,28 +234,18 @@ object GraphIndex {
             // the appendHashIndex tag convention: lets a streaming
             // caller re-locate ITS batch's delta after a crash between
             // this commit and the sink write
-            tag.foreach { t =>
-              val tp = new org.apache.hadoop.fs.Path(dir, s"_TAG_$t")
-              val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-              fs.create(tp, true).close()
-            }
+            tag.foreach(graft.operators.TagHeal.mark(spark, dir, _))
           })
         } finally { affected.unpersist(); () }
       } finally { allPostings.unpersist(); () }
     } finally { fresh.unpersist(); () }
   }
 
-  /** How many tagged deltas' heal artifacts a compaction carries
-    * forward (see [[compactIndex]]). The crash window a tag heals —
-    * between a delta commit and the stream's sink write — holds at
-    * most ONE batch per stream (foreachBatch is sequential), so this
-    * bounds concurrent streams on one index, not corpus growth. NOT a
-    * silent cap: when a compaction actually drops an entry it warns
-    * loudly and records the tag in the `tagdeltas/_TRIMMED` ledger,
-    * and [[deltaByTag]] on a trimmed tag throws instead of returning
-    * None (which the heal path would misread as "nothing to emit").
+  /** See [[graft.operators.TagHeal.TagRetain]] — the shared bound on
+    * preserved heal dirs (extracted there when the linkage/simjoin
+    * indexes adopted this family's tag convention).
     */
-  private[functions] val TagRetain = 16
+  private[functions] val TagRetain = graft.operators.TagHeal.TagRetain
 
   /** The committed delta carrying `_TAG_<tag>`, if any — how a
     * streaming caller re-locates its own batch's delta after a crash
@@ -263,71 +253,12 @@ object GraphIndex {
     * version's `tagdeltas/` store, where [[compactIndex]] preserves
     * the heal artifacts of recently-tagged deltas it folded — without
     * that, a compaction landing inside the crash window would
-    * silently lose the batch's output partition.
+    * silently lose the batch's output partition. Trimmed tags fail
+    * loud (see [[graft.operators.TagHeal.deltaByTag]]).
     */
   def deltaByTag(spark: SparkSession, versionDir: String,
-                 tag: String): Option[String] = {
-    val conf = spark.sessionState.newHadoopConf()
-    graft.operators.Versioned.listDeltas(spark, versionDir).find { d =>
-      val p = new org.apache.hadoop.fs.Path(d, s"_TAG_$tag")
-      p.getFileSystem(conf).exists(p)
-    }.orElse {
-      val td = new org.apache.hadoop.fs.Path(versionDir, "tagdeltas")
-      val fs = td.getFileSystem(conf)
-      val hit =
-        if (!fs.exists(td)) None
-        else fs.listStatus(td).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.drop(7) == tag)
-          .map(_.getPath.toString).headOption
-      // no-silent-caps: a tag whose heal artifacts compaction TRIMMED
-      // must fail loud, not read as "never committed" — the committed
-      // delta's data IS in the index, but a heal returning None here
-      // would silently skip the batch's sink partition. The caller
-      // (graphIngest/clusterIngest crash heal) cannot recover without
-      // a rebuild, so surface it as the operational error it is.
-      if (hit.isEmpty && trimmedTags(fs, versionDir).contains(tag))
-        throw new IllegalStateException(
-          s"graph-index heal artifacts for batch tag '$tag' were trimmed " +
-            s"by compaction (TagRetain=$TagRetain newest kept; see " +
-            s"$versionDir/tagdeltas/_TRIMMED): the batch's append IS " +
-            "committed, but it can no longer be healed BY TAG. Check the " +
-            "sink first — if the batch's output partition is already " +
-            "present (crash landed after the sink write), nothing was " +
-            "lost and the stream can resume past this batch; if it is " +
-            "missing, rebuild the derived output for this batch from the " +
-            "index. Raise TagRetain above the number of concurrent " +
-            "streams to widen the heal window")
-      hit
-    }
-  }
-
-  /** Tags whose preserved heal dirs a compaction has EVER dropped —
-    * the `tagdeltas/_TRIMMED` ledger (one tag per line), carried
-    * forward across compactions. Bytes ∝ trimmed batches (tag strings
-    * only), the same order as the delta log itself.
-    */
-  private[functions] def trimmedTags(fs: org.apache.hadoop.fs.FileSystem,
-                                     versionDir: String): Set[String] = {
-    val f = new org.apache.hadoop.fs.Path(versionDir, "tagdeltas/_TRIMMED")
-    if (!fs.exists(f)) Set.empty
-    else {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
-
-  /** The version's preserved tagged-delta heal dirs, oldest first:
-    * (seq-ordered name, path). Names are `NNNNNN_<tag>`.
-    */
-  private def tagDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
-                           versionDir: String): Seq[(String, org.apache.hadoop.fs.Path)] = {
-    val td = new org.apache.hadoop.fs.Path(versionDir, "tagdeltas")
-    if (!fs.exists(td)) Nil
-    else fs.listStatus(td).toSeq.filter(_.isDirectory)
-      .map(s => (s.getPath.getName, s.getPath)).sortBy(_._1)
-  }
+                 tag: String): Option[String] =
+    graft.operators.TagHeal.deltaByTag(spark, versionDir, tag, "graph-index")
 
   /** Fold base + deltas into a fresh deltaless version (the
     * compaction discipline: readers mid-compaction keep resolving the
@@ -361,53 +292,9 @@ object GraphIndex {
       readPostings(spark, vdir).write.parquet(s"$dir/postings")
       readDfs(spark, vdir).write.parquet(s"$dir/dfs")
       readEdges(spark, vdir).write.parquet(s"$dir/edges")
-
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-      val tagOf: String => Option[String] = d =>
-        fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
-          .map(_.getPath.getName).find(_.startsWith("_TAG_"))
-          .map(_.stripPrefix("_TAG_"))
-      // oldest-first: prior preserved dirs (already seq-ordered), then
-      // this version's live tagged deltas in commit order
-      val carried: Seq[(String, org.apache.hadoop.fs.Path, Seq[String])] =
-        tagDeltaDirs(fs, vdir).map { case (n, src) =>
-          (n.drop(7), src, Seq("edges", "affected", "postings")) } ++
-        graft.operators.Versioned.listDeltas(spark, vdir).flatMap { d =>
-          tagOf(d).map(t =>
-            (t, new org.apache.hadoop.fs.Path(d), Seq("edges", "affected", "postings")))
-        }
-      // no-silent-caps (the 44s discipline): when the trim actually
-      // drops an entry, say so loudly AND record it durably — a crashed
-      // 17th stream healing by a dropped tag must hit a hard error in
-      // deltaByTag, not a silent nothing-to-emit
-      val dropped = carried.dropRight(TagRetain)
-      if (dropped.nonEmpty)
-        System.err.println(
-          s"[graft.GraphIndex] compaction trimmed ${dropped.size} tagged " +
-            s"heal dir(s) beyond TagRetain=$TagRetain: " +
-            dropped.map(_._1).mkString(", ") +
-            " — a stream healing by one of these tags will now FAIL " +
-            "instead of silently skipping its sink partition")
-      val trimmed = trimmedTags(fs, vdir) ++ dropped.map(_._1)
-      if (trimmed.nonEmpty) {
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/tagdeltas"))
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(s"$dir/tagdeltas/_TRIMMED"), true)
-        try out.write(trimmed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-      }
-      carried.takeRight(TagRetain).zipWithIndex.foreach {
-        case ((tag, src, parts), i) =>
-          val dst = new org.apache.hadoop.fs.Path(
-            s"$dir/tagdeltas/${"%06d".format(i + 1)}_$tag")
-          fs.mkdirs(dst)
-          parts.foreach { c =>
-            val s = new org.apache.hadoop.fs.Path(src, c)
-            if (fs.exists(s))
-              org.apache.hadoop.fs.FileUtil.copy(
-                fs, s, fs, new org.apache.hadoop.fs.Path(dst, c), false, conf)
-          }
-      }
+      // the cluster-heal path reads affected+postings from the healed
+      // dir, so all three artifacts carry (not just edges)
+      graft.operators.TagHeal.preserve(spark, vdir, dir,
+        Seq("edges", "affected", "postings"), "graft.GraphIndex")
     }
 }

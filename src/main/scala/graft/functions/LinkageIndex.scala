@@ -132,7 +132,8 @@ object LinkageIndex {
     * q_linkage. Corpus-scale inputs belong in [[writeIndex]].
     */
   def appendIndex(newDocs: DataFrame, idCol: String, nameCol: String,
-                  blockCols: Seq[String], indexPath: String): Option[String] = {
+                  blockCols: Seq[String], indexPath: String,
+                  tag: Option[String] = None): Option[String] = {
     val spark = newDocs.sparkSession
     val vdir = graft.operators.Versioned.resolve(spark, indexPath)
       .getOrElse(throw new IllegalStateException(
@@ -187,16 +188,31 @@ object LinkageIndex {
           graft.operators.EditDistanceJoin
             .verifyCandidates(candFresh, allDocs, "id", "name", bn, meta.maxDist)
             .write.parquet(s"$d/pairs")
+          // lets a streaming caller re-locate ITS batch's delta after
+          // a crash between this commit and the sink write
+          tag.foreach(graft.operators.TagHeal.mark(spark, d, _))
         })
       } finally { fresh.unpersist(); () }
     } finally { batch.unpersist(); () }
   }
 
+  /** The committed delta carrying `_TAG_<tag>`, if any — the
+    * [[graft.operators.TagHeal]] crash-heal lookup
+    * ([[graft.streaming.Streams.linkageIngest]]'s crash window);
+    * trimmed tags fail loud.
+    */
+  def deltaByTag(spark: SparkSession, versionDir: String,
+                 tag: String): Option[String] =
+    graft.operators.TagHeal.deltaByTag(spark, versionDir, tag,
+      "linkage-index")
+
   /** Fold base + deltas into a fresh deltaless version — the
     * [[Retrieval.compactLexicalIndex]] discipline: O(index) by
     * definition, run at compaction cadence; readers mid-fold keep
     * resolving the old version. The pair set is carried over verbatim
-    * (it is already the verified union), never re-derived.
+    * (it is already the verified union), never re-derived. Tagged
+    * deltas' `pairs/` heal artifacts survive under `tagdeltas/`
+    * ([[graft.operators.TagHeal.preserve]]).
     */
   def compactIndex(spark: SparkSession, indexPath: String): String =
     graft.operators.Versioned.commitNew(spark, indexPath) { dir =>
@@ -210,5 +226,7 @@ object LinkageIndex {
       component(spark, vdir, "keys").write.parquet(s"$dir/keys")
       component(spark, vdir, "pairs").write.parquet(s"$dir/pairs")
       writeMeta(spark, dir, meta)
+      graft.operators.TagHeal.preserve(spark, vdir, dir, Seq("pairs"),
+        "graft.LinkageIndex")
     }
 }

@@ -164,7 +164,8 @@ object SimJoinIndex {
     * [[IndexAppend]] — corpus-scale inputs belong in [[writeIndex]]).
     */
   def appendIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                  indexPath: String): Option[String] = {
+                  indexPath: String,
+                  tag: Option[String] = None): Option[String] = {
     val spark = newDocs.sparkSession
     val vdir = graft.operators.Versioned.resolve(spark, indexPath)
       .getOrElse(throw new IllegalStateException(
@@ -207,6 +208,9 @@ object SimJoinIndex {
           .unionByName(cand.select(col("id_b").as("id"))).distinct()
         val shPruned = allSh.join(candIds.hint("merge"), Seq("id"), "left_semi")
         verify(cand, shPruned, meta.t).write.parquet(s"$d/pairs")
+        // lets a streaming caller re-locate ITS batch's delta after a
+        // crash between this commit and the sink write
+        tag.foreach(graft.operators.TagHeal.mark(spark, d, _))
       })
     } finally { fresh.unpersist(); () }
     } finally { batch.unpersist(); () }
@@ -231,5 +235,17 @@ object SimJoinIndex {
         .write.parquet(s"$dir/prefix")
       component(spark, vdir, "pairs").write.parquet(s"$dir/pairs")
       writeMeta(spark, dir, meta)
+      graft.operators.TagHeal.preserve(spark, vdir, dir, Seq("pairs"),
+        "graft.SimJoinIndex")
     }
+
+  /** The committed delta carrying `_TAG_<tag>`, if any — the
+    * [[graft.operators.TagHeal]] crash-heal lookup
+    * ([[graft.streaming.Streams.simjoinIngest]]'s crash window);
+    * trimmed tags fail loud.
+    */
+  def deltaByTag(spark: SparkSession, versionDir: String,
+                 tag: String): Option[String] =
+    graft.operators.TagHeal.deltaByTag(spark, versionDir, tag,
+      "simjoin-index")
 }

@@ -1004,6 +1004,101 @@ object Streams {
     q
   }
 
+  /** Streaming growth of the persisted record-linkage index
+    * ([[graft.functions.LinkageIndex]]): each micro-batch of records
+    * appends in O(batch + touched buckets) — the batch's
+    * deletion-neighborhood keys probe only the buckets they touch,
+    * only pairs with a fresh side verify — and the batch's NEW
+    * verified (id_a, id_b, dist) pairs land at `outPath` under the
+    * `batch_id=N` dynamic-partition overwrite sink. A production
+    * linkage pipeline is incremental by nature: matches surface as
+    * records arrive, and [[graft.functions.LinkageIndex.readPairs]]
+    * stays the always-current serve.
+    *
+    * Replay discipline (the graphIngest convention): the append is
+    * first-delivery-wins (already-indexed ids drop), so a plain
+    * redelivery commits nothing and emits nothing; the crash window
+    * between the delta commit and the sink write heals by the batch
+    * tag — the replayed batch re-locates ITS OWN delta
+    * ([[graft.functions.LinkageIndex.deltaByTag]], compaction-proof
+    * via [[graft.operators.TagHeal]]) and rewrites its partition
+    * idempotently.
+    */
+  def linkageIngest(stream: DataFrame, indexPath: String, outPath: String,
+                    checkpoint: String, idCol: String = "id",
+                    nameCol: String = "name",
+                    blockCols: Seq[String] = Seq("block")): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          def emit(deltaDir: String): Unit =
+            spark.read.parquet(s"$deltaDir/pairs")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
+          graft.functions.LinkageIndex
+            .appendIndex(batch, idCol, nameCol, blockCols, indexPath,
+              Some(tag)) match {
+            case Some(deltaDir) => emit(deltaDir)
+            case None =>
+              graft.operators.Versioned.resolve(spark, indexPath).foreach { vdir =>
+                graft.functions.LinkageIndex.deltaByTag(spark, vdir, tag)
+                  .foreach(emit)
+              }
+          }
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Streaming growth of the persisted similarity-join index
+    * ([[graft.functions.SimJoinIndex]]): each document micro-batch
+    * appends in O(batch + touched postings) — the batch's prefixes
+    * (ranked under the STORED Ω) probe only the postings they touch —
+    * and the batch's NEW verified (id_a, id_b, jaccard) pairs land at
+    * `outPath` under the `batch_id=N` sink. Same replay discipline as
+    * [[linkageIngest]]: first-delivery-wins append, tag-healed crash
+    * window, plain redeliveries emit nothing.
+    */
+  def simjoinIngest(stream: DataFrame, indexPath: String, outPath: String,
+                    checkpoint: String, idCol: String = "doc_id",
+                    textCol: String = "text"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          def emit(deltaDir: String): Unit =
+            spark.read.parquet(s"$deltaDir/pairs")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
+          graft.functions.SimJoinIndex
+            .appendIndex(batch, idCol, textCol, indexPath, Some(tag)) match {
+            case Some(deltaDir) => emit(deltaDir)
+            case None =>
+              graft.operators.Versioned.resolve(spark, indexPath).foreach { vdir =>
+                graft.functions.SimJoinIndex.deltaByTag(spark, vdir, tag)
+                  .foreach(emit)
+              }
+          }
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming growth of the persisted sketch PROFILE
     * ([[graft.functions.SketchProfile]]): each document micro-batch
     * appends its per-source sketch partial (KBs), and the CURRENT

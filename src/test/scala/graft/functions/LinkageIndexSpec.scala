@@ -79,4 +79,75 @@ class LinkageIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("block columns"))
   }
+
+  test("linkageIngest: channel-driven micro-batches + redelivery ≡ batch rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_linkidx_ing").toString
+    LinkageIndex.writeIndex(customers.filter(col("c_custkey") % 3 === 0),
+      "c_custkey", "c_name", blocks, s"$dir/index")
+    val rows = customers.filter(col("c_custkey") % 3 =!= 0)
+      .as[(Long, String, Int, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ch = graft.streaming.Streams.Channel[(Long, String, Int, String)](spark)
+    ch.send(b1: _*)
+    val q = graft.streaming.Streams.linkageIngest(
+      ch.toDS.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt",
+      idCol = "c_custkey", nameCol = "c_name", blockCols = blocks)
+    try {
+      ch.send(b2: _*)
+      q.processAllAvailable()
+      val vdir = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+      val nDeltas = graft.operators.Versioned.listDeltas(spark, vdir).size
+      val streamed = LinkageIndex.readPairs(spark, vdir)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(streamed == inJob(customers),
+        "streamed index diverges from the batch rebuild")
+      // each batch's NEW pairs land under its batch_id partition;
+      // pairs never re-judge in this family, so the sink's union is
+      // exactly the appended (non-base) pair set, no supersession
+      val emitted = spark.read.parquet(s"$dir/out")
+        .select("id_a", "id_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet
+      val basePairs = spark.read.parquet(s"$vdir/pairs")
+        .select("id_a", "id_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(emitted == streamed -- basePairs,
+        "sink partitions must union to exactly the appended pairs")
+      assert(emitted.nonEmpty, "the stream found no new pairs — weak split")
+      // source redelivery: every id indexed → no delta, no emission
+      ch.send(b1: _*)
+      q.processAllAvailable()
+      assert(graft.operators.Versioned.listDeltas(spark, vdir).size == nDeltas,
+        "redelivered batch must commit nothing")
+      assert(spark.read.parquet(s"$dir/out")
+        .select("id_a", "id_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet == emitted)
+    } finally q.stop()
+  }
+
+  test("crash-heal window survives compaction (TagHeal wiring): tagged " +
+    "pairs stay locatable by tag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_linkidx_tag").toString
+    LinkageIndex.writeIndex(customers.filter(col("c_custkey") % 3 =!= 0),
+      "c_custkey", "c_name", blocks, s"$dir/index")
+    val v1 = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+    val batch = customers.filter(col("c_custkey") % 3 === 0)
+    val delta = LinkageIndex.appendIndex(batch, "c_custkey", "c_name",
+      blocks, s"$dir/index", Some("t-7")).get
+    val want = spark.read.parquet(s"$delta/pairs")
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(LinkageIndex.deltaByTag(spark, v1, "t-7").isDefined)
+    val nv = LinkageIndex.compactIndex(spark, s"$dir/index")
+    // the replay: appendIndex refuses (ids present), the tag heals
+    assert(LinkageIndex.appendIndex(batch, "c_custkey", "c_name",
+      blocks, s"$dir/index", Some("t-7")).isEmpty)
+    val healed = LinkageIndex.deltaByTag(spark, nv, "t-7")
+      .getOrElse(fail("compaction lost the tagged delta's pairs"))
+    assert(spark.read.parquet(s"$healed/pairs")
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet == want)
+    // unknown tag: plain redelivery path, nothing to emit
+    assert(LinkageIndex.deltaByTag(spark, nv, "t-8").isEmpty)
+  }
 }

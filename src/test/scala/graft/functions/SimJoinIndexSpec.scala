@@ -104,4 +104,47 @@ class SimJoinIndexSpec extends AnyFunSuite {
       .count()
     assert(bad == 0, s"$bad docs expose a wrong prefix count")
   }
+
+  test("simjoinIngest: channel-driven micro-batches + redelivery ≡ batch rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjidx_ing").toString
+    SimJoinIndex.writeIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", s"$dir/index")
+    val rows = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ch = graft.streaming.Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = graft.streaming.Streams.simjoinIngest(
+      ch.toDS.toDF("doc_id", "text"), s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    try {
+      ch.send(b2: _*)
+      q.processAllAvailable()
+      val vdir = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+      val nDeltas = graft.operators.Versioned.listDeltas(spark, vdir).size
+      val streamed = SimJoinIndex.readPairs(spark, vdir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == inJob(docs),
+        "streamed index diverges from the batch rebuild")
+      // every delta pair has ≥1 fresh side, so delta pair sets are
+      // disjoint from the base and from each other: the sink's union
+      // is exactly the appended pairs
+      val emitted = spark.read.parquet(s"$dir/out")
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val basePairs = spark.read.parquet(s"$vdir/pairs")
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(emitted == streamed -- basePairs,
+        "sink partitions must union to exactly the appended pairs")
+      assert(emitted.nonEmpty, "the stream found no new pairs — weak split")
+      // source redelivery: every id indexed → no delta, no emission
+      ch.send(b1: _*)
+      q.processAllAvailable()
+      assert(graft.operators.Versioned.listDeltas(spark, vdir).size == nDeltas,
+        "redelivered batch must commit nothing")
+      assert(spark.read.parquet(s"$dir/out")
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet == emitted)
+    } finally q.stop()
+  }
 }

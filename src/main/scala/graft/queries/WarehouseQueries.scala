@@ -83,6 +83,12 @@ object WarehouseQueries {
   private val clusterIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Root of the per-sf-dir coreness index derived from the graph
+    * index (row 133b).
+    */
+  private val corenessIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Degree-oriented per-node triangle counts over an explicit edge
     * list — q_triangles' published O(√m) wedge shape with the edge
     * construction externalized (same merge-hint discipline).
@@ -307,6 +313,33 @@ object WarehouseQueries {
         .groupBy(col("label").as("comp"))
         .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))
         .orderBy("comp")
+    }),
+
+    // 133b. Coreness through the PERSISTED index (rows-only like its
+    //       in-job twin q_coreness — the shrink-until-stable fixpoint
+    //       has no SQL form; RowsOnlyInvariantsSpec pins EXACT
+    //       equality of the two routes on the gate corpus): the
+    //       data-dependent k-core peel — the most re-run-hostile
+    //       fixpoint in the inventory — runs ONCE per corpus version
+    //       over the graph index's committed edges, incremental
+    //       appends re-peel only touched components
+    //       (CorenessIndexSpec pins increment ≡ rebuild through
+    //       merges AND band-crossing splits), and the density
+    //       governance number becomes a label lookup. Vertices with
+    //       an incident edge have coreness ≥ 1, so the filter
+    //       reproduces the in-job output domain exactly (the index
+    //       also stores isolated docs at 0 for corpus-wide audits).
+    "q_coreness_indexed" -> ((s, d) => {
+      val root = corenessIndexCache.computeIfAbsent(d, _ => {
+        val cr = java.nio.file.Files.createTempDirectory("graft_kidx_q").toString
+        graft.functions.CorenessIndex.writeIndex(s, graphRoot(s, d), cr)
+        cr
+      })
+      val vdir = graft.operators.Versioned.resolve(s, root).get
+      graft.functions.CorenessIndex.readCoreness(s, vdir)
+        .filter(col("coreness") >= 1)
+        .select(col("id").as("doc_id"), col("coreness"))
+        .orderBy("doc_id")
     })
   )
 

@@ -28,7 +28,8 @@ class QueriesSpec extends AnyFunSuite {
     val rowsOnly = Set(
       "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
       "q_approx_percentile",
-      "q_bpe_merges", "q_compress_ratio", "q_coreness", "q_dedup_minhash",
+      "q_bpe_merges", "q_compress_ratio", "q_coreness", "q_coreness_indexed",
+      "q_dedup_minhash",
       "q_dedup_simhash", "q_hll_union", "q_kll_quantiles")
     val withoutOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(withoutOracle == rowsOnly,

@@ -153,6 +153,12 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
       }
     }
     assert(got == want.toMap, "distributed peeling diverged from the reference")
+    // the PERSISTED route (row 133b) must serve the identical
+    // decomposition — one truth, two physical routes, same invariant
+    val indexed = SparkEntry.queries("q_coreness_indexed")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(indexed == want.toMap,
+      "indexed coreness diverged from the sequential peel reference")
   }
 
   test("q_hll_union: sketches merge exactly and estimates stay within 5% of exact") {

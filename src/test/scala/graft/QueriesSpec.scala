@@ -30,7 +30,8 @@ class QueriesSpec extends AnyFunSuite {
       "q_approx_percentile",
       "q_bpe_merges", "q_compress_ratio", "q_coreness", "q_coreness_indexed",
       "q_dedup_minhash",
-      "q_dedup_simhash", "q_hll_union", "q_kll_quantiles")
+      "q_dedup_simhash", "q_hll_union", "q_kll_quantiles",
+      "q_rrf_fusion_ann")
     val withoutOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(withoutOracle == rowsOnly,
       s"queries without oracle != declared rows-only allowlist; " +

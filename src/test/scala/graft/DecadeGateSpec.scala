@@ -22,5 +22,14 @@ class DecadeGateSpec extends AnyFunSuite {
     // the two round-15 catch classes stay covered for good
     assert(pins.exists(_._1 == "q_linkage"), "stats-broadcast catch class unpinned")
     assert(pins.exists(_._1 == "q_bloom_join"), "fixed-capacity catch class unpinned")
+    // output-relative pins must reference pinned queries, and the
+    // slack must stay in the "output-proportional plus metadata" band
+    // — 2x slack would let a genuinely quadratic intermediate hide
+    // behind a superlinear output
+    val rel = examples.DecadeGate.OutputRelative
+    assert(rel.subsetOf(pins.map(_._1).toSet),
+      s"output-relative entries not pinned: ${rel -- pins.map(_._1).toSet}")
+    assert(examples.DecadeGate.OutputSlack >= 1.0 &&
+      examples.DecadeGate.OutputSlack <= 1.8)
   }
 }

@@ -1004,6 +1004,60 @@ object Streams {
     q
   }
 
+  /** Streaming growth of the graph index AND the derived CORENESS
+    * labeling ([[graft.functions.CorenessIndex]]): each document
+    * micro-batch appends its graph delta, then re-peels exactly the
+    * touched components (coreness is component-local — the
+    * [[graft.functions.ClusterIndex]] closure argument carries over),
+    * and the batch's revised (id, label, coreness) rows land at
+    * `outPath` under the `batch_id=N` dynamic-partition overwrite
+    * sink — the density-governance number stays a label lookup while
+    * the corpus streams in, never a per-run corpus-scale fixpoint.
+    *
+    * Replay discipline (the clusterIngest convention exactly): the
+    * graph append is first-delivery-wins, so a plain redelivery
+    * commits nothing and emits nothing; the crash window between the
+    * graph commit and the coreness update heals by the batch tag —
+    * the replayed batch re-locates ITS graph delta and re-runs the
+    * update, whose output is content-identical from the same inputs,
+    * so last-writer-wins folding is unchanged.
+    */
+  def corenessIngest(stream: DataFrame, graphPath: String,
+                     corenessPath: String, outPath: String,
+                     checkpoint: String, idCol: String = "doc_id",
+                     textCol: String = "text"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          def updateAndEmit(graphDelta: String): Unit = {
+            val cd = graft.functions.CorenessIndex
+              .updateFromDelta(spark, graphPath, corenessPath, graphDelta)
+            spark.read.parquet(s"$cd/labels")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
+          }
+          graft.functions.GraphIndex
+            .appendIndex(batch, idCol, textCol, graphPath, Some(tag)) match {
+            case Some(deltaDir) => updateAndEmit(deltaDir)
+            case None =>
+              graft.operators.Versioned.resolve(spark, graphPath).foreach { vdir =>
+                graft.functions.GraphIndex.deltaByTag(spark, vdir, tag)
+                  .foreach(updateAndEmit)
+              }
+          }
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming growth of the persisted record-linkage index
     * ([[graft.functions.LinkageIndex]]): each micro-batch of records
     * appends in O(batch + touched buckets) — the batch's

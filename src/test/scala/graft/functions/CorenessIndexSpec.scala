@@ -106,4 +106,47 @@ class CorenessIndexSpec extends AnyFunSuite {
       s"indexed coreness serving re-derives graph work:\n${plan.take(1500)}")
     assert(df.count() > 0)
   }
+
+  test("corenessIngest: channel-driven micro-batches + redelivery ≡ rebuild") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp("graft_kidx_s")
+    GraphIndex.writeIndex(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      s"$dir/gidx")
+    CorenessIndex.writeIndex(spark, s"$dir/gidx", s"$dir/kidx")
+    val rows = docs.filter(col("doc_id") >= 200)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ch = graft.streaming.Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = graft.streaming.Streams.corenessIngest(
+      ch.toDS.toDF("doc_id", "text"), s"$dir/gidx", s"$dir/kidx",
+      s"$dir/out", s"$dir/ckpt")
+    try {
+      ch.send(b2: _*)
+      q.processAllAvailable()
+      assert(current(s"$dir/kidx") === rebuild(s"$dir/gidx"),
+        "streamed coreness diverges from the rebuild")
+      val cv = graft.operators.Versioned.resolve(spark, s"$dir/kidx").get
+      val nDeltas = graft.operators.Versioned.listDeltas(spark, cv).size
+      // redelivery: every id already indexed → no graph delta, no
+      // coreness delta, decomposition stable
+      ch.send(b1: _*)
+      q.processAllAvailable()
+      assert(graft.operators.Versioned.listDeltas(spark, cv).size === nDeltas,
+        "redelivered batch must commit nothing")
+      assert(current(s"$dir/kidx") === rebuild(s"$dir/gidx"))
+      // the out sink's latest emission per id agrees with the index
+      val lastEmit = spark.read.parquet(s"$dir/out")
+        .groupBy("id")
+        .agg(max(struct(col("batch_id").cast("long").as("b"),
+          col("coreness"))).as("m"))
+        .select(col("id"), col("m.coreness").as("coreness"))
+      val emitted = corMap(lastEmit)
+      val truth = current(s"$dir/kidx")
+      emitted.foreach { case (id, k) =>
+        assert(truth.get(id).contains(k), s"sink coreness for $id diverges")
+      }
+    } finally q.stop()
+  }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *    map-side partial aggregation, unlike Spark's interpreted
   *    higher-order functions. Shuffle rows collapse to one per doc
   *    before leaving the mapper.
-  *  - Only fixed-width keys (md5 hex, band hashes, 64-bit simhashes)
+  *  - Only fixed-width keys (md5 hex, band hashes, 60-bit simhashes)
   *    ever shuffle — bytes grow with row count, not corpus bytes.
   *  - Candidate pairs are generated inside capped LSH buckets
   *    (collect_list + in-bucket cross), avoiding a second self-join
@@ -423,15 +423,39 @@ object Dedup {
     longH.unionAll(shortH)
   }
 
+  /** Kirsch–Mitzenmacher double hashing: the i-th derived MinHash
+    * permutation is (h1 + i·h2) mod (2⁶¹−1), with h1/h2 two
+    * independent md5-derived values. Sized so plain signed-64 math is
+    * exact in ANY engine: h1 < 2⁶⁰ (15 hex chars), h2 < 2⁵⁶ (14 hex
+    * chars), so h1 + 63·h2 < 2⁶³ — no overflow, no 128-bit types.
+    * This is what makes the signatures PORTABLE: a DuckDB oracle
+    * reproduces them bit-for-bit from md5 + integer ops (the
+    * q_approx_distinct portable-HLL precedent).
+    */
+  private val MersennePrime61 = 2305843009213693951L // 2^61 - 1
+
   /** MinHash signatures, one row per doc: `numHashes` codegen'd `min`
-    * aggregates over cheap long re-hashes of the shingle hash — the
-    * classic "one strong hash + H derived permutations" construction.
-    * The groupBy reuses the window's (id) partitioning: one shuffle.
+    * aggregates over portable double-hash permutations of the doc's
+    * DISTINCT shingle strings (min over a set equals min over the
+    * multiset, so distinct is free). All md5/arithmetic stays in
+    * whole-stage codegen; an engine-neutral oracle can reproduce the
+    * exact signatures — see the q_dedup_minhash oracle SQL.
+    * The groupBy reuses the explode's (id) partitioning: one shuffle.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
-    val base = shingleHashes(df, idCol, textCol, shingleK)
-    val mins = (0 until numHashes).map(h => min(xxhash64(col("h"), lit(h))).as(s"m$h"))
+    require(numHashes <= 64, "numHashes > 64 would overflow h1 + i*h2")
+    // pre-partition by doc id: parallelizes the shingle explode + md5
+    // even from a single row group; groupBy(id) reuses the layout
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val base = spread
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("s"))
+      .select(col("id"),
+        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substr(md5(concat(s, '#')), 1, 14), 16, 10) AS BIGINT)").as("h2"))
+    val mins = (0 until numHashes).map { i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % lit(MersennePrime61)).as(s"m$i")
+    }
     base.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
@@ -657,22 +681,35 @@ object Dedup {
         (inter / size(col("sh_b"))).as("cont_b"))
   }
 
-  /** 64-bit SimHash per doc: explode tokens, hash each once, then 64
-    * codegen'd ±1 sums (bit i of the token hash decides the sign) and
-    * a final sign→bit assembly. Map-side combine collapses to one row
-    * per doc before the shuffle.
+  /** SimHash bit width: 60 — the width of one PORTABLE md5-derived
+    * hash (15 hex chars fit a signed 64-bit integer in any engine),
+    * so a SQL oracle reproduces every simhash bit-for-bit. The lost
+    * 4 bits cost ~6% hamming resolution, irrelevant at maxHamming ≤ 7.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash per doc: explode tokens, hash each occurrence
+    * once, then 60 codegen'd ±1 sums (bit i of the token hash decides
+    * the sign) and a final sign→bit assembly. Map-side combine
+    * collapses to one row per doc before the single shuffle (the
+    * groupBy reuses the explode's (id) partitioning). Portable: the
+    * hash is md5-derived (see [[minhashSignatures]]), so the
+    * q_dedup_simhash oracle reproduces the exact hashes.
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // pre-partition by id: token hashing + 64 partial sums parallelize
+    // pre-partition by id: token hashing + 60 partial sums parallelize
     // even from a single-row-group source; groupBy(id) reuses the layout
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
     val base = spread
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val sums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i")
+      .select(col("id"),
+        expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val sums = (0 until SimhashBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$i")
     }
-    val bits = (0 until 64).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    val bits = (0 until SimhashBits).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     base.groupBy(col("id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("id"), bits.reduce(_ + _).as("sh"))
@@ -682,16 +719,16 @@ object Dedup {
     * pigeonhole over maxHamming+1 bands — a pair within distance d
     * can differ in at most d bands, so with d+1 bands at least one
     * band matches exactly — then exact popcount verify on the pair.
-    * Band widths adapt to the band count (64 bits split as evenly as
-    * possible); more bands = more candidate volume, so keep
-    * maxHamming small (≤ 7 is sensible).
+    * Band widths adapt to the band count ([[SimhashBits]] bits split
+    * as evenly as possible); more bands = more candidate volume, so
+    * keep maxHamming small (≤ 7 is sensible).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val nBands = maxHamming + 1
-    val base = 64 / nBands
-    val extra = 64 % nBands // first `extra` bands get one more bit
+    val base = SimhashBits / nBands
+    val extra = SimhashBits % nBands // first `extra` bands get one more bit
     val offsets = (0 until nBands).scanLeft(0)((acc, b) =>
       acc + base + (if (b < extra) 1 else 0))
     val sh = simhashes(df, idCol, textCol)

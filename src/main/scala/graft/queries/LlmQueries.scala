@@ -65,7 +65,10 @@ object LlmQueries {
         .orderBy("keep_id")
     }),
 
-    // 29. MinHash+LSH near-dup candidates (rows-only).
+    // 29. MinHash+LSH near-dup candidates. Hash-gated since round 17:
+    //     the signatures are portable md5-derived double hashes, so
+    //     the DuckDB oracle reproduces the exact candidate set and
+    //     est_jaccard values (the q_approx_distinct precedent).
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
@@ -90,7 +93,9 @@ object LlmQueries {
       out
     }),
 
-    // 30. SimHash near-dups within hamming distance 3 (rows-only).
+    // 30. SimHash near-dups within hamming distance 3. Hash-gated
+    //     since round 17: 60-bit portable md5-derived simhashes, the
+    //     oracle reproduces hashes, banding, and popcounts exactly.
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
@@ -475,6 +480,84 @@ object LlmQueries {
         "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // PORTABLE minhash (round 17 — the q_approx_distinct precedent):
+    // signatures are min over Kirsch–Mitzenmacher double hashes
+    // (h1 + i·h2) mod (2⁶¹−1) of the distinct shingle STRINGS, with
+    // h1 = 60-bit and h2 = 56-bit md5 prefixes, so plain signed-64
+    // integer math reproduces every signature component bit-for-bit
+    // in both engines. Banding groups by the 4-component band VALUE
+    // (Spark groups by xxhash64 of it — identical grouping modulo
+    // 2⁻⁶⁴ collisions); est_jaccard is a ratio of the same integers.
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), hh AS (
+        |  SELECT id,
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s || '#'), 1, 14) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT id, i, min((h1 + i * h2) % 2305843009213693951) AS m
+        |  FROM hh CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2
+        |), band AS (
+        |  SELECT id, i // 4 AS band,
+        |    array_to_string(list(m ORDER BY i), ',') AS bkey
+        |  FROM sig GROUP BY id, i // 4
+        |), capped AS (
+        |  SELECT id, band, bkey FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bs FROM band)
+        |  WHERE bs BETWEEN 2 AND 1000
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        |), est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE / 64 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // PORTABLE 60-bit simhash (round 17): per-token md5-prefix hashes,
+    // ±1 bit sums, sign→bit assembly — every simhash reproduced
+    // bit-for-bit, then the same 4-band pigeonhole (15 bits each,
+    // maxHamming 3), per-bucket cap, and exact popcount verify.
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS t
+        |  FROM documents
+        |), th AS (
+        |  SELECT id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+        |  FROM th CROSS JOIN range(60) r(b) GROUP BY 1, 2
+        |), sim AS (
+        |  SELECT id, sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+        |  FROM bits GROUP BY 1
+        |), banded AS (
+        |  SELECT id, sh, b AS band, (sh >> CAST(b * 15 AS INT)) & 32767 AS bkey
+        |  FROM sim CROSS JOIN range(4) r(b)
+        |), capped AS (
+        |  SELECT id, sh, band, bkey FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bs FROM banded)
+        |  WHERE bs BETWEEN 2 AND 1000
+        |)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM capped a JOIN capped b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // The rolling hash is the same fold in both engines:
     // acc = (acc·31 + byte) mod 1e9+7 over the text. Spark folds UTF-8
     // BYTES (codegen RollingHash); the oracle folds ord(char), which

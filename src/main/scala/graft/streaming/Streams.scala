@@ -918,30 +918,47 @@ object Streams {
     */
   def graphIngest(stream: DataFrame, indexPath: String, outPath: String,
                   checkpoint: String, idCol: String = "doc_id",
-                  textCol: String = "text"): StreamingQuery = {
+                  textCol: String = "text"): StreamingQuery =
+    graphDerivedIngest(stream, indexPath, outPath, checkpoint, idCol, textCol) {
+      (spark, deltaDir) => spark.read.parquet(s"$deltaDir/edges")
+    }
+
+  /** The shared skeleton of the three graph-backed ingest faces
+    * (graphIngest / clusterIngest / corenessIngest): append the
+    * batch's graph delta first-delivery-wins, derive the rows to emit
+    * from that delta via `derive`, and land them under the
+    * `batch_id=N` dynamic-partition overwrite sink. The crash window
+    * between the graph commit and the sink write heals by the batch
+    * tag: the replayed batch re-locates ITS graph delta and re-runs
+    * `derive` — whose output must be content-identical from the same
+    * inputs (true for a plain delta read and for the
+    * Cluster/CorenessIndex updateFromDelta recomputation) — so the
+    * partition rewrite is idempotent. A plain source redelivery
+    * carries a new tag, finds nothing, and emits nothing.
+    */
+  private def graphDerivedIngest(stream: DataFrame, graphPath: String,
+                                 outPath: String, checkpoint: String,
+                                 idCol: String, textCol: String)
+                                (derive: (SparkSession, String) => DataFrame)
+                                : StreamingQuery = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val tag = batchTag(spark, checkpoint, batchId)
-          def emit(deltaDir: String): Unit =
-            spark.read.parquet(s"$deltaDir/edges")
+          def emit(graphDelta: String): Unit =
+            derive(spark, graphDelta)
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")
               .parquet(outPath)
           graft.functions.GraphIndex
-            .appendIndex(batch, idCol, textCol, indexPath, Some(tag)) match {
+            .appendIndex(batch, idCol, textCol, graphPath, Some(tag)) match {
             case Some(deltaDir) => emit(deltaDir)
             case None =>
-              // crash window heal: the pre-crash run of THIS batch may
-              // have committed its delta and died before the sink
-              // write — re-locate it by tag and rewrite the partition
-              // idempotently (a plain source redelivery carries a new
-              // batch tag, finds nothing, and emits nothing)
-              graft.operators.Versioned.resolve(spark, indexPath).foreach { vdir =>
+              graft.operators.Versioned.resolve(spark, graphPath).foreach { vdir =>
                 graft.functions.GraphIndex.deltaByTag(spark, vdir, tag).foreach(emit)
               }
           }
@@ -971,38 +988,13 @@ object Streams {
   def clusterIngest(stream: DataFrame, graphPath: String, clusterPath: String,
                     outPath: String, checkpoint: String,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): StreamingQuery = {
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val tag = batchTag(spark, checkpoint, batchId)
-          def updateAndEmit(graphDelta: String): Unit = {
-            val cd = graft.functions.ClusterIndex
-              .updateFromDelta(spark, graphPath, clusterPath, graphDelta)
-            spark.read.parquet(s"$cd/labels")
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(outPath)
-          }
-          graft.functions.GraphIndex
-            .appendIndex(batch, idCol, textCol, graphPath, Some(tag)) match {
-            case Some(deltaDir) => updateAndEmit(deltaDir)
-            case None =>
-              graft.operators.Versioned.resolve(spark, graphPath).foreach { vdir =>
-                graft.functions.GraphIndex.deltaByTag(spark, vdir, tag)
-                  .foreach(updateAndEmit)
-              }
-          }
-        }
-      }
-      .start()
-    q.processAllAvailable()
-    q
-  }
+                    textCol: String = "text"): StreamingQuery =
+    graphDerivedIngest(stream, graphPath, outPath, checkpoint, idCol, textCol) {
+      (spark, graphDelta) =>
+        val cd = graft.functions.ClusterIndex
+          .updateFromDelta(spark, graphPath, clusterPath, graphDelta)
+        spark.read.parquet(s"$cd/labels")
+    }
 
   /** Streaming growth of the graph index AND the derived CORENESS
     * labeling ([[graft.functions.CorenessIndex]]): each document
@@ -1025,38 +1017,13 @@ object Streams {
   def corenessIngest(stream: DataFrame, graphPath: String,
                      corenessPath: String, outPath: String,
                      checkpoint: String, idCol: String = "doc_id",
-                     textCol: String = "text"): StreamingQuery = {
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val tag = batchTag(spark, checkpoint, batchId)
-          def updateAndEmit(graphDelta: String): Unit = {
-            val cd = graft.functions.CorenessIndex
-              .updateFromDelta(spark, graphPath, corenessPath, graphDelta)
-            spark.read.parquet(s"$cd/labels")
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(outPath)
-          }
-          graft.functions.GraphIndex
-            .appendIndex(batch, idCol, textCol, graphPath, Some(tag)) match {
-            case Some(deltaDir) => updateAndEmit(deltaDir)
-            case None =>
-              graft.operators.Versioned.resolve(spark, graphPath).foreach { vdir =>
-                graft.functions.GraphIndex.deltaByTag(spark, vdir, tag)
-                  .foreach(updateAndEmit)
-              }
-          }
-        }
-      }
-      .start()
-    q.processAllAvailable()
-    q
-  }
+                     textCol: String = "text"): StreamingQuery =
+    graphDerivedIngest(stream, graphPath, outPath, checkpoint, idCol, textCol) {
+      (spark, graphDelta) =>
+        val cd = graft.functions.CorenessIndex
+          .updateFromDelta(spark, graphPath, corenessPath, graphDelta)
+        spark.read.parquet(s"$cd/labels")
+    }
 
   /** Streaming growth of the persisted record-linkage index
     * ([[graft.functions.LinkageIndex]]): each micro-batch of records

@@ -25,12 +25,14 @@ class QueriesSpec extends AnyFunSuite {
     // reproduces the byte-fold exactly on the verified-ASCII corpus);
     // q_approx_distinct left in round 15 (rebuilt as a portable
     // fixed-seed HLL whose integer register sums both engines replay)
+    // q_dedup_minhash / q_dedup_simhash left in round 17 (portable
+    // md5-derived double-hash signatures / 60-bit simhashes both
+    // engines reproduce bit-for-bit)
     val rowsOnly = Set(
       "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
       "q_approx_percentile",
       "q_bpe_merges", "q_compress_ratio", "q_coreness", "q_coreness_indexed",
-      "q_dedup_minhash",
-      "q_dedup_simhash", "q_hll_union", "q_kll_quantiles",
+      "q_hll_union", "q_kll_quantiles",
       "q_rrf_fusion_ann")
     val withoutOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(withoutOracle == rowsOnly,

@@ -144,6 +144,9 @@ class CorenessIndexSpec extends AnyFunSuite {
         .select(col("id"), col("m.coreness").as("coreness"))
       val emitted = corMap(lastEmit)
       val truth = current(s"$dir/kidx")
+      // coverage guard: a silently-empty sink would make the per-id
+      // agreement loop below vacuous
+      assert(emitted.nonEmpty, "out sink emitted no rows")
       emitted.foreach { case (id, k) =>
         assert(truth.get(id).contains(k), s"sink coreness for $id diverges")
       }

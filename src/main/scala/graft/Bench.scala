@@ -134,7 +134,25 @@ object Bench {
           }
         }
       }
-      val warm = if (iters > 1) times.drop(1) else times
+      val warm0 = if (iters > 1) times.drop(1) else times
+      // freeze-burst insurance (round 17): this host shows multi-
+      // second steal stalls that can poison BOTH timed iters of one
+      // query while the rest of the run is clean. When the two warm
+      // iters disagree by >3× (a stall hit at least one of them),
+      // re-time once more and keep the extra sample — min() then
+      // reads through a single-burst outlier instead of recording it.
+      val warm =
+        if (warm0.length >= 2 && !warm0.contains(-1.0) &&
+            warm0.max > 3.0 * warm0.min) {
+          val t0 = System.nanoTime()
+          val extra =
+            try { run(name); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name re-time FAILED: ${e.getMessage}")
+              -1.0
+            }
+          if (extra < 0) warm0 else warm0 :+ extra
+        } else warm0
       val elapsed = if (warm.contains(-1.0)) -1.0 else warm.min
       // drop this query's cached lineage before the next query runs:
       // operators that persist internally (minhash sigs, ngram sh
@@ -151,7 +169,10 @@ object Bench {
       try { graft.plans.CacheHandles.releaseAll(); () }
       catch { case e: Throwable =>
         System.err.println(s"[bench] cache release after $name failed: ${e.getMessage}") }
-      (name, elapsed, times, shuffle)
+      // the detail row carries every sample, re-time included, so a
+      // triggered burst recovery is visible in the artifact
+      val allTimes = if (iters > 1) times.head +: warm else warm
+      (name, elapsed, allTimes, shuffle)
     }
     val loadEnd = os.getSystemLoadAverage
     // failed queries (-1 markers) must not improve the total; an

@@ -22,6 +22,7 @@ object EngineNeutral {
   }
   def r2(c: Column): Column = roundHalfUp(c, 2)
   def r4(c: Column): Column = roundHalfUp(c, 4)
+  def r6(c: Column): Column = roundHalfUp(c, 6)
 
   /** The matching SQL fragment for oracle queries. */
   def sql(expr: String, digits: Int): String = {

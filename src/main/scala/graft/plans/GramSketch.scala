@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+/** Second-moment sufficient statistics of a vector column in ONE
+  * pass: count n, per-dimension sums Σx, and the upper triangle of
+  * the Gram matrix Σxxᵀ. The covariance (and from it the PCA
+  * spectrum) is pure driver-side arithmetic on this fixed-size
+  * summary — cov = (G − n·μμᵀ)/(n−1) — so a 100 TB embedding table
+  * reduces to d + d(d+1)/2 doubles with map-side combine and a
+  * one-row shuffle, the same shape as [[graft.queries]]' ridge Gram
+  * sums (GovernanceQueries q_ridge_regress) but over the vector
+  * column itself.
+  *
+  * Buffer layout: n (long), sum[d], gram[d(d+1)/2] (row-major upper
+  * triangle, g(i,j) at i*d − i(i−1)/2 + (j−i) for i ≤ j).
+  */
+final class GramBuffer(val dim: Int) {
+  var n: Long = 0L
+  val sum = new Array[Double](dim)
+  val gram = new Array[Double](dim * (dim + 1) / 2)
+
+  def add(v: Array[Double]): Unit = {
+    n += 1
+    var i = 0
+    var t = 0
+    while (i < dim) {
+      val vi = v(i)
+      sum(i) += vi
+      var j = i
+      while (j < dim) {
+        gram(t) += vi * v(j)
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  def mergeIn(o: GramBuffer): Unit = {
+    n += o.n
+    var i = 0
+    while (i < sum.length) { sum(i) += o.sum(i); i += 1 }
+    var t = 0
+    while (t < gram.length) { gram(t) += o.gram(t); t += 1 }
+  }
+}
+
+/** Aggregate expression over an `array<float>`/`array<double>` column
+  * of fixed length `dim`; returns struct<n: long, s: array<double>,
+  * g: array<double>> — the sufficient statistics for covariance/PCA.
+  * Rows whose array is null or of the wrong length are skipped (the
+  * caller decides whether that's an error; see EmbedStats).
+  */
+case class GramSketch(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GramBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+
+  private lazy val elementType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => other // rejected by checkInputDataTypes
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_sketch requires array<float|double>, got $other")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType),
+    StructField("s", ArrayType(DoubleType)),
+    StructField("g", ArrayType(DoubleType))))
+
+  override def createAggregationBuffer(): GramBuffer = new GramBuffer(dim)
+
+  override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == dim) {
+        val d = new Array[Double](dim)
+        var i = 0
+        if (elementType == FloatType) {
+          while (i < dim) { d(i) = arr.getFloat(i).toDouble; i += 1 }
+        } else {
+          while (i < dim) { d(i) = arr.getDouble(i); i += 1 }
+        }
+        buf.add(d)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: GramBuffer, other: GramBuffer): GramBuffer = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: GramBuffer): Any =
+    InternalRow(buf.n, new GenericArrayData(buf.sum.map(x => x: Any)),
+      new GenericArrayData(buf.gram.map(x => x: Any)))
+
+  override def serialize(buf: GramBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.dim)
+    out.writeLong(buf.n)
+    buf.sum.foreach(out.writeDouble)
+    buf.gram.foreach(out.writeDouble)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): GramBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new GramBuffer(in.readInt())
+    buf.n = in.readLong()
+    var i = 0
+    while (i < buf.sum.length) { buf.sum(i) = in.readDouble(); i += 1 }
+    var t = 0
+    while (t < buf.gram.length) { buf.gram(t) = in.readDouble(); t += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramSketch =
+    copy(child = newChildren.head)
+  override def prettyName: String = "gram_sketch"
+}
+
+object GramSketch {
+  /** Column face: one-pass second-moment summary of a vector column. */
+  def gram_sketch(c: Column, dim: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      GramSketch(org.apache.spark.sql.graftbridge.Bridge.expression(c), dim)
+        .toAggregateExpression())
+}

@@ -113,7 +113,44 @@ object AnalyticsQueries {
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
         .groupBy(col("label"), (col("dim0") + 1).as("dim"))
         .agg(EngineNeutral.r4(avg(col("v").cast("double"))).as("c"))
-        .orderBy("label", "dim"))
+        .orderBy("label", "dim")),
+
+    // 58b. RFM customer segmentation (round 17): recency (days since
+    //      last order vs the corpus max date — tz-free integer day
+    //      arithmetic on epoch micros), frequency (order count),
+    //      monetary (exact 2-dp decimal spend), each quintiled with
+    //      GlobalNtile (the scalable exact ntile — three range
+    //      shuffles over a CUSTOMER-sized aggregate, never the raw
+    //      fact table; ntile keys carry o_custkey so the total order
+    //      is tie-free and engine-reproducible). Output: the ≤125
+    //      (r,f,m) segment cells with customer counts and exact-sum
+    //      average spend — the classic warehouse segmentation.
+    "q_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      // o_orderdate ships as TIMESTAMP_NTZ some rounds — date-level
+      // epoch days are tz-free and layout-proof in both engines
+      val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+        .cast("long")
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(day).as("last_day"),
+          count(lit(1)).as("frequency"),
+          EngineNeutral.exactSum(col("o_totalprice"), 2).as("monetary"))
+      val anchor = o.agg(max(day).as("now_day"))
+      val scored = cust.crossJoin(broadcast(anchor))
+        .withColumn("recency_days", col("now_day") - col("last_day"))
+      val r = graft.operators.GlobalNtile.ntile(scored, 5,
+        Seq(col("recency_days"), col("o_custkey")), "r_q")
+      val f = graft.operators.GlobalNtile.ntile(r, 5,
+        Seq(col("frequency"), col("o_custkey")), "f_q")
+      val m = graft.operators.GlobalNtile.ntile(f, 5,
+        Seq(col("monetary"), col("o_custkey")), "m_q")
+      m.groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          EngineNeutral.r2(
+            EngineNeutral.exactSum(col("monetary"), 2) / count(lit(1)))
+            .as("avg_monetary"))
+        .orderBy("r_q", "f_q", "m_q")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +202,31 @@ object AnalyticsQueries {
         |  SELECT label, unnest(range(1, len(embedding)+1)) AS dim,
         |    unnest(embedding::DOUBLE[]) AS v
         |  FROM embeddings)
-        |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // ntile ties broken by o_custkey in both engines (total order);
+    // monetary is an exact decimal sum so quintile boundaries and
+    // per-cell averages are engine-identical
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+        |      AS last_day,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1
+        |), anchor AS (
+        |  SELECT max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+        |    AS now_day FROM orders
+        |), scored AS (
+        |  SELECT o_custkey, (now_day - last_day) AS recency_days, frequency, monetary,
+        |    ntile(5) OVER (ORDER BY now_day - last_day, o_custkey) AS r_q,
+        |    ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_q,
+        |    ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_q
+        |  FROM cust, anchor
+        |)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |  floor(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    * 100 + 0.5) / 100.0 AS avg_monetary
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -184,7 +184,25 @@ object CalibrationQueries {
               lit(100000000.0), 6).as("variance"),
           EngineNeutral.r4(col("nz").cast("double") / col("n")).as("frac_near_zero"))
         .orderBy("dim")
-    }))
+    }),
+
+    // 151b. Embedding-space PCA spectrum (round 17): top-10 principal
+    //       variance shares + effective rank (Roy & Vetterli's exp of
+    //       spectral entropy) from ONE distributed pass — the
+    //       GramSketch TypedImperativeAggregate reduces the corpus to
+    //       n, Σx, Σxxᵀ (d(d+1)/2 doubles, map-side combine, one-row
+    //       shuffle); covariance + cyclic-Jacobi eigensolve are d×d
+    //       driver arithmetic (d = 64 → a 2 080-double collect, the
+    //       q_ridge_regress bounded-collect class). The anisotropy /
+    //       collapsed-space diagnosis q_embed_dim_stats' per-axis
+    //       variances cannot see: variance hoarded by OBLIQUE
+    //       directions only shows in the spectrum. Rows-only BY
+    //       NATURE (no SQL eigensolve); EmbedStatsSpec pins the
+    //       spectrum against a direct two-pass covariance on the gate
+    //       corpus, trace preservation, and share monotonicity.
+    "q_embed_pca" -> ((s, d) =>
+      graft.functions.EmbedStats.pcaSpectrum(
+        Tables.embeddings(s, d), "embedding", dim = 64, topK = 10)))
 
   val oracles: Map[String, String] = Map(
     "q_winnowing" ->

@@ -262,6 +262,62 @@ object CurationQueries {
         .withColumn("share", EngineNeutral.r4(col("n").cast("double") / col("_total")))
         .drop("_total")
         .orderBy("bucket")
+    }),
+
+    // 51f. Quality-threshold survival sweep (round 17): before a
+    //      100 TB curation run commits to a min-word-count gate, the
+    //      sweep answers "what survives at each candidate threshold"
+    //      in ONE scan — per-doc word counts cross-joined with a
+    //      broadcast 10-row threshold grid, conditional aggregation
+    //      (map-side combine collapses each partition to ≤10 rows
+    //      before the shuffle). Output per threshold: surviving docs
+    //      and tokens and their corpus shares — the curve that picks
+    //      the gate for q_curate_e2e's quality stage.
+    "q_threshold_sweep" -> ((s, d) => {
+      val grid = (0 until 10).map(_ * 10)
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(size(graft.functions.Dedup.tokens(col("text"))).cast("long").as("n_words"))
+      val thresholds = s.createDataFrame(
+        s.sparkContext.parallelize(grid.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("min_words",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      docs.crossJoin(broadcast(thresholds))
+        .groupBy("min_words")
+        .agg(
+          sum(when(col("n_words") >= col("min_words"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("n_words") >= col("min_words"), col("n_words")).otherwise(0L))
+            .as("tokens_kept"),
+          count(lit(1)).as("n_total"),
+          sum(col("n_words")).as("tokens_total"))
+        .select(col("min_words"), col("n_kept"), col("tokens_kept"),
+          EngineNeutral.r6(col("n_kept").cast("double") / col("n_total")).as("doc_share"),
+          EngineNeutral.r6(col("tokens_kept").cast("double") / col("tokens_total"))
+            .as("token_share"))
+        .orderBy("min_words")
+    }),
+
+    // 51g. Deterministic training-shard export manifest (round 17):
+    //      the "global shuffle" step of a training export — every doc
+    //      gets a portable 60-bit content-independent position key
+    //      md5(doc_id), shard = key mod 16 (hash-partitioned, no
+    //      global sort), within-shard order = the key itself. Output:
+    //      one manifest row per shard (docs, chars, first/last doc in
+    //      shard order — min/max over struct(h, doc_id), tie-free
+    //      because doc_id is unique). One groupBy shuffle whose rows
+    //      collapse map-side to 16; at 100 TB the same plan writes
+    //      the shards themselves via partitionBy("shard").
+    "q_export_shards" -> ((s, d) => {
+      val h = EngineNeutral.md5Long60(col("doc_id").cast("string"))
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(16L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min(struct(col("h"), col("doc_id"))).getField("doc_id").as("first_doc"),
+          max(struct(col("h"), col("doc_id"))).getField("doc_id").as("last_doc"))
+        .orderBy("shard")
     })
   )
 
@@ -487,6 +543,44 @@ object CurationQueries {
     "q_histogram" ->
       """SELECT (n_chars // 50) * 50 AS bucket, count(*) AS n,
         |  floor(count(*)::DOUBLE / (SELECT count(*) FROM documents) * 10000 + 0.5) / 10000.0 AS share
-        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // shares are ratios of exact integers; r6 mirrors EngineNeutral
+    "q_threshold_sweep" ->
+      """WITH docs AS (
+        |  SELECT len(list_filter(string_split(text, ' '), t -> length(t) > 0))::BIGINT
+        |    AS n_words
+        |  FROM documents
+        |), grid AS (SELECT (r * 10)::INT AS min_words FROM range(10) t(r))
+        |SELECT min_words,
+        |  sum(CASE WHEN n_words >= min_words THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN n_words >= min_words THEN n_words ELSE 0 END)::BIGINT
+        |    AS tokens_kept,
+        |  floor(sum(CASE WHEN n_words >= min_words THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*) * 1000000 + 0.5) / 1000000.0 AS doc_share,
+        |  floor(sum(CASE WHEN n_words >= min_words THEN n_words ELSE 0 END)::DOUBLE
+        |    / sum(n_words) * 1000000 + 0.5) / 1000000.0 AS token_share
+        |FROM docs CROSS JOIN grid
+        |GROUP BY min_words ORDER BY min_words""".stripMargin,
+    // first/last mirror Spark's min/max over struct(h, doc_id):
+    // among min-h (max-h) holders, the min (max) doc_id — expressed
+    // as correlated lookups since DuckDB's arg_min rejects ROW keys
+    "q_export_shards" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16
+        |      AS shard
+        |  FROM documents
+        |), agg AS (
+        |  SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+        |    min(h) AS min_h, max(h) AS max_h
+        |  FROM keyed GROUP BY 1
+        |)
+        |SELECT a.shard, a.n_docs, a.n_chars,
+        |  (SELECT min(doc_id) FROM keyed k
+        |   WHERE k.shard = a.shard AND k.h = a.min_h) AS first_doc,
+        |  (SELECT max(doc_id) FROM keyed k
+        |   WHERE k.shard = a.shard AND k.h = a.max_h) AS last_doc
+        |FROM agg a ORDER BY a.shard""".stripMargin
   )
 }

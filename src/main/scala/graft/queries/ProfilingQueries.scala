@@ -301,27 +301,30 @@ object ProfilingQueries {
         .orderBy("doc_id")
     }),
 
-    // 134. Mergeable per-source distinct-token sketches (rows-only:
-    //      DataSketches HLL internals have no portable SQL oracle —
-    //      the invariant spec pins the MERGEABILITY law: the union of
-    //      per-source sketches estimates EXACTLY what one whole-corpus
-    //      sketch estimates, plus a 5% error floor vs exact counts).
-    //      This is the 100 TB distinct-counting workflow: sketch per
-    //      partition/source/day at ingest (map-side-combinable agg
-    //      buffers), persist the sketches, merge on demand — never
+    // 134. Mergeable per-source distinct-token sketches. HASH-gated
+    //      since round 17: rebuilt on the PORTABLE fixed-seed HLL
+    //      (functions.PortableHll — the q_approx_distinct register
+    //      construction), whose register TABLE is itself the
+    //      mergeable sketch: the ALL row unions per-source registers
+    //      by groupBy(bucket).max(mr) — associative/idempotent, so
+    //      the mergeability law holds BY CONSTRUCTION and the DuckDB
+    //      oracle reproduces every register and estimate exactly.
+    //      This is the 100 TB distinct-counting workflow: register
+    //      tables per source/day persist at ingest (map-side-
+    //      combinable, ≤1024 rows per group), merge on demand — never
     //      re-scan the corpus for a new grouping of an old question.
     "q_hll_union" -> ((s, d) => {
       val toks = Tables.spread(Tables.documents(s, d))
         .select(col("source"), explode(Dedup.tokens(col("text"))).as("t"))
-      val per = toks.groupBy("source")
-        .agg(hll_sketch_agg(col("t")).as("sk"))
-      per.select(col("source"),
-          hll_sketch_estimate(col("sk")).as("est_distinct"))
-        .unionByName(per.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
-          .withColumn("source", lit("ALL"))
-          .select("source", "est_distinct"))
-        .orderBy("source")
+      val per = graft.functions.PortableHll.registers(
+        toks, Seq(col("source")), col("t"))
+      val union = per.groupBy("bucket")
+        .agg(max("mr").as("mr"), sum("cnt").as("cnt"))
+        .withColumn("source", lit("ALL"))
+      val est = graft.functions.PortableHll.estimate(
+        per.unionByName(union.select("source", "bucket", "mr", "cnt")),
+        Seq(col("source")))
+      est.select("source", "est_distinct").orderBy("source")
     }),
 
     // 129. BPE merge learning (rows-only: the iterative data-dependent
@@ -337,6 +340,44 @@ object ProfilingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the q_approx_distinct portable-HLL oracle, with the ALL row
+    // computed by register-max union — the mergeability law the old
+    // rows-only spec asserted is now part of what the gate PROVES
+    "q_hll_union" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS t
+        |  FROM documents
+        |), hh AS (
+        |  SELECT source, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM toks
+        |), r AS (
+        |  SELECT source, h % 1024 AS bucket,
+        |    CASE WHEN h // 1024 = 0 THEN 51
+        |         ELSE 51 - length(bin(h // 1024)) END AS rho
+        |  FROM hh
+        |), regs AS (
+        |  SELECT source, bucket, max(rho) AS mr FROM r GROUP BY 1, 2
+        |), u AS (
+        |  SELECT * FROM regs
+        |  UNION ALL
+        |  SELECT 'ALL' AS source, bucket, max(mr) AS mr FROM regs GROUP BY bucket
+        |), agg AS (
+        |  SELECT source,
+        |    sum(CAST(1 AS BIGINT) << CAST(51 - mr AS INT)) AS sp,
+        |    count(*) AS nb
+        |  FROM u GROUP BY 1
+        |), est AS (
+        |  SELECT source, 1024 - nb AS v,
+        |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+        |      * 1048576.0::DOUBLE * 2251799813685248.0::DOUBLE)
+        |      / CAST(sp + (1024 - nb) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS e
+        |  FROM agg
+        |)
+        |SELECT source,
+        |  CAST(CASE WHEN e <= 2560.0::DOUBLE AND v > 0
+        |    THEN floor(1024.0::DOUBLE * ln(1024.0::DOUBLE / CAST(v AS DOUBLE)) + 0.5::DOUBLE)
+        |    ELSE floor(e + 0.5::DOUBLE) END AS BIGINT) AS est_distinct
+        |FROM est ORDER BY source""".stripMargin,
     // unit vectors and centroid means mirror q_dedup_embedding /
     // q_embedding_centroid's proven parity: r4-rounded dim-wise avgs
     // are bit-identical once rounded, and every similarity is an

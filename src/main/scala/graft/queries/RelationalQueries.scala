@@ -196,32 +196,12 @@ object RelationalQueries {
     //     old all-rows total should take it from q_events_hourly/
     //     q_count-style ungated counts.
     "q_approx_distinct" -> ((s, d) => {
-      val m = 1024
-      val regs = Tables.spread(Tables.events(s, d).select("event_type", "user_id"))
-        .filter(col("user_id").isNotNull)
-        .select(col("event_type"),
-          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-            .as("h"))
-        .select(col("event_type"), pmod(col("h"), lit(m.toLong)).as("bucket"),
-          expr("h div 1024").as("rest"))
-        .select(col("event_type"), col("bucket"),
-          when(col("rest") === 0L, lit(51))
-            .otherwise(lit(51) - length(expr("bin(rest)"))).as("rho"))
-        .groupBy("event_type", "bucket")
-        .agg(max(col("rho")).as("mr"), count(lit(1)).as("cnt"))
-      val v = lit(m.toLong) - col("nb")
-      val sumInt = col("sp") + v * lit(2251799813685248L) // + V empty regs · 2^51
-      val e = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)) *
-        lit(1048576.0) * lit(2251799813685248.0)) / sumInt.cast("double")
-      regs.groupBy("event_type")
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mr AS INT))")).as("sp"),
-          count(lit(1)).as("nb"), sum(col("cnt")).as("n"))
-        .select(col("event_type"),
-          when(e <= lit(2560.0) && v > 0,
-              floor(lit(1024.0) * log(lit(1024.0) / v.cast("double")) + lit(0.5)))
-            .otherwise(floor(e + lit(0.5)))
-            .cast("long").as("approx_users"),
-          col("n"))
+      val regs = graft.functions.PortableHll.registers(
+        Tables.spread(Tables.events(s, d).select("event_type", "user_id"))
+          .filter(col("user_id").isNotNull),
+        Seq(col("event_type")), col("user_id"))
+      graft.functions.PortableHll.estimate(regs, Seq(col("event_type")))
+        .select(col("event_type"), col("est_distinct").as("approx_users"), col("n"))
         .orderBy("event_type")
     }),
 

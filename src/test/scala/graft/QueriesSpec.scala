@@ -28,11 +28,15 @@ class QueriesSpec extends AnyFunSuite {
     // q_dedup_minhash / q_dedup_simhash left in round 17 (portable
     // md5-derived double-hash signatures / 60-bit simhashes both
     // engines reproduce bit-for-bit)
+    // q_embed_pca joined in round 17 (rows-only BY NATURE: no SQL
+    // eigensolve; EmbedStatsSpec pins the spectrum against a direct
+    // two-pass covariance recompute)
     val rowsOnly = Set(
       "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
       "q_approx_percentile",
       "q_bpe_merges", "q_compress_ratio", "q_coreness", "q_coreness_indexed",
-      "q_hll_union", "q_kll_quantiles",
+      "q_embed_pca",
+      "q_kll_quantiles",
       "q_rrf_fusion_ann")
     val withoutOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(withoutOracle == rowsOnly,

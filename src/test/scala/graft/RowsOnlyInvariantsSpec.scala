@@ -164,13 +164,17 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
   test("q_hll_union: sketches merge exactly and estimates stay within 5% of exact") {
     val rows = SparkEntry.queries("q_hll_union")(spark, sf)
       .as[(String, Long)].collect().toMap
-    // mergeability law: the union of per-source sketches must estimate
-    // EXACTLY what one whole-corpus sketch estimates (same binary
-    // state, not just similar numbers)
-    val whole = Tables.documents(spark, sf)
-      .select(explode(graft.functions.Dedup.tokens(col("text"))).as("t"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("t"))).as("e"))
-      .as[Long].collect().head
+    // mergeability law: the union of per-source register tables must
+    // estimate EXACTLY what one whole-corpus register table estimates
+    // (same register state, not just similar numbers). Since round 17
+    // this is also what the DuckDB gate proves; the direct whole-
+    // corpus sketch here stays as the in-engine recompute.
+    val wholeRegs = graft.functions.PortableHll.registers(
+      Tables.documents(spark, sf)
+        .select(explode(graft.functions.Dedup.tokens(col("text"))).as("t")),
+      Seq(), col("t"))
+    val whole = graft.functions.PortableHll.estimate(wholeRegs, Seq())
+      .select("est_distinct").as[Long].collect().head
     assert(rows("ALL") == whole,
       s"union-of-parts ${rows("ALL")} != whole-corpus sketch $whole")
     // error floor vs exact distincts, per source and globally

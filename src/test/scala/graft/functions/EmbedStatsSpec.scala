@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_embed_pca invariants (rows-only row): the one-pass GramSketch
+  * spectrum must agree with a DIRECT driver recompute (collect the
+  * gate corpus, two-pass centered covariance, same Jacobi), preserve
+  * the trace (Σ eigenvalues = Σ per-dim variances), and produce a
+  * monotone, normalized share curve. Plus Jacobi sanity on a matrix
+  * with known eigenvalues.
+  */
+class EmbedStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Jacobi eigenvalues recover a known spectrum") {
+    // diag(5, 2, 1) rotated by a hand-built orthogonal basis would be
+    // overkill; a 2x2 with known closed form plus an already-diagonal
+    // case cover the rotation and convergence paths
+    val ev2 = EmbedStats.symEigenvalues(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0))).sorted
+    assert(math.abs(ev2(0) - 1.0) < 1e-12 && math.abs(ev2(1) - 3.0) < 1e-12,
+      ev2.mkString(","))
+    val ev3 = EmbedStats.symEigenvalues(
+      Array(Array(5.0, 0.0, 0.0), Array(0.0, 2.0, 0.0), Array(0.0, 0.0, 1.0)))
+      .sorted.reverse
+    assert(ev3.zip(Seq(5.0, 2.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("q_embed_pca spectrum matches a direct two-pass covariance recompute") {
+    val dim = 64
+    val vecs = Tables.embeddings(spark, sf)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    assert(n > 1)
+    // two-pass: mean first, then centered covariance — an independent
+    // route to the same matrix the one-pass sufficient stats imply
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1.0)
+    }
+    val expectEv = EmbedStats.symEigenvalues(cov).map(math.max(_, 0.0)).sortBy(-_)
+    val total = expectEv.sum
+
+    val got = SparkEntry.queries("q_embed_pca")(spark, sf)
+      .select("component", "eigenvalue", "var_share", "cum_share", "effective_rank")
+      .collect()
+    assert(got.length == 10)
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getInt(0) == k + 1)
+      val ev = r.getDouble(1)
+      assert(math.abs(ev - expectEv(k)) < 1e-4 * math.max(expectEv(0), 1.0),
+        s"component ${k + 1}: one-pass $ev vs two-pass ${expectEv(k)}")
+      assert(math.abs(r.getDouble(2) - expectEv(k) / total) < 1e-5)
+    }
+    // share curve: monotone cum, each share in (0, 1], cum <= 1 + eps
+    val shares = got.map(_.getDouble(2))
+    val cums = got.map(_.getDouble(3))
+    assert(shares.forall(s => s > 0 && s <= 1.0))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(cums.last <= 1.0 + 1e-9)
+    // trace preservation: sum of ALL eigenvalues equals the trace;
+    // the direct recompute's trace is the per-dim variance sum
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    assert(math.abs(total - trace) < 1e-6 * trace)
+    // effective rank: in [1, dim], constant across rows
+    val eranks = got.map(_.getDouble(4)).distinct
+    assert(eranks.length == 1 && eranks.head >= 1.0 && eranks.head <= dim,
+      eranks.mkString(","))
+    // the sf embeddings are uniform-random: the spectrum should be
+    // nearly flat, so effective rank must be CLOSE to full — a
+    // collapsed-space false alarm here would mean the math is wrong
+    assert(eranks.head > dim * 0.8, s"uniform corpus erank ${eranks.head}")
+  }
+}

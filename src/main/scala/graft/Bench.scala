@@ -134,16 +134,21 @@ object Bench {
           }
         }
       }
+      val cold = times.head
       val warm0 = if (iters > 1) times.drop(1) else times
-      // freeze-burst insurance (round 17): this host shows multi-
-      // second steal stalls that can poison BOTH timed iters of one
-      // query while the rest of the run is clean. When the two warm
-      // iters disagree by >3× (a stall hit at least one of them),
-      // re-time once more and keep the extra sample — min() then
-      // reads through a single-burst outlier instead of recording it.
+      // Stall insurance (rounds 17-18, policy in [[BenchSampling]]):
+      // this host shows multi-second steal stalls that can poison or
+      // outright time out timed iters while the rest of the run is
+      // clean. One extra re-time fires when the samples are stall-
+      // suspect — a FAILED timed iter with a valid sibling (r17's
+      // q_resample [6.8 s cold, 103 s, timeout] red-flagged a whole
+      // otherwise-green artifact), two valid iters >3× apart (one
+      // poisoned), or every timed iter >3× the COLD reference (both
+      // poisoned — the r17 rule compared warm iters only to each
+      // other and was blind to this case).
+      val retimed = BenchSampling.needsRetime(cold, warm0, iters)
       val warm =
-        if (warm0.length >= 2 && !warm0.contains(-1.0) &&
-            warm0.max > 3.0 * warm0.min) {
+        if (retimed) {
           val t0 = System.nanoTime()
           val extra =
             try { run(name); (System.nanoTime() - t0) / 1e9 }
@@ -151,9 +156,15 @@ object Bench {
               System.err.println(s"[bench] $name re-time FAILED: ${e.getMessage}")
               -1.0
             }
-          if (extra < 0) warm0 else warm0 :+ extra
+          warm0 :+ extra
         } else warm0
-      val elapsed = if (warm.contains(-1.0)) -1.0 else warm.min
+      val elapsed = BenchSampling.record(cold, warm)
+      if (retimed)
+        // loud, and mirrored into BENCH_DETAIL's "recovered" list: a
+        // re-timed record must be distinguishable from a clean pair
+        System.err.println(s"[bench] $name RECOVERED: samples=" +
+          (cold +: warm).map(BenchFormat.f3).mkString("[", ",", "]") +
+          s" recorded=${BenchFormat.f3(elapsed)}")
       // drop this query's cached lineage before the next query runs:
       // operators that persist internally (minhash sigs, ngram sh
       // sets, pagerank edges) keep MEMORY_ONLY blocks alive for the
@@ -172,7 +183,7 @@ object Bench {
       // the detail row carries every sample, re-time included, so a
       // triggered burst recovery is visible in the artifact
       val allTimes = if (iters > 1) times.head +: warm else warm
-      (name, elapsed, allTimes, shuffle)
+      (name, elapsed, allTimes, shuffle, retimed)
     }
     val loadEnd = os.getSystemLoadAverage
     // failed queries (-1 markers) must not improve the total; an
@@ -182,15 +193,16 @@ object Bench {
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
     val totalShuffleW = results.map(_._4._1).filter(_ >= 0).sum
     val detail = BenchFormat.detailJson(
-      results.map { case (k, v, ts, _) => (k, v, ts) }, total, failed,
+      results.map { case (k, v, ts, _, _) => (k, v, ts) }, total, failed,
       loadStart, loadEnd, cpus, sfDir,
-      results.map { case (k, _, _, s) => (k, s) })
+      results.map { case (k, _, _, s, _) => (k, s) },
+      results.collect { case (k, _, _, _, true) => k })
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
     val (line, overflow) = BenchFormat.compactLine(
-      results.map { case (k, v, _, _) => (k, v) }, total, failed, sfDir,
+      results.map { case (k, v, _, _, _) => (k, v) }, total, failed, sfDir,
       totalShuffleW)
     overflow.foreach(System.err.println)
     // belt-and-braces: the same line as a file, for any consumer whose
@@ -245,7 +257,8 @@ object BenchFormat {
   def detailJson(results: Seq[(String, Double, Seq[Double])], total: Double,
                  failed: Int, loadStart: Double, loadEnd: Double,
                  cpus: String, sfDir: String,
-                 shuffle: Seq[(String, (Long, Long, Long))] = Nil): String = {
+                 shuffle: Seq[(String, (Long, Long, Long))] = Nil,
+                 recovered: Seq[String] = Nil): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // every iteration (warm-up first), so contention is visible per
@@ -260,7 +273,12 @@ object BenchFormat {
     val shuf = shuffle.map { case (k, (w, r, s)) =>
       s"\"" + k + "\":[" + mb2(w) + "," + mb2(r) + "," + mb2(s) + "]"
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"shuffle_mb":$shuf,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
+    // queries whose record came through the stall re-time path
+    // (BenchSampling): an explicit list, not just an extra sample a
+    // reader must count — a recovered record is comparable across
+    // rounds but was measured under observed contention
+    val rec = recovered.map(k => "\"" + k + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"iters":$perIter,"shuffle_mb":$shuf,"recovered":$rec,"load_avg":[${f3(loadStart)},${f3(loadEnd)}],"cpus":$cpus,"sf":"$sfDir"}"""
   }
 
   /** Compact keys, ENUMERATED since the 176-query inventory: key i is
@@ -357,5 +375,58 @@ object BenchFormat {
           s"trimmed the ${entries.length - lo} fastest entries from stdout " +
           "(q_omitted in the envelope; full map in BENCH_DETAIL.json)"))
     }
+  }
+}
+
+/** Pure sampling policy for [[Bench]], separated so the recovery
+  * rules are unit-testable (BenchFormatSpec) without a Spark run.
+  *
+  * History: round 16 recorded two stall-inflated entries (q_pagerank
+  * 46 s vs a ~1 s quiet median); round 17's first fix re-timed only
+  * when the two timed iters disagreed >3× — which (a) never fires
+  * when BOTH iters are stall-poisoned (they agree), and (b) turned a
+  * timed-out iter into a `-1` that failed the whole artifact even
+  * though a sibling sample had SUCCEEDED (q_resample r17: samples
+  * [6.8 s cold, 103 s, timeout] → recorded −1, `failed: 1`, the first
+  * red bench record in six rounds, adjudicated as pure host noise).
+  * This policy closes both holes: the COLD iteration is the external
+  * stall reference the intra-pair rule lacked, and a failed iter with
+  * any valid sibling triggers recovery instead of a red record.
+  */
+object BenchSampling {
+  /** Samples this far apart are a stall, not variance. */
+  val BurstRatio = 3.0
+
+  /** Whether one extra timed re-run is warranted. `cold` is the
+    * untimed warm-up iteration (−1 if it failed), `warm` the timed
+    * samples (−1 = failed/timed out), `iters` the configured count
+    * (1 = single-iter mode, where cold IS the only sample and there
+    * is nothing to cross-check).
+    */
+  def needsRetime(cold: Double, warm: Seq[Double], iters: Int): Boolean = {
+    if (iters <= 1) return false
+    val valid = warm.filter(_ >= 0)
+    // a FAILED timed iter with any valid sibling (timed or cold):
+    // the query demonstrably runs — the failure is the box, re-time
+    val failedWithSibling = warm.exists(_ < 0) && (valid.nonEmpty || cold >= 0)
+    // two valid timed iters >3× apart: one of them ate a stall
+    val burst = valid.length >= 2 && valid.max > BurstRatio * valid.min
+    // EVERY valid timed iter >3× the cold reference: both poisoned —
+    // the cold run (first-touch costs included) is an upper bound on
+    // a clean warm run, so warm ≫ cold is contention, not the plan
+    val bothSlow = cold >= 0 && valid.nonEmpty && valid.min > BurstRatio * cold
+    failedWithSibling || burst || bothSlow
+  }
+
+  /** The recorded time after any re-time: min of the valid timed
+    * samples; the cold run as a last resort (a successful run of the
+    * query — an honest upper bound beats failing the artifact); −1
+    * ONLY when no iteration succeeded at all.
+    */
+  def record(cold: Double, warm: Seq[Double]): Double = {
+    val valid = warm.filter(_ >= 0)
+    if (valid.nonEmpty) valid.min
+    else if (cold >= 0) cold
+    else -1.0
   }
 }

@@ -47,7 +47,25 @@ object DecadeGate {
     "q_pagerank" -> 12.0,
     "q_dedup_clusters" -> 12.0,
     "q_weighted_median" -> 12.0,
-    "q_bloom_join" -> 12.0
+    "q_bloom_join" -> 12.0,
+
+    // round-18 band (VERDICT r17 #2): the wave-17/18 arrivals and the
+    // md5-rebuilt signature paths, whose sf10 behavior the r15 sweep
+    // predates. The md5 double-hash rebuild doubled per-shingle CPU
+    // (watch the WALL column for the cliff — the shuffle pin can't
+    // see CPU); rfm watches GlobalNtile's boundary-collect growth;
+    // the sweep/shard/PCA plans should be near-FLAT in shuffle
+    // (map-side collapse to ≤grid rows / one row per partition), so
+    // a linear-band ratio here would itself be news — the max(1 MB)
+    // denominator keeps those pins from tripping on sub-MB noise.
+    "q_dedup_minhash" -> 12.0,
+    "q_dedup_simhash" -> 12.0,
+    "q_hll_union" -> 12.0,
+    "q_rfm" -> 12.0,
+    "q_threshold_sweep" -> 12.0,
+    "q_export_shards" -> 12.0,
+    "q_embed_pca" -> 12.0,
+    "q_nll_sweep" -> 12.0
   )
 
   /** Queries whose RESULT SET is itself superlinear in the corpus on

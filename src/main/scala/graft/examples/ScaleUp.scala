@@ -100,13 +100,23 @@ object ScaleUp {
     val bd = maxOf(tbl("documents"), "doc_id")
     val bv = maxOf(tbl("embeddings"), "vec_id")
 
-    def write(df: DataFrame, n: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    def write(df: DataFrame, n: String, tiny: Boolean = false): Unit = {
+      // ≥32 files per scaled table (VERDICT r17 #4): the crossJoin
+      // shard inherits the SOURCE's partition count, so tmp/sf1
+      // lineitem landed as 2 files and every decade wall number
+      // measured scan-parallelism-capped layout, not the plan. A
+      // round-robin repartition costs one shuffle at build time and
+      // buys honest parallelism for every run after. Fixed-size dims
+      // (region/nation) stay single-file — 32 near-empty parquet
+      // files of a 5-row table is footer overhead, not parallelism.
+      val out = if (tiny) df
+        else df.repartition(math.max(32, df.rdd.getNumPartitions))
+      out.write.mode("overwrite").parquet(s"$dst/$n.parquet")
       println(s"[scaleup] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")
     }
 
-    write(tbl("region"), "region")
-    write(tbl("nation"), "nation")
+    write(tbl("region"), "region", tiny = true)
+    write(tbl("nation"), "nation", tiny = true)
     write(shard(tbl("customer"), Map("c_custkey" -> bc))
       .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))), "customer")
     write(shard(tbl("supplier"), Map("s_suppkey" -> bs))

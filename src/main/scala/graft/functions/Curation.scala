@@ -377,4 +377,77 @@ object Curation {
         expr(s"(_end - $tokensCol) div $ctxLen").as("seq_id"),
         expr(s"(_end - $tokensCol) % $ctxLen").as("seq_offset"))
   }
+
+  /** The q_export_shards plan's WRITER face (round 18): materialize a
+    * deterministic training-shard export — the manifest row 51g
+    * reports AND the shards themselves — under one
+    * [[graft.operators.Versioned]] commit at `path`:
+    *
+    *   `_v=N/shards/shard=K/…parquet`  all of `df`'s columns, rows of
+    *                                   shard K in shard order (the
+    *                                   position key `_h`, kept as a
+    *                                   column so a trainer can verify
+    *                                   or resume mid-shard);
+    *   `_v=N/manifest/…parquet`        one row per shard: n_docs,
+    *                                   n_chars, first/last doc.
+    *
+    * Determinism: position key = portable md5(id) (60-bit — content-
+    * independent, so re-exporting an APPENDED corpus moves no existing
+    * doc to a new position within its shard), shard = key mod
+    * `nShards` (hash-partitioned — NO global sort anywhere). The only
+    * wide operation is one repartition on the shard number plus a
+    * within-partition sort; at 100 TB each shard streams through one
+    * writer task independent of every other shard. The manifest is
+    * the same one map-side-combined groupBy as q_export_shards, so
+    * ExportShardsSpec pins writer ≡ query row-for-row.
+    *
+    * Returns the committed version dir.
+    */
+  def exportShards(df: DataFrame, idCol: String, charsCol: String,
+                   path: String, nShards: Int = 16): String = {
+    require(nShards >= 1, s"exportShards: nShards=$nShards")
+    val spark = df.sparkSession
+    graft.operators.Versioned.commitNew(spark, path) { dir =>
+      val keyed = df
+        .withColumn("_h", EngineNeutral.md5Long60(col(idCol).cast("string")))
+        .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      // one writer task per shard value: repartition ON the shard
+      // number (not hash-of-shard collisions into fewer tasks than
+      // shards — range/hash both fine here since the column IS the
+      // target partition), then an in-task sort gives shard order in
+      // file order with no global sort
+      keyed
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("_h"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$dir/shards")
+      keyed
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(charsCol).as("n_chars"),
+          min(struct(col("_h"), col(idCol))).getField(idCol).as("first_doc"),
+          max(struct(col("_h"), col(idCol))).getField(idCol).as("last_doc"))
+        .write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+  }
+
+  /** Manifest of the latest committed [[exportShards]] export. */
+  def readShardManifest(spark: SparkSession, path: String): DataFrame = {
+    val dir = graft.operators.Versioned.resolve(spark, path)
+      .getOrElse(sys.error(s"no committed shard export under $path"))
+    spark.read.parquet(s"$dir/manifest")
+  }
+
+  /** Shard table of the latest committed [[exportShards]] export
+    * (all shards; filter on `shard` for one — partition pruning makes
+    * that a single-directory read).
+    */
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    val dir = graft.operators.Versioned.resolve(spark, path)
+      .getOrElse(sys.error(s"no committed shard export under $path"))
+    // partition-directory inference narrows shard to int; restore the
+    // written long so round-trips are schema-identical to the writer
+    spark.read.parquet(s"$dir/shards")
+      .withColumn("shard", col("shard").cast("long"))
+  }
 }

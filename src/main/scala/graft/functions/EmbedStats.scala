@@ -104,15 +104,37 @@ object EmbedStats {
     val spark = df.sparkSession
     val row = df
       .agg(graft.plans.GramSketch.gram_sketch(col(vecCol), dim).as("gs"))
-      .select(col("gs.n"), col("gs.s"), col("gs.g"))
+      .select(col("gs.n"), col("gs.skipped"), col("gs.s"), col("gs.g"))
       .head()
     val n = row.getLong(0)
+    val skipped = row.getLong(1)
+    // a partial spectrum must be loud: null / wrong-length rows mean
+    // either a dim-mismatched call (64 on a 128-wide column) or a
+    // mixed-width table — a spectrum over the silent subset would
+    // LOOK complete (ADVICE r17). Checked before the n floor: when the
+    // dim is wrong, EVERY row skips and "needs at least 2 vectors"
+    // would point at the wrong cause.
+    require(skipped == 0L,
+      s"pcaSpectrum($vecCol, dim=$dim): $skipped of ${n + skipped} rows were " +
+        "null or not exactly dim-wide — fix the dim argument or filter the " +
+        "column explicitly before calling")
     require(n > 1, s"pcaSpectrum needs at least 2 vectors, got $n")
-    val s = row.getSeq[Double](1).toArray
-    val g = row.getSeq[Double](2).toArray
+    val s = row.getSeq[Double](2).toArray
+    val g = row.getSeq[Double](3).toArray
+    // One-pass covariance (G − ssᵀ/n)/(n−1) cancels catastrophically
+    // when ‖μ‖² ≫ variance (a strongly off-center embedding space):
+    // doubles keep ~16 digits, so variance below ~1e-12·‖μ‖² is noise
+    // here — center (or pivot by a first-row shift) upstream and use
+    // a two-pass covariance if that regime matters. The unit-norm /
+    // roughly-centered spaces this diagnoses are far from the cliff.
     val cov = covarianceOf(n, s, g, dim)
     val ev = symEigenvalues(cov).map(e => math.max(e, 0.0)).sortBy(-_)
     val total = ev.sum
+    // all-identical vectors: zero variance in every direction — there
+    // is no spectrum to rank; NaN shares would leak otherwise
+    require(total > 0.0,
+      s"pcaSpectrum($vecCol): total variance is 0 (all $n vectors identical " +
+        "up to float precision) — the spectrum is undefined")
     val probs = ev.filter(_ > 0).map(_ / total)
     val erank = r4(math.exp(-probs.map(p => p * math.log(p)).sum))
     var cum = 0.0

@@ -122,6 +122,78 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** Driver-side twin of [[EngineNeutral.md5Long60]]: the identical
+    * 60-bit value, for generating LITERAL weight tables whose values
+    * any md5-capable engine reproduces.
+    */
+  private[functions] def md5Long60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Portable hyperplane matrix: plane p's component j is
+    * (md5Long60("p:j") mod 100000)/100000 − 0.5 — the same
+    * pseudo-random [-0.5, 0.5) family the xxhash64 face draws from,
+    * but from a hash both engines share.
+    */
+  private[functions] def portablePlaneWeights(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, j) =>
+      (md5Long60Local(s"$p:$j") % 100000L) / 100000.0 - 0.5)
+
+  /** [[lshTopK]] with ENGINE-PORTABLE signatures (round 18): the
+    * hyperplane components come from md5 rather than xxhash64, so the
+    * candidate set — and with r4-rounded rerank sims, the entire
+    * result — is reproducible by the DuckDB oracle (the
+    * q_dedup_embedding precedent, extended from axis-aligned sign
+    * bits to true random hyperplanes). The weight matrix is computed
+    * ONCE on the driver (planes×dim md5s ≈ 512 hashes total) and
+    * shipped as literal arrays, which also deletes the per-row hash
+    * chain [[graft.plans.HyperplaneSig]] pays (planes×dim xxhash64
+    * calls PER ROW) — each plane's signature bit is one codegen'd
+    * [[graft.plans.ArrayDot]] against a constant vector. Sign parity
+    * holds because both engines evaluate the identical double
+    * pipeline: x/‖x‖ per element (ArrayUnit ≡ [x/nrm FOR x IN e]),
+    * then a left-to-right multiply-accumulate (ArrayDot ≡
+    * list_dot_product) against identical weights — a flipped bit
+    * would need a dot within one ulp of 0.
+    */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+                      planes: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes > 0 && planes % 2 == 0 && planes <= 62,
+      s"planes=$planes must be even and in 2..62")
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val w = portablePlaneWeights(planes, dim)
+    val half = planes / 2
+    def sig(vec: Column): Column =
+      (0 until planes).map { p =>
+        when(dot(vec, typedlit(w(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    def banded(raw: DataFrame, id: String, vec: String) = {
+      // zero-norm vectors have no direction and no signature — drop
+      // them explicitly (the oracle's WHERE nrm <> 0), rather than
+      // null-collapsing into bucket 0 to surface as null sims
+      val df = normalized(raw, vecCol).filter(col(vecCol).isNotNull)
+      df.select(col(idCol).as(id), col(vecCol).as(vec), sig(col(vecCol)).as("sig"))
+        .select(col(id), col(vec),
+          posexplode(array(
+            col("sig").bitwiseAND(lit((1L << half) - 1)),
+            shiftright(col("sig"), half))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    }
+    val c = banded(spread(corpus), "neighbor_id", "cvec")
+    val q = broadcast(banded(queries, "query_id", "qvec"))
+    val cands = c.join(q, Seq("band", "bkey"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      graft.functions.EngineNeutral.r4(dot(col("qvec"), col("cvec"))).as("sim"))
+    topKPerKey(scored, "query_id", k)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed self-join, exact
     * cosine ≥ minSim verify. Same banding trick as [[lshTopK]].
     *

@@ -19,11 +19,16 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * sums (GovernanceQueries q_ridge_regress) but over the vector
   * column itself.
   *
-  * Buffer layout: n (long), sum[d], gram[d(d+1)/2] (row-major upper
-  * triangle, g(i,j) at i*d − i(i−1)/2 + (j−i) for i ≤ j).
+  * Buffer layout: n (long), skipped (long), sum[d], gram[d(d+1)/2]
+  * (row-major upper triangle, g(i,j) at i*d − i(i−1)/2 + (j−i) for
+  * i ≤ j). `skipped` counts null / wrong-length inputs, so partial
+  * coverage is observable downstream instead of silently computing a
+  * spectrum over a subset (a d=64 call on a table mixing 64- and
+  * 128-wide rows must not LOOK complete).
   */
 final class GramBuffer(val dim: Int) {
   var n: Long = 0L
+  var skipped: Long = 0L
   val sum = new Array[Double](dim)
   val gram = new Array[Double](dim * (dim + 1) / 2)
 
@@ -46,6 +51,7 @@ final class GramBuffer(val dim: Int) {
 
   def mergeIn(o: GramBuffer): Unit = {
     n += o.n
+    skipped += o.skipped
     var i = 0
     while (i < sum.length) { sum(i) += o.sum(i); i += 1 }
     var t = 0
@@ -54,10 +60,19 @@ final class GramBuffer(val dim: Int) {
 }
 
 /** Aggregate expression over an `array<float>`/`array<double>` column
-  * of fixed length `dim`; returns struct<n: long, s: array<double>,
-  * g: array<double>> — the sufficient statistics for covariance/PCA.
-  * Rows whose array is null or of the wrong length are skipped (the
-  * caller decides whether that's an error; see EmbedStats).
+  * of fixed length `dim`; returns struct<n: long, skipped: long,
+  * s: array<double>, g: array<double>> — the sufficient statistics
+  * for covariance/PCA. Rows whose array is null or of the wrong
+  * length are counted in `skipped`, never silently dropped (the
+  * caller decides whether a nonzero count is an error; EmbedStats
+  * refuses).
+  *
+  * Memory law: the aggregation buffer is d + d(d+1)/2 doubles —
+  * ~4.2 MB per task at d = 1024, but ~67 MB at d = 4096, where
+  * serialize/merge would dominate the pass. [[GramSketch.MaxDim]]
+  * refuses wide vectors loudly; embeddings wider than the ceiling
+  * need a banded (per-dimension-block) or two-pass formulation, not
+  * this one-buffer sketch.
   */
 case class GramSketch(
     child: Expression,
@@ -65,6 +80,12 @@ case class GramSketch(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[GramBuffer] {
+
+  require(dim >= 1 && dim <= GramSketch.MaxDim,
+    s"gram_sketch dim=$dim outside [1, ${GramSketch.MaxDim}]: the agg buffer " +
+      "is d(d+1)/2 doubles (~67 MB per task at d=4096) and merge/serialize " +
+      "dominate past the ceiling — use a banded per-dimension-block or " +
+      "two-pass covariance for wider embeddings")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -85,6 +106,7 @@ case class GramSketch(
 
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType),
+    StructField("skipped", LongType),
     StructField("s", ArrayType(DoubleType)),
     StructField("g", ArrayType(DoubleType))))
 
@@ -92,18 +114,18 @@ case class GramSketch(
 
   override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
     val v = child.eval(input)
-    if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == dim) {
-        val d = new Array[Double](dim)
-        var i = 0
-        if (elementType == FloatType) {
-          while (i < dim) { d(i) = arr.getFloat(i).toDouble; i += 1 }
-        } else {
-          while (i < dim) { d(i) = arr.getDouble(i); i += 1 }
-        }
-        buf.add(d)
+    val arr = if (v == null) null else v.asInstanceOf[ArrayData]
+    if (arr != null && arr.numElements() == dim) {
+      val d = new Array[Double](dim)
+      var i = 0
+      if (elementType == FloatType) {
+        while (i < dim) { d(i) = arr.getFloat(i).toDouble; i += 1 }
+      } else {
+        while (i < dim) { d(i) = arr.getDouble(i); i += 1 }
       }
+      buf.add(d)
+    } else {
+      buf.skipped += 1
     }
     buf
   }
@@ -114,7 +136,8 @@ case class GramSketch(
   }
 
   override def eval(buf: GramBuffer): Any =
-    InternalRow(buf.n, new GenericArrayData(buf.sum.map(x => x: Any)),
+    InternalRow(buf.n, buf.skipped,
+      new GenericArrayData(buf.sum.map(x => x: Any)),
       new GenericArrayData(buf.gram.map(x => x: Any)))
 
   override def serialize(buf: GramBuffer): Array[Byte] = {
@@ -122,6 +145,7 @@ case class GramSketch(
     val out = new DataOutputStream(bos)
     out.writeInt(buf.dim)
     out.writeLong(buf.n)
+    out.writeLong(buf.skipped)
     buf.sum.foreach(out.writeDouble)
     buf.gram.foreach(out.writeDouble)
     out.flush()
@@ -132,6 +156,7 @@ case class GramSketch(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new GramBuffer(in.readInt())
     buf.n = in.readLong()
+    buf.skipped = in.readLong()
     var i = 0
     while (i < buf.sum.length) { buf.sum(i) = in.readDouble(); i += 1 }
     var t = 0
@@ -150,6 +175,12 @@ case class GramSketch(
 }
 
 object GramSketch {
+  /** Widest vector the one-buffer sketch accepts: d + d(d+1)/2
+    * doubles is ~4.2 MB per task buffer here — the knee before
+    * serialize/merge dominate (see class scaladoc).
+    */
+  val MaxDim = 1024
+
   /** Column face: one-pass second-moment summary of a vector column. */
   def gram_sketch(c: Column, dim: Int): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(

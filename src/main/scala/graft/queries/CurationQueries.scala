@@ -305,8 +305,11 @@ object CurationQueries {
     //      one manifest row per shard (docs, chars, first/last doc in
     //      shard order — min/max over struct(h, doc_id), tie-free
     //      because doc_id is unique). One groupBy shuffle whose rows
-    //      collapse map-side to 16; at 100 TB the same plan writes
-    //      the shards themselves via partitionBy("shard").
+    //      collapse map-side to 16; the WRITER face of the same plan
+    //      (functions.Curation.exportShards, round 18) materializes
+    //      the shards via partitionBy("shard") plus this manifest
+    //      under one Versioned commit — ExportShardsSpec pins
+    //      writer ≡ this query row-for-row.
     "q_export_shards" -> ((s, d) => {
       val h = EngineNeutral.md5Long60(col("doc_id").cast("string"))
       Tables.spread(Tables.documents(s, d))
@@ -318,6 +321,66 @@ object CurationQueries {
           min(struct(col("h"), col("doc_id"))).getField("doc_id").as("first_doc"),
           max(struct(col("h"), col("doc_id"))).getField("doc_id").as("last_doc"))
         .orderBy("shard")
+    }),
+
+    // 51h. Two-axis curation-gate survival surface (round 18):
+    //      q_threshold_sweep picks the min-word gate; q_curate_e2e's
+    //      OTHER tunable is the LM NLL cutoff (CurateNllMax, the r15
+    //      perplexity gate). Same one-scan broadcast-grid shape, now
+    //      over BOTH axes at once: per-doc (token count, r6-rounded
+    //      mean unigram NLL — exactly the q_lm_score machinery, so
+    //      the vocab aggregate broadcasts and the per-doc agg shuffles
+    //      (doc_id, partial-sum) pairs only) × a broadcast 20-row
+    //      (min_words × nll_max) grid, conditional aggregation
+    //      collapsing map-side to ≤20 rows/partition. The NLL axis
+    //      brackets CurateNllMax (the corpus median is ≈3.40); a
+    //      FIXED grid rather than data-driven deciles keeps the
+    //      threshold comparison engine-exact (both engines compare
+    //      the same r6-rounded per-doc NLL to the same double
+    //      literal — a decile boundary would add a percentile whose
+    //      interpolation is the cross-engine risk the fixed grid
+    //      avoids). This is the surface that picks BOTH of
+    //      q_curate_e2e's gates before a 100 TB run commits to them.
+    "q_nll_sweep" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.Dedup.tokens(col("text"))).as("t"))
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum("c").as("n_total"))
+      val probs = vocab.crossJoin(broadcast(total))
+        .select(col("t"),
+          (-log(col("c").cast("double") / col("n_total"))).as("nll"))
+      val perDoc = toks.join(broadcast(probs), "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          EngineNeutral.roundHalfUp(avg("nll"), 6).as("avg_nll"))
+      val grid = for {
+        mw <- Seq(0, 10, 20, 30)
+        nm <- Seq(3.30, 3.35, 3.40, 3.45, 3.50)
+      } yield org.apache.spark.sql.Row(mw, nm)
+      val gridDf = s.createDataFrame(
+        s.sparkContext.parallelize(grid, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("min_words",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("nll_max",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val keep = col("n_words") >= col("min_words") &&
+        col("avg_nll") <= col("nll_max")
+      perDoc.crossJoin(broadcast(gridDf))
+        .groupBy("min_words", "nll_max")
+        .agg(
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("n_words")).otherwise(0L)).as("tokens_kept"),
+          count(lit(1)).as("n_total"),
+          sum(col("n_words")).as("tokens_total"))
+        .select(col("min_words"), col("nll_max"), col("n_kept"),
+          col("tokens_kept"),
+          EngineNeutral.r6(col("n_kept").cast("double") / col("n_total"))
+            .as("doc_share"),
+          EngineNeutral.r6(col("tokens_kept").cast("double") / col("tokens_total"))
+            .as("token_share"))
+        .orderBy("min_words", "nll_max")
     })
   )
 
@@ -581,6 +644,39 @@ object CurationQueries {
         |   WHERE k.shard = a.shard AND k.h = a.min_h) AS first_doc,
         |  (SELECT max(doc_id) FROM keyed k
         |   WHERE k.shard = a.shard AND k.h = a.max_h) AS last_doc
-        |FROM agg a ORDER BY a.shard""".stripMargin
+        |FROM agg a ORDER BY a.shard""".stripMargin,
+    // per-doc NLL is the q_lm_score shape; the grid's decimal literals
+    // cast to DOUBLE so both engines compare the same r6-rounded value
+    // to the same float64, and the 1/0 sums cast out of HUGEINT
+    "q_nll_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |v AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |n AS (SELECT count(*) AS n_total FROM toks),
+        |p AS (SELECT t, -ln(c::DOUBLE / n_total) AS nll FROM v, n),
+        |doc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_words,
+        |    floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS avg_nll
+        |  FROM toks JOIN p USING (t) GROUP BY doc_id),
+        |grid AS (
+        |  SELECT mw.min_words, CAST(nm.nll_max AS DOUBLE) AS nll_max
+        |  FROM (VALUES (0),(10),(20),(30)) mw(min_words),
+        |       (VALUES (3.30),(3.35),(3.40),(3.45),(3.50)) nm(nll_max))
+        |SELECT g.min_words, g.nll_max,
+        |  sum(CASE WHEN d.n_words >= g.min_words AND d.avg_nll <= g.nll_max
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN d.n_words >= g.min_words AND d.avg_nll <= g.nll_max
+        |    THEN d.n_words ELSE 0 END)::BIGINT AS tokens_kept,
+        |  floor(sum(CASE WHEN d.n_words >= g.min_words AND d.avg_nll <= g.nll_max
+        |    THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000.0
+        |    AS doc_share,
+        |  floor(sum(CASE WHEN d.n_words >= g.min_words AND d.avg_nll <= g.nll_max
+        |    THEN d.n_words ELSE 0 END)::DOUBLE / sum(d.n_words) * 1000000 + 0.5)
+        |    / 1000000.0 AS token_share
+        |FROM doc d CROSS JOIN grid g
+        |GROUP BY g.min_words, g.nll_max
+        |ORDER BY g.min_words, g.nll_max""".stripMargin
   )
 }

@@ -167,5 +167,49 @@ class BenchFormatSpec extends AnyFunSuite {
       Seq(("q_tpch_q1", (2097152L, 1048576L, 0L))))
     assert(detail.contains("\"q_tpch_q1\":1.500"))
     assert(detail.contains("\"shuffle_mb\":{\"q_tpch_q1\":[2.00,1.00,0.00]}"))
+    assert(detail.contains("\"recovered\":[]"))
+  }
+
+  test("detail file names re-timed queries explicitly") {
+    val detail = BenchFormat.detailJson(
+      Seq(("q_a", 1.5, Seq(2.0, 1.5)), ("q_b", 1.8, Seq(1.9, 103.0, -1.0, 1.8))),
+      3.3, 0, 1.0, 1.0, "32", "/sf", Nil, Seq("q_b"))
+    assert(detail.contains("\"recovered\":[\"q_b\"]"))
+  }
+
+  // BenchSampling: the r17 artifact failure class. q_resample recorded
+  // −1/failed:1 from samples [6.8 s cold, 103 s, timeout] even though
+  // the query demonstrably ran — a failed timed iter with ANY valid
+  // sibling must re-time and record min(valid), never fail the record.
+  test("sampling: fail-then-succeed recovers to the re-timed min, not -1") {
+    assert(BenchSampling.needsRetime(cold = 6.8, warm = Seq(103.0, -1.0), iters = 3))
+    // after the re-time lands at 1.8 s the record is that sample
+    assert(BenchSampling.record(6.8, Seq(103.0, -1.0, 1.8)) == 1.8)
+    // re-time ALSO fails: min of the remaining valid samples
+    assert(BenchSampling.record(6.8, Seq(103.0, -1.0, -1.0)) == 103.0)
+    // every timed iter failed but the cold run succeeded: record cold
+    // (an honest upper bound from a real successful run)
+    assert(BenchSampling.record(6.8, Seq(-1.0, -1.0, -1.0)) == 6.8)
+  }
+
+  test("sampling: -1 only when NO iteration succeeded") {
+    assert(BenchSampling.record(-1.0, Seq(-1.0, -1.0)) == -1.0)
+    assert(!BenchSampling.needsRetime(-1.0, Seq(-1.0, -1.0), iters = 3))
+  }
+
+  // ADVICE r17 (medium): the intra-pair >3× rule never fires when BOTH
+  // timed iters are stall-poisoned (they agree with each other) — the
+  // cold iteration is the external reference that sees that case.
+  test("sampling: both-slow vs the cold reference triggers a re-time") {
+    assert(BenchSampling.needsRetime(cold = 1.0, warm = Seq(5.0, 5.2), iters = 3))
+    // one-poisoned intra-pair burst still triggers
+    assert(BenchSampling.needsRetime(cold = 1.0, warm = Seq(1.1, 40.0), iters = 3))
+    // clean pair near the cold reference: no re-time
+    assert(!BenchSampling.needsRetime(cold = 1.0, warm = Seq(0.8, 0.9), iters = 3))
+    // warm faster than cold is the EXPECTED shape, however large the
+    // gap (cold pays first-touch costs) — never a trigger
+    assert(!BenchSampling.needsRetime(cold = 9.0, warm = Seq(0.5, 0.6), iters = 3))
+    // single-iter mode: the one sample is all there is
+    assert(!BenchSampling.needsRetime(cold = 5.0, warm = Seq(5.0), iters = 1))
   }
 }

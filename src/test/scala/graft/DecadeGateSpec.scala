@@ -22,6 +22,13 @@ class DecadeGateSpec extends AnyFunSuite {
     // the two round-15 catch classes stay covered for good
     assert(pins.exists(_._1 == "q_linkage"), "stats-broadcast catch class unpinned")
     assert(pins.exists(_._1 == "q_bloom_join"), "fixed-capacity catch class unpinned")
+    // round-18 band: every post-r15 arrival and md5-rebuilt signature
+    // path must stay under the gate — the r15 sweep predates them
+    val wave = Seq("q_dedup_minhash", "q_dedup_simhash", "q_hll_union",
+      "q_rfm", "q_threshold_sweep", "q_export_shards", "q_embed_pca",
+      "q_nll_sweep")
+    val missing = wave.filterNot(pins.map(_._1).toSet)
+    assert(missing.isEmpty, s"wave-17/18 arrivals unpinned: $missing")
     // output-relative pins must reference pinned queries, and the
     // slack must stay in the "output-proportional plus metadata" band
     // — 2x slack would let a genuinely quadratic intermediate hide

@@ -75,4 +75,46 @@ class EmbedStatsSpec extends AnyFunSuite {
     // collapsed-space false alarm here would mean the math is wrong
     assert(eranks.head > dim * 0.8, s"uniform corpus erank ${eranks.head}")
   }
+
+  // Round-18 guards (VERDICT #3 + ADVICE r17): the sketch's memory law
+  // is d(d+1)/2 doubles per task buffer — wide embeddings must refuse
+  // loudly, and partial coverage (dim-mismatched rows) or a degenerate
+  // zero-variance corpus must never produce a quiet, plausible result.
+  test("gram_sketch refuses dims past the buffer-memory ceiling") {
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GramSketch.gram_sketch(
+        org.apache.spark.sql.functions.col("embedding"), 4096)
+    }
+    assert(e.getMessage.contains("banded"), e.getMessage)
+    // the ceiling itself is fine
+    graft.plans.GramSketch.gram_sketch(
+      org.apache.spark.sql.functions.col("embedding"),
+      graft.plans.GramSketch.MaxDim)
+  }
+
+  test("pcaSpectrum refuses partial coverage (dim-mismatched rows)") {
+    // dim=32 over the 64-wide gate embeddings: every row skips
+    val e = intercept[IllegalArgumentException] {
+      EmbedStats.pcaSpectrum(Tables.embeddings(spark, sf), "embedding", 32, 5)
+    }
+    assert(e.getMessage.contains("not exactly dim-wide"), e.getMessage)
+    // mixed widths: the skipped COUNT (not just emptiness) trips it
+    import spark.implicits._
+    val mixed = Seq(
+      Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(5.0f, 6.0f, 7.0f))
+      .toDF("embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      EmbedStats.pcaSpectrum(mixed, "embedding", 2, 2)
+    }
+    assert(e2.getMessage.contains("1 of 3"), e2.getMessage)
+  }
+
+  test("pcaSpectrum refuses a zero-variance (all-identical) corpus") {
+    import spark.implicits._
+    val flat = Seq.fill(5)(Array(1.0f, 2.0f, 3.0f)).toDF("embedding")
+    val e = intercept[IllegalArgumentException] {
+      EmbedStats.pcaSpectrum(flat, "embedding", 3, 3)
+    }
+    assert(e.getMessage.contains("total variance is 0"), e.getMessage)
+  }
 }

@@ -119,6 +119,13 @@ class SimilaritySpec extends AnyFunSuite {
     val approx = pairs(Similarity.lshTopK(emb, queries, k = 10, planes = 8))
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, f"LSH recall@10 degraded: $recall%.3f < 0.8")
+    // the md5-weight portable face (q_ann_lsh's gated path since
+    // round 18) draws from the same hyperplane family and must hold
+    // the same floor — the DuckDB gate proves reproducibility, this
+    // proves the approximation is still GOOD
+    val portable = pairs(Similarity.lshTopKPortable(emb, queries, k = 10, planes = 8))
+    val recallP = (exact & portable).size.toDouble / exact.size
+    assert(recallP >= 0.8, f"portable LSH recall@10 degraded: $recallP%.3f < 0.8")
   }
 
   test("lshTopK returns only true-cosine-ranked candidates (precision)") {

@@ -431,6 +431,15 @@ object Dedup {
     * This is what makes the signatures PORTABLE: a DuckDB oracle
     * reproduces them bit-for-bit from md5 + integer ops (the
     * q_approx_distinct portable-HLL precedent).
+    *
+    * COMPATIBILITY (round 17 changelog): this rebuild changed every
+    * emitted minhash signature and simhash value — minhash/simhash
+    * artifacts persisted by rounds < 17 (signatures, band buckets,
+    * candidate sets) are silently incompatible and must be
+    * regenerated; there is no cross-version merge. The deliberate
+    * trade: two md5s per shingle instead of one xxhash64 (CPU-linear
+    * in corpus size — ~1.5× on the sf0.1 signature path) bought hard
+    * DuckDB gates for the two heaviest formerly-spec-invariant rows.
     */
   private val MersennePrime61 = 2305843009213693951L // 2^61 - 1
 

@@ -167,8 +167,12 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
     // mergeability law: the union of per-source register tables must
     // estimate EXACTLY what one whole-corpus register table estimates
     // (same register state, not just similar numbers). Since round 17
-    // this is also what the DuckDB gate proves; the direct whole-
-    // corpus sketch here stays as the in-engine recompute.
+    // this is also what the DuckDB gate proves. NOTE (ADVICE r17):
+    // both sides below are PortableHll, so union == whole holds BY
+    // CONSTRUCTION (max-of-max over identical hashes) — the equality
+    // is a wiring check, not an independent one; independence comes
+    // from the DuckDB gate, the 5% exact-count floor below, and the
+    // hand-computed register check at the end of this test.
     val wholeRegs = graft.functions.PortableHll.registers(
       Tables.documents(spark, sf)
         .select(explode(graft.functions.Dedup.tokens(col("text"))).as("t")),
@@ -189,6 +193,30 @@ class RowsOnlyInvariantsSpec extends AnyFunSuite {
       val rel = math.abs(rows(src) - n).toDouble / n
       assert(rel <= 0.05, f"$src: est ${rows(src)} vs exact $n relErr $rel%.4f")
     }
+    // in-repo INDEPENDENT register check (ADVICE r17): replay the
+    // hash → bucket → rho chain in plain JVM code (MessageDigest +
+    // integer ops — no Spark expressions) over a controlled token set
+    // and require the register TABLE to match exactly. This is the
+    // cross-implementation check the old DataSketches comparison
+    // provided before the round-17 rebuild.
+    def md5Long60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val tokens = Seq("alpha", "beta", "gamma", "delta", "alpha")
+    val wantRegs = tokens.distinct.map { t =>
+      val h = md5Long60(t)
+      val rest = h / graft.functions.PortableHll.m
+      val rho =
+        if (rest == 0L) 51
+        else 51 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      (h.toLong % graft.functions.PortableHll.m, rho)
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val gotRegs = graft.functions.PortableHll.registers(
+        tokens.toDF("t"), Seq(), col("t"))
+      .select("bucket", "mr").as[(Long, Int)].collect().toMap
+    assert(gotRegs == wantRegs,
+      s"register chain diverged from the hand computation: $gotRegs vs $wantRegs")
   }
 
   test("q_bpe_merges' first merge is the corpus's true top adjacent char pair") {

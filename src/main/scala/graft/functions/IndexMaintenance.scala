@@ -87,6 +87,8 @@ object IndexMaintenance {
       (s, r) => Ivf.compactIndex(s, r)),
     Family("hash", (s, v) => has(s, v, "grams"),
       (s, r) => { Dedup.compactHashIndex(s, r); () }),
+    Family("minhash", (s, v) => has(s, v, "sigs") && has(s, v, "bands"),
+      (s, r) => { MinhashIndex.compactIndex(s, r); () }),
     Family("importance", (s, v) => has(s, v, "counts") && has(s, v, "defaults"),
       (s, r) => { Selection.compactImportanceModel(s, r); () }),
     Family("sketch", (s, v) => has(s, v, "profile"),

@@ -36,6 +36,23 @@ object LlmQueries {
         "doc_id", "text", root)
     })
 
+  /** Build-once minhash signature index over the even-doc corpus —
+    * the q_dedup_minhash_inc serve path (the lexIndexVdir convention:
+    * deterministic per dir, so iteration 1 of a bench run carries the
+    * one-time build, later iterations measure the serve).
+    */
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def minhashIndexVdir(s: SparkSession, d: String): String =
+    minhashIndexCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_minhashindex").toString
+      graft.functions.MinhashIndex.writeIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+    })
+
   /** Deterministic PQ codebooks per sf dir (trained once). */
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
@@ -73,6 +90,23 @@ object LlmQueries {
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")),
+
+    // 29d. MinHash near-dup through the PERSISTED signature index
+    //      (round 18): the incremental crawl workflow — even doc_ids
+    //      are the indexed corpus (signatures + band buckets persisted
+    //      once, functions.MinhashIndex), odd doc_ids the new batch,
+    //      probed in O(batch + matched buckets) with the corpus text
+    //      never re-scanned. Portable signatures make this the first
+    //      INDEXED near-dup face with a full hash gate: the oracle
+    //      reproduces every band bucket, candidate pair, and
+    //      est_jaccard bit-for-bit.
+    "q_dedup_minhash_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.functions.MinhashIndex.candidates(s, minhashIndexVdir(s, d),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          minEstJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
 
     // 29c. Near-dup clustering: exact shared-shingle edges →
     //      connected components → one row per cluster with its
@@ -524,6 +558,51 @@ object LlmQueries {
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |  FROM capped a JOIN capped b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        |), est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE / 64 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // The persisted-index bipartite shape: corpus = even ids (the
+    // indexed side, bucket-capped at 1000 on ITS population alone),
+    // batch = odd ids. Same portable signatures; the oracle groups by
+    // band VALUE where Spark buckets by xxhash64 of it.
+    "q_dedup_minhash_inc" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), hh AS (
+        |  SELECT id,
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s || '#'), 1, 14) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT id, i, min((h1 + i * h2) % 2305843009213693951) AS m
+        |  FROM hh CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2
+        |), band AS (
+        |  SELECT id, i // 4 AS band,
+        |    array_to_string(list(m ORDER BY i), ',') AS bkey
+        |  FROM sig GROUP BY id, i // 4
+        |), corpus AS (SELECT * FROM band WHERE id % 2 = 0
+        |), batch  AS (SELECT * FROM band WHERE id % 2 = 1
+        |), keepb AS (
+        |  SELECT band, bkey FROM corpus GROUP BY band, bkey
+        |  HAVING count(*) <= 1000
+        |), cand AS (
+        |  SELECT DISTINCT c.id AS id_a, q.id AS id_b
+        |  FROM corpus c
+        |  JOIN keepb USING (band, bkey)
+        |  JOIN batch q USING (band, bkey)
         |), est AS (
         |  SELECT c.id_a, c.id_b,
         |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE / 64 AS est_jaccard

@@ -1045,6 +1045,56 @@ object Streams {
     * via [[graft.operators.TagHeal]]) and rewrites its partition
     * idempotently.
     */
+  /** Streaming near-dup screening through the persisted MinHash
+    * signature index ([[graft.functions.MinhashIndex]], round 18):
+    * each document micro-batch is signed once, probed against the
+    * CURRENT band table (O(batch + matched buckets) — corpus text
+    * never re-scanned), its (id_a = indexed doc, id_b = batch doc,
+    * est_jaccard ≥ minEst) matches land at `outPath` under the
+    * `batch_id=N` dynamic-partition sink, and the batch's signatures
+    * then append as one tagged delta so FUTURE batches dedup against
+    * it.
+    *
+    * Replay safety: scoring excludes the batch's own tagged delta
+    * (the [[dedupIngest]]/readHashIndex convention), so a crash
+    * between append and checkpoint commit re-scores the replay
+    * identically — never against the batch's own signatures — and
+    * the idempotent append (known ids anti-joined) refuses the
+    * double delta while the partition overwrite rewrites the same
+    * sink rows in place: exactly-once EFFECT on index and sink.
+    */
+  def minhashIngest(stream: DataFrame, indexPath: String, outPath: String,
+                    checkpoint: String, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    minEstJaccard: Double = 0.5): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+            .getOrElse(sys.error(
+              s"minhashIngest needs a committed MinhashIndex at $indexPath " +
+                "(MinhashIndex.writeIndex builds it from the base corpus)"))
+          graft.functions.MinhashIndex
+            .candidates(spark, vdir, batch, idCol, textCol, minEstJaccard,
+              excludeTag = Some(tag))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+          graft.functions.MinhashIndex
+            .appendIndex(spark, indexPath, vdir, batch, idCol, textCol,
+              Some(tag))
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   def linkageIngest(stream: DataFrame, indexPath: String, outPath: String,
                     checkpoint: String, idCol: String = "id",
                     nameCol: String = "name",

@@ -31,8 +31,16 @@ class QueriesSpec extends AnyFunSuite {
     // q_embed_pca joined in round 17 (rows-only BY NATURE: no SQL
     // eigensolve; EmbedStatsSpec pins the spectrum against a direct
     // two-pass covariance recompute)
+    // q_ann_lsh left in round 18 (md5-derived hyperplane weight
+    // literals — the oracle reproduces signatures, buckets and r4
+    // rerank sims; the last hash-family graduation VERDICT r17 #8
+    // asked to evaluate). The 11 remaining are rows-only by NATURE:
+    // k-means/PQ quantizers (ivf/pq/ivfpq + rrf_fusion_ann on top),
+    // Spark-internal sketches (approx_percentile, kll), an iterative
+    // driver loop (bpe), native DEFLATE (compress_ratio), a fixpoint
+    // peel (coreness ×2), and the eigensolve (embed_pca).
     val rowsOnly = Set(
-      "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
+      "q_ann_ivf", "q_ann_ivfpq", "q_ann_pq",
       "q_approx_percentile",
       "q_bpe_merges", "q_compress_ratio", "q_coreness", "q_coreness_indexed",
       "q_embed_pca",

@@ -877,4 +877,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(got._3 == math.floor(lrUnseen * 1e6 + 0.5) / 1e6)
     } finally q.stop()
   }
+
+  test("minhashIngest: near-dup screening through the persisted signature index, replay-aware") {
+    // the incremental crawl loop (round 18): even docs are the indexed
+    // corpus, odd docs stream in two micro-batches plus one
+    // at-least-once REDELIVERY; every (even, odd) match the oracled
+    // self-join finds must come through the sink, and the redelivered
+    // batch — whose docs were appended on first delivery — must score
+    // against its own indexed signatures as exact self-matches (the
+    // "this doc is already in the corpus" signal), est 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_ingest").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val vdir0 = graft.functions.MinhashIndex.writeIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", s"$dir/index")
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = odd.splitAt(odd.length / 2)
+    // reference probe BEFORE the stream grows the index: appends land
+    // as deltas under this same version dir, so a later read of vdir0
+    // would see the odd docs already indexed (self-matches)
+    val want = graft.functions.MinhashIndex.candidates(spark, vdir0,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val ch = Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = Streams.minhashIngest(ch.toDS.toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    try {
+      ch.send(b2: _*); q.processAllAvailable()
+      ch.send(b1: _*) // redelivery as a NEW batch id
+      q.processAllAvailable()
+      val sink = spark.read.parquet(s"$dir/out")
+        .select("id_a", "id_b", "est_jaccard", "batch_id")
+        .as[(Long, Long, Double, Long)].collect()
+      // even-left subset == the one-shot bipartite probe (odd-side
+      // appends can only ADD odd-left pairs, never change even-left)
+      val evenLeft = sink.filter(_._1 % 2 == 0).map(t => (t._1, t._2, t._3)).toSet
+      assert(evenLeft == want,
+        s"streamed even-side matches diverged: extra=${evenLeft -- want}, " +
+          s"missing=${want -- evenLeft}")
+      // the replay batch (highest batch_id) self-matches every doc
+      val lastBatch = sink.map(_._4).max
+      val selfs = sink.filter(r => r._4 == lastBatch && r._1 == r._2)
+      assert(selfs.map(_._1).toSet == b1.map(_._1).toSet,
+        "redelivered docs must self-match through the index")
+      assert(selfs.forall(_._3 == 1.0))
+      // the index ended up with every doc's signature exactly once
+      val vdir = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+      val n = graft.functions.MinhashIndex.readSigs(spark, vdir).count()
+      assert(n == docs.count(), s"index holds $n sigs, corpus ${docs.count()}")
+    } finally q.stop()
+  }
 }

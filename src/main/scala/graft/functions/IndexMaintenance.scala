@@ -89,6 +89,8 @@ object IndexMaintenance {
       (s, r) => { Dedup.compactHashIndex(s, r); () }),
     Family("minhash", (s, v) => has(s, v, "sigs") && has(s, v, "bands"),
       (s, r) => { MinhashIndex.compactIndex(s, r); () }),
+    Family("simhash", (s, v) => has(s, v, "sims") && has(s, v, "sbands"),
+      (s, r) => { SimhashIndex.compactIndex(s, r); () }),
     Family("importance", (s, v) => has(s, v, "counts") && has(s, v, "defaults"),
       (s, r) => { Selection.compactImportanceModel(s, r); () }),
     Family("sketch", (s, v) => has(s, v, "profile"),

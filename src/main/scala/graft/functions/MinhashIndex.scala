@@ -70,42 +70,18 @@ object MinhashIndex {
     }
   }
 
-  private def liveDeltas(spark: SparkSession, versionDir: String,
-                         excludeTag: Option[String]): Seq[String] = {
-    val all = graft.operators.Versioned.listDeltas(spark, versionDir)
-    excludeTag match {
-      case None => all
-      case Some(t) =>
-        // streaming replay must score against the PRE-append view of
-        // the index (the Dedup.readHashIndex convention): deltas
-        // committed by an earlier run of the SAME micro-batch are
-        // excluded so a crash between append and checkpoint commit
-        // re-scores identically instead of matching the batch's own
-        // signatures
-        val conf = spark.sessionState.newHadoopConf()
-        all.filterNot { d =>
-          val p = new org.apache.hadoop.fs.Path(d, s"_TAG_$t")
-          p.getFileSystem(conf).exists(p)
-        }
-    }
-  }
-
-  private def fold(spark: SparkSession, versionDir: String, sub: String,
-                   excludeTag: Option[String]): DataFrame =
-    liveDeltas(spark, versionDir, excludeTag)
-      .foldLeft(spark.read.parquet(s"$versionDir/$sub")) { (acc, d) =>
-        acc.unionByName(spark.read.parquet(s"$d/$sub"))
-      }
-
-  /** Signature table of a committed version (base + deltas). */
+  /** Signature table of a committed version (base + deltas).
+    * `excludeTag` is the streaming-replay exclusion — see
+    * [[IndexDeltas.liveDeltas]].
+    */
   def readSigs(spark: SparkSession, versionDir: String,
                excludeTag: Option[String] = None): DataFrame =
-    fold(spark, versionDir, "sigs", excludeTag)
+    IndexDeltas.fold(spark, versionDir, "sigs", excludeTag)
 
   /** Band table of a committed version (base + deltas). */
   def readBands(spark: SparkSession, versionDir: String,
                 excludeTag: Option[String] = None): DataFrame =
-    fold(spark, versionDir, "bands", excludeTag)
+    IndexDeltas.fold(spark, versionDir, "bands", excludeTag)
 
   /** O(batch) append: signatures + bands for the ids of `docs` not
     * already indexed land as one delta under the CURRENT version —
@@ -129,64 +105,19 @@ object MinhashIndex {
         graft.operators.Versioned.commitDelta(spark, indexPath, versionDir) { d =>
           fresh.write.parquet(s"$d/sigs")
           bandRows(fresh).write.parquet(s"$d/bands")
-          tag.foreach { t =>
-            val p = new org.apache.hadoop.fs.Path(d, s"_TAG_$t")
-            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-            fs.create(p, true).close()
-          }
+          tag.foreach(IndexDeltas.writeTag(spark, d, _))
         }
     } finally { fresh.unpersist(); () }
   }
 
-  /** Fold deltas into a fresh base version. Replay safety follows
-    * [[Dedup.compactHashIndex]]: for each streaming query id, the
-    * HIGHEST-batch tagged delta is the only one that can still
-    * replay — it carries over verbatim (tables + tag files); every
-    * other delta folds. Untagged (batch-append) deltas always fold.
-    * Runs under commitNew's lock; returns the new version dir.
+  /** Fold deltas into a fresh base version — the shared tag-carry
+    * compaction ([[IndexDeltas.compactTabular]]): per streaming query
+    * id, only the highest-batch tagged delta carries over (it can
+    * still replay); everything else folds.
     */
   def compactIndex(spark: SparkSession, indexPath: String): String =
-    graft.operators.Versioned.commitNew(spark, indexPath) { nv =>
-      val vdir = graft.operators.Versioned.resolve(spark, indexPath)
-        .getOrElse(sys.error(s"no committed minhash index at $indexPath"))
-      val conf = spark.sessionState.newHadoopConf()
-      def tagsOf(d: String): Seq[String] = {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).listStatus(p).toSeq
-          .map(_.getPath.getName).filter(_.startsWith("_TAG_"))
-      }
-      def parsed(tags: Seq[String]): Seq[(String, Long)] =
-        tags.flatMap { t =>
-          val body = t.stripPrefix("_TAG_")
-          val i = body.lastIndexOf("_b")
-          if (i < 0) None
-          else body.drop(i + 2).toLongOption.map(b => (body.take(i), b))
-        }
-      val deltas = graft.operators.Versioned.listDeltas(spark, vdir)
-        .map(d => d -> tagsOf(d))
-      val maxBatch = deltas.flatMap(d => parsed(d._2))
-        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-      val (carry, foldAway) = deltas.partition { case (_, tags) =>
-        parsed(tags).exists { case (qid, b) => maxBatch(qid) == b }
-      }
-      Seq("sigs", "bands").foreach { sub =>
-        foldAway.map(_._1)
-          .foldLeft(spark.read.parquet(s"$vdir/$sub")) { (acc, d) =>
-            acc.unionByName(spark.read.parquet(s"$d/$sub"))
-          }
-          .write.parquet(s"$nv/$sub")
-      }
-      carry.zipWithIndex.foreach { case ((d, tags), i) =>
-        val nd = s"$nv/delta_$i"
-        Seq("sigs", "bands").foreach { sub =>
-          spark.read.parquet(s"$d/$sub").write.parquet(s"$nd/$sub")
-        }
-        val fs = new org.apache.hadoop.fs.Path(nd).getFileSystem(conf)
-        tags.foreach { t =>
-          fs.create(new org.apache.hadoop.fs.Path(nd, t), true).close()
-        }
-      }
-    }
+    IndexDeltas.compactTabular(spark, indexPath, Seq("sigs", "bands"),
+      "minhash")
 
   /** Batch-vs-corpus near-dup candidates through the persisted index:
     * (id_a = indexed doc, id_b = batch doc, est_jaccard), est ≥

@@ -53,6 +53,21 @@ object LlmQueries {
         "doc_id", "text", root)
     })
 
+  /** Build-once simhash index over the even-doc corpus — the
+    * q_dedup_simhash_inc serve path (the minhashIndexVdir convention).
+    */
+  private val simhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def simhashIndexVdir(s: SparkSession, d: String): String =
+    simhashIndexCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_simhashindex").toString
+      graft.functions.SimhashIndex.writeIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+    })
+
   /** Deterministic PQ codebooks per sf dir (trained once). */
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
@@ -133,6 +148,21 @@ object LlmQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
+
+    // 30b. SimHash near-dup through the PERSISTED signature index
+    //      (round 18, the 15th family): even doc_ids are the indexed
+    //      corpus (8-byte simhashes + pigeonhole band buckets
+    //      persisted once, functions.SimhashIndex), odd doc_ids the
+    //      new batch, probed in O(batch + matched buckets) with the
+    //      corpus text never re-scanned. Portable 60-bit simhashes
+    //      make it hash-gated: the oracle reproduces every band
+    //      bucket, candidate pair, and hamming distance bit-for-bit.
+    "q_dedup_simhash_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.functions.SimhashIndex.candidates(s, simhashIndexVdir(s, d),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
 
     // 31. Exact n-gram Jaccard verify on candidate pairs. Candidates
     //     come from deterministic shared-shingle blocking (same
@@ -643,6 +673,40 @@ object LlmQueries {
         |FROM capped a JOIN capped b
         |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // The persisted-index bipartite shape (the q_dedup_minhash_inc
+    // precedent): corpus = even ids (the indexed side, bucket-capped
+    // at 1000 on ITS population alone — no lower bound, a singleton
+    // corpus bucket can still match a batch doc), batch = odd ids.
+    // Same portable simhashes, same 4×15-bit pigeonhole bands.
+    "q_dedup_simhash_inc" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS t
+        |  FROM documents
+        |), th AS (
+        |  SELECT id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+        |  FROM th CROSS JOIN range(60) r(b) GROUP BY 1, 2
+        |), sim AS (
+        |  SELECT id, sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+        |  FROM bits GROUP BY 1
+        |), banded AS (
+        |  SELECT id, sh, b AS band, (sh >> CAST(b * 15 AS INT)) & 32767 AS bkey
+        |  FROM sim CROSS JOIN range(4) r(b)
+        |), corpus AS (SELECT * FROM banded WHERE id % 2 = 0
+        |), batch  AS (SELECT * FROM banded WHERE id % 2 = 1
+        |), keepb AS (
+        |  SELECT band, bkey FROM corpus GROUP BY band, bkey
+        |  HAVING count(*) <= 1000
+        |)
+        |SELECT DISTINCT c.id AS id_a, q.id AS id_b,
+        |  CAST(bit_count(xor(c.sh, q.sh)) AS INT) AS hamming
+        |FROM corpus c
+        |JOIN keepb USING (band, bkey)
+        |JOIN batch q USING (band, bkey)
+        |WHERE bit_count(xor(c.sh, q.sh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     // The rolling hash is the same fold in both engines:
     // acc = (acc·31 + byte) mod 1e9+7 over the text. Spark folds UTF-8

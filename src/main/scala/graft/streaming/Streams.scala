@@ -1095,6 +1095,48 @@ object Streams {
     q
   }
 
+  /** Streaming near-dup screening through the persisted SimHash index
+    * ([[graft.functions.SimhashIndex]], round 18) — the
+    * [[minhashIngest]] loop with the pigeonhole-band sketch: each
+    * document micro-batch is hashed once, probed against the CURRENT
+    * band table (hamming ≤ MaxHamming matches, corpus text never
+    * re-scanned), matches land under the `batch_id=N` sink, and the
+    * batch's simhashes append as one tagged delta so FUTURE batches
+    * dedup against it. Same replay discipline: scoring excludes the
+    * batch's own tagged delta; a redelivered doc self-matches at
+    * hamming 0 — the "already indexed" signal.
+    */
+  def simhashIngest(stream: DataFrame, indexPath: String, outPath: String,
+                    checkpoint: String, idCol: String = "doc_id",
+                    textCol: String = "text"): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = batchTag(spark, checkpoint, batchId)
+          val vdir = graft.operators.Versioned.resolve(spark, indexPath)
+            .getOrElse(sys.error(
+              s"simhashIngest needs a committed SimhashIndex at $indexPath " +
+                "(SimhashIndex.writeIndex builds it from the base corpus)"))
+          graft.functions.SimhashIndex
+            .candidates(spark, vdir, batch, idCol, textCol,
+              excludeTag = Some(tag))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+          graft.functions.SimhashIndex
+            .appendIndex(spark, indexPath, vdir, batch, idCol, textCol,
+              Some(tag))
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   def linkageIngest(stream: DataFrame, indexPath: String, outPath: String,
                     checkpoint: String, idCol: String = "id",
                     nameCol: String = "name",

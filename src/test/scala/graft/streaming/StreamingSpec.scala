@@ -929,4 +929,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == docs.count(), s"index holds $n sigs, corpus ${docs.count()}")
     } finally q.stop()
   }
+
+  test("simhashIngest: hamming screening through the persisted simhash index, replay-aware") {
+    // the minhashIngest loop with the pigeonhole sketch (round 18):
+    // even docs indexed, odd docs stream in two micro-batches plus an
+    // at-least-once redelivery; the even-left sink subset must equal
+    // the one-shot bipartite probe, and redelivered docs — appended on
+    // first delivery — must self-match through the index at hamming 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_ingest").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    graft.functions.SimhashIndex.writeIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", s"$dir/index")
+    val vdir0 = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = odd.splitAt(odd.length / 2)
+    val want = graft.functions.SimhashIndex.candidates(spark, vdir0,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    val ch = Streams.Channel[(Long, String)](spark)
+    ch.send(b1: _*)
+    val q = Streams.simhashIngest(ch.toDS.toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    try {
+      ch.send(b2: _*); q.processAllAvailable()
+      ch.send(b1: _*) // redelivery as a NEW batch id
+      q.processAllAvailable()
+      val sink = spark.read.parquet(s"$dir/out")
+        .select("id_a", "id_b", "hamming", "batch_id")
+        .as[(Long, Long, Int, Long)].collect()
+      val evenLeft = sink.filter(_._1 % 2 == 0).map(t => (t._1, t._2, t._3)).toSet
+      assert(evenLeft == want,
+        s"streamed even-side matches diverged: extra=${evenLeft -- want}, " +
+          s"missing=${want -- evenLeft}")
+      val lastBatch = sink.map(_._4).max
+      val selfs = sink.filter(r => r._4 == lastBatch && r._1 == r._2)
+      assert(selfs.map(_._1).toSet == b1.map(_._1).toSet,
+        "redelivered docs must self-match through the index")
+      assert(selfs.forall(_._3 == 0), "self-match hamming must be 0")
+      val vdir = graft.operators.Versioned.resolve(spark, s"$dir/index").get
+      val n = graft.functions.SimhashIndex.readSims(spark, vdir).count()
+      assert(n == docs.count(), s"index holds $n simhashes, corpus ${docs.count()}")
+    } finally q.stop()
+  }
 }

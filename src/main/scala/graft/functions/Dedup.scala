@@ -495,6 +495,20 @@ object Dedup {
     val sigs = graft.plans.CacheHandles.track("dedup.minhash.sigs",
       minhashSignatures(df, idCol, textCol, shingleK, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    estPairsForBanding(sigs, bands, rowsPerBand, numHashes, maxBucket,
+      "lsh_drops_minhash")
+  }
+
+  /** Band the (cached) signature table into `bands` buckets, pair
+    * within buckets, and join signatures back for est_jaccard — the
+    * banding-parameterized core of [[minhashCandidates]], shared with
+    * [[lshBandSweep]] so the sweep evaluates the EXACT production
+    * candidate path per config, not a reimplementation.
+    */
+  private def estPairsForBanding(sigs: DataFrame, bands: Int,
+                                 rowsPerBand: Int, numHashes: Int,
+                                 maxBucket: Int,
+                                 observeName: String): DataFrame = {
     // unrolled at plan-build time: band b hashes signature rows [b*R, (b+1)*R)
     val bandHashes = (0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
@@ -508,7 +522,7 @@ object Dedup {
     // payload joins merge-hinted (the ngramJaccard precedent): both
     // sides are corpus-derived explode descendants, and a tiny-SF
     // size estimate must not broadcast either build
-    pairsFromBucketsIds(banded, maxBucket, "lsh_drops_minhash")
+    pairsFromBucketsIds(banded, maxBucket, observeName)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
         .hint("merge"), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
@@ -516,6 +530,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** LSH band/row sweep — the knob-picking survival curve for a
+    * 100 TB near-dup run (the q_threshold_sweep shape applied to the
+    * LSH S-curve): for each band count b (rows r = numHashes/b), the
+    * candidate volume the banding would generate and how much of it
+    * is above the est-jaccard gates. More bands → the S-curve shifts
+    * left → more recall, more junk candidates; this measures the
+    * trade ON THE ACTUAL CORPUS before committing the full run.
+    *
+    * The corpus is signed ONCE (one text scan, the shared cached
+    * signature table); each config pays only its banding + in-bucket
+    * pairing, and each runs the exact [[minhashCandidates]] path.
+    * Output: one row per config — (n_bands, rows_per_band,
+    * n_candidates, n_ge_03, n_ge_05), all counts, engine-exact (est
+    * thresholds compare dyadic k/64 values, so ≥0.3 ⟺ k ≥ 20 in any
+    * engine).
+    */
+  def lshBandSweep(df: DataFrame, idCol: String, textCol: String,
+                   bandConfigs: Seq[Int] = Seq(8, 16, 32),
+                   shingleK: Int = 3, numHashes: Int = 64,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b =>
+      b > 0 && numHashes % b == 0),
+      s"each band count must divide numHashes=$numHashes")
+    val sigs = graft.plans.CacheHandles.track("dedup.lshSweep.sigs",
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    bandConfigs.map { bands =>
+      val rowsPerBand = numHashes / bands
+      estPairsForBanding(sigs, bands, rowsPerBand, numHashes, maxBucket,
+        s"lsh_sweep_drops_$bands")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("est_jaccard") >= 0.3, 1L).otherwise(0L)),
+            lit(0L)).as("n_ge_03"),
+          coalesce(sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)),
+            lit(0L)).as("n_ge_05"))
+        .select(lit(bands).as("n_bands"),
+          lit(rowsPerBand).as("rows_per_band"),
+          col("n_candidates"), col("n_ge_03"), col("n_ge_05"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Bucket pair generation: group (band,bkey) rows into buckets,

@@ -202,7 +202,49 @@ object CalibrationQueries {
     //       corpus, trace preservation, and share monotonicity.
     "q_embed_pca" -> ((s, d) =>
       graft.functions.EmbedStats.pcaSpectrum(
-        Tables.embeddings(s, d), "embedding", dim = 64, topK = 10)))
+        Tables.embeddings(s, d), "embedding", dim = 64, topK = 10)),
+
+    // 151c. LSH band/row sweep (round 18): the q_threshold_sweep
+    //       shape applied to the LSH S-curve — per band config over
+    //       the SAME 64-hash signature table (one text scan), the
+    //       candidate volume and its est-jaccard survival. Picks the
+    //       banding knob on the actual corpus before a 100 TB dedup
+    //       run commits to one. Each config runs the exact
+    //       minhashCandidates path; output is 3 rows of counts,
+    //       engine-exact (est thresholds compare dyadic k/64).
+    "q_lsh_band_sweep" -> ((s, d) =>
+      Dedup.lshBandSweep(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("n_bands")),
+
+    // 151d. MinHash calibration curve (round 18): est_jaccard (the
+    //       64-hash sketch) vs EXACT shingle jaccard on the sketch's
+    //       own candidate pairs, bucketed by est decile — the
+    //       measured answer to "how much do I trust est ≥ 0.5 at
+    //       100 TB?". Every output value is engine-exact without
+    //       rounding dodges: mean_est sums dyadic k/64 values (exact
+    //       in any order), min/max are order-free, and the error
+    //       counter compares per-pair doubles both engines compute
+    //       identically. The exact-jaccard side reuses the bounded
+    //       ngramJaccard verify (hashed shingle sets, candidates
+    //       only — never all pairs).
+    "q_minhash_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.25)
+      val exact = Dedup.ngramJaccard(docs,
+        cands.select("id_a", "id_b"), "doc_id", "text")
+      cands.join(exact, Seq("id_a", "id_b"))
+        .withColumn("bucket",
+          least(floor(col("est_jaccard") * 10), lit(9.0)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("est_jaccard")) / count(lit(1))).as("mean_est"),
+          min(col("jaccard")).as("min_exact"),
+          max(col("jaccard")).as("max_exact"),
+          sum(when(abs(col("est_jaccard") - col("jaccard")) > 0.15, 1L)
+            .otherwise(0L)).as("n_err_gt_015"))
+        .orderBy("bucket")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_winnowing" ->
@@ -294,5 +336,125 @@ object CalibrationQueries {
         |         (CAST(sum(vm) AS DOUBLE) / count(*)) * (CAST(sum(vm) AS DOUBLE) / count(*)))
         |        / 100000000.0 * 1000000 + 0.5) / 1000000.0 AS variance,
         |  floor(CAST(count(*) FILTER (WHERE abs(vm) < 100) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS frac_near_zero
-        |FROM m GROUP BY dim ORDER BY dim""".stripMargin)
+        |FROM m GROUP BY dim ORDER BY dim""".stripMargin,
+    // The q_dedup_minhash signature pipeline, banded once per sweep
+    // config (i // r groups the same 64 hashes; the oracle buckets by
+    // band VALUE where Spark buckets by xxhash64 of it — identical
+    // modulo 2⁻⁶⁴ collisions). LEFT JOIN from cfg keeps configs whose
+    // candidate set is empty as zero rows; sums cast back to BIGINT
+    // (DuckDB HUGEINT would fail the type gate).
+    "q_lsh_band_sweep" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), hh AS (
+        |  SELECT id,
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s || '#'), 1, 14) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT id, i, min((h1 + i * h2) % 2305843009213693951) AS m
+        |  FROM hh CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2
+        |), cfg AS (
+        |  SELECT * FROM (VALUES (8, 8), (16, 4), (32, 2)) t(nb, r)
+        |), band AS (
+        |  SELECT c.nb, s.id, s.i // c.r AS band,
+        |    array_to_string(list(s.m ORDER BY s.i), ',') AS bkey
+        |  FROM sig s CROSS JOIN cfg c
+        |  GROUP BY c.nb, s.id, s.i // c.r
+        |), capped AS (
+        |  SELECT nb, id, band, bkey FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY nb, band, bkey) AS bs FROM band)
+        |  WHERE bs BETWEEN 2 AND 1000
+        |), cand AS (
+        |  SELECT DISTINCT a.nb, a.id AS id_a, b.id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.nb = b.nb AND a.band = b.band AND a.bkey = b.bkey
+        |      AND a.id < b.id
+        |), est AS (
+        |  SELECT c.nb, c.id_a, c.id_b,
+        |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE / 64 AS ej
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT c.nb AS n_bands, c.r AS rows_per_band,
+        |  count(e.ej) AS n_candidates,
+        |  CAST(coalesce(sum(CASE WHEN e.ej >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge_03,
+        |  CAST(coalesce(sum(CASE WHEN e.ej >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge_05
+        |FROM cfg c LEFT JOIN est e ON e.nb = c.nb
+        |GROUP BY 1, 2 ORDER BY n_bands""".stripMargin,
+    // est from the q_dedup_minhash pipeline at its default 16-band
+    // config; exact jaccard from the shingle sets (the q_ngram_jaccard
+    // inter/union of DISTINCT shingles — string-level where Spark
+    // compares xxhash64 sets, identical modulo collisions). Every
+    // output avoids order-dependent float sums: mean_est is an exact
+    // dyadic sum, min/max are order-free, the error count compares
+    // per-pair doubles.
+    "q_minhash_calibration" ->
+      """WITH sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), hh AS (
+        |  SELECT id,
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s || '#'), 1, 14) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT id, i, min((h1 + i * h2) % 2305843009213693951) AS m
+        |  FROM hh CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2
+        |), band AS (
+        |  SELECT id, i // 4 AS band,
+        |    array_to_string(list(m ORDER BY i), ',') AS bkey
+        |  FROM sig GROUP BY id, i // 4
+        |), capped AS (
+        |  SELECT id, band, bkey FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bs FROM band)
+        |  WHERE bs BETWEEN 2 AND 1000
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        |), est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE / 64 AS ej
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+        |  GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE / 64 >= 0.25
+        |), sizes AS (
+        |  SELECT id, count(*) AS n FROM sh GROUP BY id
+        |), inter AS (
+        |  SELECT e.id_a, e.id_b, count(*) AS ni
+        |  FROM est e JOIN sh a ON a.id = e.id_a
+        |  JOIN sh b ON b.id = e.id_b AND b.s = a.s
+        |  GROUP BY 1, 2
+        |), paired AS (
+        |  SELECT e.id_a, e.id_b, e.ej,
+        |    coalesce(i.ni, 0)::DOUBLE /
+        |      (na.n + nb.n - coalesce(i.ni, 0)) AS jx
+        |  FROM est e
+        |  LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        |  JOIN sizes na ON na.id = e.id_a
+        |  JOIN sizes nb ON nb.id = e.id_b
+        |)
+        |SELECT least(floor(ej * 10), 9)::INT AS bucket,
+        |  count(*) AS n_pairs,
+        |  sum(ej) / count(*) AS mean_est,
+        |  min(jx) AS min_exact,
+        |  max(jx) AS max_exact,
+        |  CAST(sum(CASE WHEN abs(ej - jx) > 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_gt_015
+        |FROM paired GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

@@ -98,6 +98,30 @@ object GovernanceQueries {
         .orderBy("source")
     }),
 
+    // 101b. Near-dup cluster-size distribution (round 18): the
+    //     governance face of q_dedup_clusters — per cluster size s,
+    //     how many clusters, how many docs they hold, and the excess
+    //     (docs a keep-one dedup would remove). The number that says
+    //     whether duplication is a long tail of pairs or a few huge
+    //     boilerplate families — which decides pair-verify vs
+    //     cluster-collapse strategy BEFORE a 100 TB dedup run. The
+    //     heavy lifting (edges + connected components) is the same
+    //     bounded machinery as q_dedup_clusters; this adds one
+    //     cluster-count-sized aggregation (output ≤ distinct sizes).
+    "q_cluster_size_dist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.sharedShingleEdges(docs, "doc_id", "text",
+        shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
+      val comps = graft.operators.ConnectedComponents.labelPropagation(
+        docs.select(col("doc_id").as("id")), edges)
+      comps.groupBy("comp").agg(count(lit(1)).as("n_docs"))
+        .groupBy("n_docs").agg(count(lit(1)).as("n_clusters"))
+        .select(col("n_docs"), col("n_clusters"),
+          (col("n_docs") * col("n_clusters")).as("docs_total"),
+          ((col("n_docs") - 1) * col("n_clusters")).as("excess_docs"))
+        .orderBy("n_docs")
+    }),
+
     // 102. Degree distribution of the user->event interaction graph:
     //     degree per user, then users per degree. Both aggregations
     //     map-side combine; the second one's input is already one row
@@ -268,6 +292,40 @@ object GovernanceQueries {
       """SELECT degree, count(*) AS n_users FROM (
         |  SELECT user_id, count(*) AS degree FROM events GROUP BY user_id)
         |GROUP BY degree ORDER BY degree""".stripMargin,
+    // same recursive min-label closure as the q_dedup_clusters oracle,
+    // rolled up once more to the size distribution
+    "q_cluster_size_dist" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), kept AS (
+        |  SELECT id, shingle FROM (
+        |    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df BETWEEN 2 AND 20
+        |), edges AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges
+        |), walk(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+        |), comps AS (
+        |  SELECT id, min(r) AS comp FROM walk GROUP BY id
+        |), clusters AS (
+        |  SELECT comp, count(*) AS n_docs FROM comps GROUP BY comp
+        |)
+        |SELECT n_docs, count(*) AS n_clusters,
+        |  n_docs * count(*) AS docs_total,
+        |  (n_docs - 1) * count(*) AS excess_docs
+        |FROM clusters GROUP BY n_docs ORDER BY n_docs""".stripMargin,
     // parity with the Spark side is EXACT: every Gram/moment sum is
     // an integer, both engines cast the identical values to double,
     // and the determinant expressions use the identical

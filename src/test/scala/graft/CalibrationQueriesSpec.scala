@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Wave-14 calibration-family invariants: driver recomputes for the
@@ -175,5 +176,52 @@ class CalibrationQueriesSpec extends AnyFunSuite {
         s"dim ${i + 1}: got ($gn,$gmean,$gvar,$gnz) want ($n,$mean,$variance,${r(nz.toDouble / n, 1e4)})")
       assert(gvar >= 0.0, s"dim ${i + 1}: negative variance")
     }
+  }
+
+  test("q_lsh_band_sweep: candidate volume grows with band count, " +
+    "survivors are banding-invariant truths, and the 16-band row IS " +
+    "the production q_dedup_minhash count") {
+    val rows = SparkEntry.queries("q_lsh_band_sweep")(spark, sf)
+      .as[(Int, Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32))
+    rows.foreach { case (nb, r, nc, g3, g5) =>
+      assert(nb * r == 64, s"config ($nb,$r) does not tile 64 hashes")
+      assert(g5 <= g3 && g3 <= nc, s"survival not monotone at $nb bands")
+    }
+    // the S-curve: more bands can only ADD candidate pairs from the
+    // same signature table (each config's buckets refine coarser ones
+    // only in one direction), so volume is non-decreasing in nb
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      s"candidate volume not non-decreasing: ${rows.map(_._3).toSeq}")
+    // cross-pin: the 16-band config is EXACTLY the production path,
+    // so its ≥0.5 survivor count must equal q_dedup_minhash's rows
+    val prod = SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
+    assert(rows.find(_._1 == 16).get._5 == prod,
+      "16-band sweep row diverged from the production candidate count")
+  }
+
+  test("q_minhash_calibration: bucket partition of the est≥0.25 " +
+    "candidate set, by-construction bounds hold") {
+    val rows = SparkEntry.queries("q_minhash_calibration")(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, me, mn, mx, ne) =>
+      assert(b >= 2 && b <= 9, s"bucket $b outside est≥0.25 range")
+      assert(n > 0 && ne <= n, s"bucket $b: error count exceeds pairs")
+      assert(mn <= mx, s"bucket $b: min_exact > max_exact")
+      assert(mn >= 0.0 && mx <= 1.0, s"bucket $b: jaccard outside [0,1]")
+      // mean_est must live in the bucket's own decile (bucket 9 is
+      // open-topped: est can be 1.0)
+      assert(me >= b / 10.0 - 1e-12 &&
+        (b == 9 || me < (b + 1) / 10.0 + 1e-12),
+        s"bucket $b: mean_est $me outside its decile")
+    }
+    // the buckets partition the candidate set: sizes sum to the
+    // est≥0.25 candidate count from the production path
+    val cands = graft.functions.Dedup
+      .minhashCandidates(Tables.documents(spark, sf), "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.25).count()
+    assert(rows.map(_._2).sum == cands,
+      s"bucket sizes ${rows.map(_._2).sum} != candidate count $cands")
   }
 }

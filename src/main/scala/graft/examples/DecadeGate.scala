@@ -65,7 +65,18 @@ object DecadeGate {
     "q_threshold_sweep" -> 12.0,
     "q_export_shards" -> 12.0,
     "q_embed_pca" -> 12.0,
-    "q_nll_sweep" -> 12.0
+    "q_nll_sweep" -> 12.0,
+
+    // wave-18b band: the sweep re-bands the signature table 3× (its
+    // shuffle should track the signature path ~linearly), the
+    // calibration adds a candidate-bounded exact-jaccard verify, and
+    // the size distribution rides q_dedup_clusters' machinery plus a
+    // cluster-count-sized rollup. q_dedup_simhash_inc is an indexed
+    // serve (excluded by the same rule as q_dedup_minhash_inc: its
+    // one-shot measure would attribute the one-time index build).
+    "q_lsh_band_sweep" -> 12.0,
+    "q_minhash_calibration" -> 12.0,
+    "q_cluster_size_dist" -> 12.0
   )
 
   /** Queries whose RESULT SET is itself superlinear in the corpus on

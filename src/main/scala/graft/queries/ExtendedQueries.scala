@@ -222,6 +222,43 @@ object ExtendedQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // 67b. Time-to-convert survival (round 18): Kaplan-Meier curve of
+    //      days from a user's first signup to their first subsequent
+    //      purchase. With censoring only at the observation end (all
+    //      users share one window), the KM product telescopes to
+    //      EXACT integer ratios — S(d) = (n₀ − converted≤d)/n₀ — so
+    //      no float products and the oracle matches bit-for-bit.
+    //      Shape is the q_threshold_sweep broadcast-grid scan: the
+    //      user-level conversion table cross-joins a fixed 30-day
+    //      literal grid and partial aggregation collapses map-side to
+    //      ≤30 rows per partition — no global window, no no-equi-key
+    //      self-join, corpus-scale-safe. Day offsets are tz-free
+    //      integer floor-divs on epoch micros (unix_micros ≡
+    //      epoch_us).
+    "q_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val conv = su.join(pu, Seq("user_id"), "left")
+        .groupBy("user_id", "t0_us")
+        .agg(min(when(col("p_us") >= col("t0_us"), col("p_us"))).as("ct_us"))
+        .select(expr("(ct_us - t0_us) div 86400000000").as("day"))
+      val grid = s.range(0, 30).select(col("id").as("d"))
+      conv.crossJoin(broadcast(grid))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_cohort"),
+          sum(when(col("day") < col("d"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("day") === col("d"), 1L).otherwise(0L)).as("n_eq"))
+        .select(col("d").as("day"),
+          (col("n_cohort") - col("n_lt")).as("n_at_risk"),
+          col("n_eq").as("n_converted"),
+          ((col("n_cohort") - col("n_lt") - col("n_eq")).cast("double") /
+            col("n_cohort")).as("survival"))
+        .orderBy("day")
+    }),
+
     // 69. Time-series resample: per-user hourly grid from first to
     //     last purchase with gaps forward-filled. Formulated WITHOUT a
     //     grid⋈hourly join: each hourly row explodes across its own
@@ -402,5 +439,30 @@ object ExtendedQueries {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM ev e JOIN cohort c ON e.user_id = c.user_id
         |GROUP BY c.cohort_day, day_offset
-        |ORDER BY cohort_day, day_offset""".stripMargin)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // epoch_us ≡ Spark's unix_micros (integer micros); // ≡ div on
+    // positive longs; NULL day (never-converted) falls out of both
+    // engines' conditional counts identically; counts stay BIGINT
+    // (count, not sum) so no HUGEINT leaks
+    "q_time_to_convert" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0_us FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), pu AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+        |  WHERE event_type = 'purchase'
+        |), conv AS (
+        |  SELECT s.user_id,
+        |    (min(CASE WHEN p.p_us >= s.t0_us THEN p.p_us END) - s.t0_us)
+        |      // 86400000000 AS day
+        |  FROM su s LEFT JOIN pu p USING (user_id)
+        |  GROUP BY s.user_id, s.t0_us
+        |)
+        |SELECT g.d AS day,
+        |  count(*) - count(CASE WHEN c.day < g.d THEN 1 END) AS n_at_risk,
+        |  count(CASE WHEN c.day = g.d THEN 1 END) AS n_converted,
+        |  (count(*) - count(CASE WHEN c.day <= g.d THEN 1 END))::DOUBLE
+        |    / count(*) AS survival
+        |FROM conv c CROSS JOIN range(30) g(d)
+        |GROUP BY g.d ORDER BY day""".stripMargin)
 }

@@ -26,7 +26,8 @@ class DecadeGateSpec extends AnyFunSuite {
     // path must stay under the gate — the r15 sweep predates them
     val wave = Seq("q_dedup_minhash", "q_dedup_simhash", "q_hll_union",
       "q_rfm", "q_threshold_sweep", "q_export_shards", "q_embed_pca",
-      "q_nll_sweep")
+      "q_nll_sweep",
+      "q_lsh_band_sweep", "q_minhash_calibration", "q_cluster_size_dist")
     val missing = wave.filterNot(pins.map(_._1).toSet)
     assert(missing.isEmpty, s"wave-17/18 arrivals unpinned: $missing")
     // output-relative pins must reference pinned queries, and the

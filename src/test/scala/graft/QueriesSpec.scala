@@ -101,4 +101,26 @@ class QueriesSpec extends AnyFunSuite {
         assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned 0 rows")
       }
   }
+
+  test("q_time_to_convert is a coherent KM table: 30-day grid, telescoping " +
+    "at-risk counts, exact-ratio survival, non-increasing") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_time_to_convert")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 30L), "grid must be days 0..29")
+    val n0 = rows.head._2 // day 0 at-risk = full cohort
+    assert(n0 > 0, "empty signup cohort — weak corpus")
+    rows.foreach { case (d, atRisk, conv, surv) =>
+      assert(conv <= atRisk, s"day $d: more conversions than at-risk")
+      // survival is the exact integer ratio — reproduce it bit-for-bit
+      assert(surv == (atRisk - conv).toDouble / n0,
+        s"day $d: survival $surv is not the exact (atRisk-conv)/n0 ratio")
+    }
+    // end-of-window-only censoring: at-risk telescopes by conversions
+    rows.sliding(2).foreach { case Array((d, ar, c, _), (_, ar2, _, _)) =>
+      assert(ar2 == ar - c, s"day $d->${d + 1}: at-risk $ar-$c != $ar2")
+    }
+    assert(rows.map(_._4).sliding(2).forall(p => p(1) <= p(0)),
+      "survival must be non-increasing")
+  }
 }

@@ -142,6 +142,27 @@ object LlmQueries {
       out
     }),
 
+    // 29e. The COMPLETE LSH dedup pipeline (round 18): minhash
+    //      candidates (est ≥ 0.5, the gate q_minhash_calibration
+    //      validates) → connected components → one row per cluster
+    //      with the canonical keep id. q_dedup_clusters walks exact
+    //      shared-shingle edges; this walks the SKETCH's edges — the
+    //      version that runs at 100 TB, where exact all-pairs edge
+    //      generation is off the table. Portable signatures keep it
+    //      fully hash-gated (oracle reproduces the candidate set,
+    //      then the same recursive min-label closure).
+    "q_minhash_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      val comps = graft.operators.ConnectedComponents.labelPropagation(
+        docs.select(col("doc_id").as("id")), edges)
+      comps.groupBy("comp")
+        .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))
+        .orderBy("comp")
+    }),
+
     // 30. SimHash near-dups within hamming distance 3. Hash-gated
     //     since round 17: 60-bit portable md5-derived simhashes, the
     //     oracle reproduces hashes, banding, and popcounts exactly.
@@ -598,6 +619,57 @@ object LlmQueries {
         |)
         |SELECT id_a, id_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // The q_dedup_minhash candidate set (est ≥ 0.5) walked to
+    // connected components by the q_dedup_clusters recursive
+    // min-label closure — the sketch-edge cluster pipeline.
+    "q_minhash_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |), hh AS (
+        |  SELECT id,
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s || '#'), 1, 14) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT id, i, min((h1 + i * h2) % 2305843009213693951) AS m
+        |  FROM hh CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2
+        |), band AS (
+        |  SELECT id, i // 4 AS band,
+        |    array_to_string(list(m ORDER BY i), ',') AS bkey
+        |  FROM sig GROUP BY id, i // 4
+        |), capped AS (
+        |  SELECT id, band, bkey FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bs FROM band)
+        |  WHERE bs BETWEEN 2 AND 1000
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        |), edges AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+        |  GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE / 64 >= 0.5
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges
+        |), walk(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+        |), comps AS (
+        |  SELECT id, min(r) AS comp FROM walk GROUP BY id
+        |)
+        |SELECT comp, count(*) AS n_docs, min(id) AS keep_id
+        |FROM comps GROUP BY comp ORDER BY comp""".stripMargin,
     // The persisted-index bipartite shape: corpus = even ids (the
     // indexed side, bucket-capped at 1000 on ITS population alone),
     // batch = odd ids. Same portable signatures; the oracle groups by

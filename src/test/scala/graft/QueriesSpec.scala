@@ -102,6 +102,22 @@ class QueriesSpec extends AnyFunSuite {
       }
   }
 
+  test("q_minhash_clusters partitions the corpus and keeps the min id") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_minhash_clusters")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs,
+      "cluster sizes must partition the corpus (every doc in exactly one)")
+    // labelPropagation's component label IS the min member id, and
+    // keep-first dedup keeps exactly that — a divergence means the
+    // canonical-id rule drifted
+    rows.foreach { case (comp, _, keep) =>
+      assert(comp == keep, s"component $comp keeps $keep, not its min id")
+    }
+    assert(rows.exists(_._2 > 1), "no multi-doc cluster — weak corpus")
+  }
+
   test("q_time_to_convert is a coherent KM table: 30-day grid, telescoping " +
     "at-risk counts, exact-ratio survival, non-increasing") {
     import spark.implicits._

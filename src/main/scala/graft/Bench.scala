@@ -241,8 +241,8 @@ object BenchFormat {
     * process, so the window must hold just the line plus its newline —
     * cap 1980, keeping ~19 chars of slack for an unexpected trailer.
     * BenchFormatSpec pins the CURRENT query inventory's FULL map under
-    * this at worst-case value widths (99.9 s — fCompact's widest
-    * rendering; wider times print ≤3 chars), and the adaptive trim in
+    * this at worst-case value widths (3 chars — fCompact's widest
+    * rendering since the round-18 densification), and the adaptive trim in
     * [[compactLine]] guarantees the line itself fits at ANY inventory
     * size (+50 and +500 pinned).
     */
@@ -303,10 +303,14 @@ object BenchFormat {
 
   /** Per-query seconds at ~2 significant figures (full 3-decimal
     * precision stays in BENCH_DETAIL.json): bounded width keeps the
-    * whole inventory inside the tail window.
+    * whole inventory inside the tail window. Densified at the
+    * 193-query inventory (round 18): ≥10 s drops the decimal (12.3 →
+    * 12 — still 2 sig figs in the 10-99 band), capping the worst
+    * entry width at 3 chars ("9.9" / "100") vs the old 4 ("99.9"),
+    * which bought the full map ~190 chars of budget.
     */
   def fCompact(d: Double): String =
-    if (d < 0) "-1" else if (d >= 100) f"$d%.0f" else f"$d%.1f"
+    if (d < 0) "-1" else if (d >= 10) f"$d%.0f" else f"$d%.1f"
 
   // "/root/testdata/sf0.1" → 0.1 (numeric, per the driver contract's
   // `"sf":…`). The captured group must round-trip as a JSON number —

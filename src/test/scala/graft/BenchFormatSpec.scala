@@ -11,9 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * would overflow, so the line parses at ANY inventory size — the
   * recurring per-wave headroom wall is gone by construction.
   *
-  * Worst-case per-query value is pinned at 99.9 s — fCompact's WIDEST
-  * rendering (4 chars; ≥100 s prints 3, the old 240 s pin was
-  * narrower than this).
+  * Worst-case per-query value is pinned at 99.9 s, which since the
+  * round-18 densification renders "100" — fCompact's WIDEST class (3
+  * chars; <10 s prints "9.9", also 3). The densification (≥10 s drops
+  * the decimal, still 2 sig figs in the 10-99 band) is what fits the
+  * 193-query FULL map back inside the tail-window budget.
   */
 class BenchFormatSpec extends AnyFunSuite {
 
@@ -130,7 +132,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val slowKey = java.lang.Long.toString(
       sorted.indexWhere(_._1 == "q_slowest").toLong, 36)
     assert(tree.get("queries").get(failedKey).asDouble == -1.0)
-    assert(tree.get("queries").get(slowKey).asDouble == 99.9)
+    // 99.9 renders "100" under the densified ≥10 s integer format
+    assert(tree.get("queries").get(slowKey).asDouble == 100.0)
   }
 
   test("sfJson only emits valid JSON numbers, escaping everything else") {
@@ -150,7 +153,9 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("compact values: 2-sig-fig widths, failed markers stay -1") {
     assert(BenchFormat.fCompact(0.32) == "0.3")
-    assert(BenchFormat.fCompact(12.34) == "12.3")
+    assert(BenchFormat.fCompact(9.94) == "9.9")
+    assert(BenchFormat.fCompact(12.34) == "12")
+    assert(BenchFormat.fCompact(99.9) == "100")
     assert(BenchFormat.fCompact(239.9) == "240")
     assert(BenchFormat.fCompact(-1.0) == "-1")
     val (line, _) = BenchFormat.compactLine(

@@ -177,7 +177,11 @@ object Bench {
       // CacheHandles, so this targeted release replaces the former
       // blanket clearCache (which a long-lived service could never
       // borrow without nuking unrelated session caches).
-      try { graft.plans.CacheHandles.releaseAll(); () }
+      // BLOCKING release (round 18): the async drop of a cache-heavy
+      // query's blocks otherwise lands inside the NEXT query's timed
+      // region (q_mix_temperature measured 4× slower behind
+      // q_minhash_clusters' drop storm)
+      try { graft.plans.CacheHandles.releaseAllBlocking(); () }
       catch { case e: Throwable =>
         System.err.println(s"[bench] cache release after $name failed: ${e.getMessage}") }
       // the detail row carries every sample, re-time included, so a

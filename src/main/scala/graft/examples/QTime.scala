@@ -57,7 +57,7 @@ object QTime {
         }
         dt
       }
-      try { graft.plans.CacheHandles.releaseAll(); () } catch { case _: Throwable => () }
+      try { graft.plans.CacheHandles.releaseAllBlocking(); () } catch { case _: Throwable => () }
       val warm = if (times.length > 1) times.drop(1) else times
       println(f"[qtime] $name%-18s iters=${times.map(t => f"$t%.2f").mkString("[", ",", "]")} " +
         f"min_warm=${warm.min}%.2f shufW=${l.shuffleWrite.get / 1048576.0}%.1fMB " +

@@ -72,21 +72,15 @@ object Dedup {
     * [[shingles]]. `hash` turns the k token columns into the span key.
     */
   private def spanRowsBy(df: DataFrame, idCol: String, textCol: String,
-                         k: Int, hash: Seq[Column] => Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ts = tokens(col(textCol))
-    // pre-partition by doc id: parallelizes tokenize/explode out of a
-    // single row group; the window and downstream per-doc aggregations
-    // reuse this partitioning (no re-shuffle)
+                         k: Int, hashArray: Column => Column): DataFrame = {
+    // pre-partition by doc id: parallelizes tokenize/hash out of a
+    // single row group; downstream per-doc aggregations reuse this
+    // partitioning (no re-shuffle). Round-18: per-doc codegen kernel
+    // instead of posexplode + Window.lead (see [[shingleHashes]]);
+    // TextHashSpec pins both hash variants bit-identical.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    val long = spread
-      .filter(size(ts) >= k)
-      .select(col(idCol).as("id"), posexplode(ts))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val parts = col("col") +: (1 until k).map(j => lead(col("col"), j).over(w))
-    long
-      .select(col("id"), hash(parts).as("h"), parts.last.isNotNull.as("full"))
-      .filter(col("full")).drop("full")
+    spread.select(col(idCol).as("id"),
+      explode(hashArray(col(textCol))).as("h"))
   }
 
   /** (id, h) rows, one per k-word span occurrence, h = 64-bit
@@ -97,7 +91,8 @@ object Dedup {
     * [[spanRowsMd5]] when the span hash is itself an output column.
     */
   def spanRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    spanRowsBy(df, idCol, textCol, k, ps => xxhash64(ps: _*))
+    spanRowsBy(df, idCol, textCol, k,
+      t => graft.plans.TextHashCols.shingleXx64(t, k, fallback = false))
 
   /** (id, hb) rows, one per k-word span occurrence, hb = 16-byte
     * BINARY md5 of the space-joined span — for span-level dedup whose
@@ -107,7 +102,7 @@ object Dedup {
     */
   def spanRowsMd5(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     spanRowsBy(df, idCol, textCol, k,
-      ps => unhex(md5(concat_ws(" ", ps: _*).cast("binary"))))
+      t => graft.plans.TextHashCols.shingleMd5(t, k))
 
   /** Scale-safe per-key stats attach — the replacement for
     * `agg(...) over Window.partitionBy(key)` on an unbounded-
@@ -164,15 +159,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = docs.repartition(par, col(idCol))
-    val ts = tokens(col(textCol))
-    val tok = spread.filter(size(ts) >= k)
-      .select(col(idCol).as("id"), posexplode(ts))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val parts = col("col") +: (1 until k).map(j => lead(col("col"), j).over(w))
-    val occ = tok
-      .select(col("id"), col("pos"), xxhash64(parts: _*).as("h"),
-        parts.last.isNotNull.as("full"))
-      .filter(col("full")).drop("full")
+    // round-18: per-doc codegen kernel with posexplode — pos is the
+    // 0-based span-start token index, exactly the surviving `pos` of
+    // the former posexplode + window.lead shape (TextHashSpec pins the
+    // hash values; the index is positional by construction)
+    val occ = spread
+      .select(col(idCol).as("id"),
+        posexplode(graft.plans.TextHashCols.shingleXx64(
+          col(textCol), k, fallback = false)))
+      .withColumnRenamed("col", "h")
     val stats = occ
       .select(col("h"), col("id"),
         EngineNeutral.md5Long60(col("id").cast("string")).as("idh"))
@@ -403,24 +398,19 @@ object Dedup {
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
                     shingleK: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ts = tokens(col(textCol))
-    // pre-partition by doc id: parallelizes the tokenize/explode even
-    // when the source is a single parquet row group, and the window +
-    // downstream groupBy(id) reuse this partitioning (no re-shuffle)
+    // pre-partition by doc id: parallelizes the tokenize/hash even
+    // when the source is a single parquet row group, and the
+    // downstream groupBy(id) reuses this partitioning (no re-shuffle).
+    // Round-18 optimization: the per-doc codegen kernel
+    // [[graft.plans.TextHash.shingleXx64]] replaces the former
+    // posexplode + Window.lead + xxhash64 shape — values pinned
+    // bit-identical by TextHashSpec; the per-partition window sort and
+    // the per-token rows disappear (the window stage was ~21 CPU-s per
+    // edge-family query at sf0.1).
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    val long = spread
-      .filter(size(ts) >= shingleK)
-      .select(col(idCol).as("id"), posexplode(ts))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val parts = col("col") +: (1 until shingleK).map(j => lead(col("col"), j).over(w))
-    val longH = long
-      .select(col("id"), xxhash64(parts: _*).as("h"), parts.last.isNotNull.as("full"))
-      .filter(col("full")).drop("full")
-    val shortH = spread
-      .filter(size(ts) < shingleK)
-      .select(col(idCol).as("id"), xxhash64(concat_ws(" ", ts)).as("h"))
-    longH.unionAll(shortH)
+    spread.select(col(idCol).as("id"),
+      explode(graft.plans.TextHashCols.shingleXx64(
+        col(textCol), shingleK, fallback = true)).as("h"))
   }
 
   /** Kirsch–Mitzenmacher double hashing: the i-th derived MinHash
@@ -454,20 +444,19 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
     require(numHashes <= 64, "numHashes > 64 would overflow h1 + i*h2")
-    // pre-partition by doc id: parallelizes the shingle explode + md5
-    // even from a single row group; groupBy(id) reuses the layout
+    // Round-18 optimization: the whole signature is computed per
+    // DOCUMENT row by the codegen kernel
+    // [[graft.plans.TextHash.minhashSig]] — the shingle explode, the
+    // two md5→substr→conv→cast chains per shingle row and the
+    // 64-column min aggregate (and its shuffle) disappear; md5 still
+    // runs once per DISTINCT shingle exactly like the array_distinct
+    // form. Values pinned bit-identical by TextHashSpec against the
+    // original aggregate formulation; the q_dedup_minhash oracle SQL
+    // is unchanged. The repartition keeps the single-row-group source
+    // parallel and keys by id so downstream per-doc joins reuse it.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    val base = spread
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("s"))
-      .select(col("id"),
-        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h1"),
-        expr("CAST(conv(substr(md5(concat(s, '#')), 1, 14), 16, 10) AS BIGINT)").as("h2"))
-    val mins = (0 until numHashes).map { i =>
-      min((col("h1") + lit(i.toLong) * col("h2")) % lit(MersennePrime61)).as(s"m$i")
-    }
-    base.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+    spread.select(col(idCol).as("id"),
+      graft.plans.TextHashCols.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
   }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
@@ -495,6 +484,10 @@ object Dedup {
     val sigs = graft.plans.CacheHandles.track("dedup.minhash.sigs",
       minhashSignatures(df, idCol, textCol, shingleK, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    // eager: banding + both est-join sides are CONCURRENT AQE stages —
+    // a lazily-persisted table computes once per in-flight stage (see
+    // sharedShingleEdges)
+    sigs.count()
     estPairsForBanding(sigs, bands, rowsPerBand, numHashes, maxBucket,
       "lsh_drops_minhash")
   }
@@ -528,7 +521,10 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
         .hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+        // round-18: codegen equal-position count instead of the
+        // interpreted zip_with/filter/size chain (ArrayPairsSpec pins
+        // value equality)
+        (graft.plans.ArrayPairsCols.arrayEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes).as("est_jaccard"))
   }
 
@@ -558,6 +554,9 @@ object Dedup {
     val sigs = graft.plans.CacheHandles.track("dedup.lshSweep.sigs",
       minhashSignatures(df, idCol, textCol, shingleK, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    // eager: every banding config fans out concurrently (see
+    // sharedShingleEdges)
+    sigs.count()
     bandConfigs.map { bands =>
       val rowsPerBand = numHashes / bands
       estPairsForBanding(sigs, bands, rowsPerBand, numHashes, maxBucket,
@@ -624,11 +623,21 @@ object Dedup {
     // EnsureRequirements (hashing on (band, bkey) again would be,
     // since the groupBy exchange already provides that exact
     // distribution); the extra exchange carries only the id arrays.
+    // round-18: the quadratic in-bucket explode runs in the codegen
+    // kernel [[graft.plans.ArrayPairs.longPairs]] when ids are longs
+    // (the interpreted nested transform/filter walked the lambda per
+    // element — 8.5 s CPU for 1.23 M pairs at sf0.1); non-long id
+    // types keep the HOF form. ArrayPairsSpec pins pair-set equality.
+    val pairCol =
+      if (banded.schema("id").dataType == org.apache.spark.sql.types.LongType)
+        graft.plans.ArrayPairsCols.longPairs(col("ms"))
+      else
+        flatten(transform(col("ms"), a =>
+          transform(filter(col("ms"), b => b > a),
+            b => struct(a.as("id_a"), b.as("id_b")))))
     buckets
       .repartition(banded.sparkSession.sparkContext.defaultParallelism)
-      .select(explode(flatten(transform(col("ms"), a =>
-        transform(filter(col("ms"), b => b > a),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
+      .select(explode(pairCol).as("pair"))
       .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
@@ -669,7 +678,22 @@ object Dedup {
   def sharedShingleEdges(df: DataFrame, idCol: String, textCol: String,
                          shingleK: Int = 3, minShared: Int = 5,
                          minDf: Int = 2, maxDf: Int = 20): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, shingleK).dropDuplicates("id", "h")
+    // round-18: persist the deduped shingle table — joinKeyStats
+    // references it twice (rows + stats side), and without the persist
+    // each side replays the full tokenize→hash→explode→dedup chain
+    // (StageProfile: two ~9.5 s-CPU twin stages at sf0.1). 16 B/row,
+    // MEMORY_ONLY + CacheHandles like the simjoin/ngramJaccard sites.
+    val sh = graft.plans.CacheHandles.track("dedup.edges.shingles",
+      shingleHashes(df, idCol, textCol, shingleK).dropDuplicates("id", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    // materialize BEFORE the consumers: joinKeyStats + the self-join
+    // reference this subtree four times, and AQE submits those query
+    // stages CONCURRENTLY — a lazily-persisted table is then computed
+    // once per in-flight stage (none sees the others' blocks) instead
+    // of once (StageProfile: four ~6-9 s-CPU twin stages at sf0.1,
+    // plus the "already cached" warnings). One cheap count turns the
+    // fan-out into cache reads.
+    sh.count()
     val kept = joinKeyStats(sh, "h", Seq(count(lit(1)).as("_df")),
       col("_df").between(minDf, maxDf), "left_semi")
     // merge-hinted: both sides are explode-derived and size-only stats
@@ -706,6 +730,7 @@ object Dedup {
       shingleHashes(df, idCol, textCol, shingleK)
         .groupBy("id").agg(collect_set(col("h")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    sh.count() // eager: both join sides are concurrent AQE stages
     // merge-hinted: the sh side carries collect_set arrays built from
     // an explode — letting the planner broadcast it on size-only
     // stats risks an arbitrarily-underestimated build (see
@@ -734,6 +759,7 @@ object Dedup {
       shingleHashes(df, idCol, textCol, shingleK)
         .groupBy("id").agg(collect_set(col("h")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    sh.count() // eager: both join sides are concurrent AQE stages
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     // merge-hinted for the same reason as ngramJaccard: never let the
     // planner broadcast a collect_set-of-explode build side
@@ -761,22 +787,18 @@ object Dedup {
     * q_dedup_simhash oracle reproduces the exact hashes.
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // pre-partition by id: token hashing + 60 partial sums parallelize
-    // even from a single-row-group source; groupBy(id) reuses the layout
+    // Round-18 optimization: per-doc codegen kernel
+    // [[graft.plans.TextHash.simhashSig]] — the token explode, the
+    // md5-prefix chain per occurrence row and the 60-column vote
+    // aggregate (and its shuffle) disappear; md5 runs once per
+    // DISTINCT token with integer occurrence-count weighting (exactly
+    // the same vote sums). Zero-token docs return null and are
+    // filtered, matching the explode form's emit-nothing. Pinned
+    // bit-identical by TextHashSpec; the oracle SQL is unchanged.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    val base = spread
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"),
-        expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val sums = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$i")
-    }
-    val bits = (0 until SimhashBits).map(i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-    base.groupBy(col("id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("id"), bits.reduce(_ + _).as("sh"))
+    spread.select(col(idCol).as("id"),
+      graft.plans.TextHashCols.simhashSig(col(textCol)).as("sh"))
+      .filter(col("sh").isNotNull)
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming:
@@ -815,14 +837,21 @@ object Dedup {
     // round-robin repartition pre-explode: see pairsFromBucketsIds —
     // AQE coalesces the bytes-small bucket exchange into one task and
     // the quadratic explode amplifies inside it
+    // round-18: codegen in-bucket hamming pair kernel when ids are
+    // longs (see pairsFromBucketsIds); ArrayPairsSpec pins equality
+    val pairCol =
+      if (sh.schema("id").dataType == org.apache.spark.sql.types.LongType)
+        graft.plans.ArrayPairsCols.simhashBucketPairs(col("ms"), maxHamming)
+      else
+        flatten(transform(col("ms"), a =>
+          transform(
+            filter(col("ms"), b => b("id") > a("id") &&
+              bit_count(a("sh").bitwiseXOR(b("sh"))) <= maxHamming),
+            b => struct(a("id").as("id_a"), b("id").as("id_b"),
+              bit_count(a("sh").bitwiseXOR(b("sh"))).as("hamming")))))
     buckets
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(explode(flatten(transform(col("ms"), a =>
-        transform(
-          filter(col("ms"), b => b("id") > a("id") &&
-            bit_count(a("sh").bitwiseXOR(b("sh"))) <= maxHamming),
-          b => struct(a("id").as("id_a"), b("id").as("id_b"),
-            bit_count(a("sh").bitwiseXOR(b("sh"))).as("hamming")))))).as("p"))
+      .select(explode(pairCol).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.hamming").as("hamming"))
       .dropDuplicates("id_a", "id_b")

@@ -76,10 +76,13 @@ object EngineNeutral {
     * `('0x' || substr(md5(x), 1, 15))::BIGINT` — use wherever a hash
     * VALUE participates in oracle-checked arithmetic (bucketed model
     * keys, holder-set signatures), where xxhash64 has no DuckDB
-    * counterpart. md5/conv are codegen'd Catalyst expressions.
+    * counterpart. Round-18: computed by the codegen kernel
+    * [[graft.plans.TextHash.md5Prefix]] — same value straight off the
+    * digest bytes, no hex string / substring / base-conversion /
+    * string→long parse (pinned by TextHashSpec).
     */
   def md5Long60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.plans.TextHashCols.md5Prefix(c.cast("string"), 15)
 
   /** The matching DuckDB fragment for [[md5Long60]]. */
   def md5Long60Sql(expr: String): String =

@@ -153,8 +153,9 @@ object MinhashIndex {
       .join(batchSigs
         .select(col("id").as("id_b"), col("sig").as("sig_b")).hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          p => p)).cast("double") / NumHashes).as("est_jaccard"))
+        // round-18: codegen equal-position count (ArrayPairsSpec)
+        (graft.plans.ArrayPairsCols.arrayEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 }

@@ -31,7 +31,8 @@ object PortableHll {
     * Shuffle rows collapse map-side to ≤ m per group.
     */
   def registers(df: DataFrame, groups: Seq[Column], hashInput: Column): DataFrame = {
-    val h = conv(substring(md5(hashInput.cast("string")), 1, 15), 16, 10).cast("long")
+    // round-18: codegen md5-prefix kernel, same value (TextHashSpec)
+    val h = graft.plans.TextHashCols.md5Prefix(hashInput.cast("string"), 15)
     val rest = expr(s"h div $m")
     df.select(groups :+ h.as("h"): _*)
       .select(groups :+ pmod(col("h"), lit(m.toLong)).as("bucket") :+ rest.as("rest"): _*)

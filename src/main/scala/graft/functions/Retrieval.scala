@@ -56,13 +56,18 @@ object Retrieval {
   private def lexicalTables(corpus: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val toks = Dedup.tokens(col(textCol))
+    // round-18: token hashes via the k=1 shingle kernel (TextHashSpec
+    // pins xxhash64-chain equality) — no per-token string rows, no
+    // interpreted filter(split(...)); dl = the hash array's length,
+    // exactly size(tokens). tokenCount for the stats re-read skips
+    // hashing entirely.
     val tok = corpus.repartition(par, col(idCol))
-      .select(col(idCol).as("id"), size(toks).as("dl"), explode(toks).as("tok"))
-      .select(col("id"), col("dl"), xxhash64(col("tok")).as("th"))
+      .select(col(idCol).as("id"),
+        graft.plans.TextHashCols.shingleXx64(col(textCol), 1, fallback = false).as("ths"))
+      .select(col("id"), size(col("ths")).as("dl"), explode(col("ths")).as("th"))
     val tf = tok.groupBy("id", "th")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val stats = corpus.select(size(Dedup.tokens(col(textCol))).as("dl"))
+    val stats = corpus.select(graft.plans.TextHashCols.tokenCount(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))

@@ -62,7 +62,9 @@ object TextAnalysis {
     * density score (non-space ratio). Deterministic arithmetic only.
     */
   def nWords(textCol: Column): Column =
-    size(filter(split(textCol, " "), t => length(t) > 0))
+    // round-18: codegen token-count kernel ≡ size(filter(split(.)))
+    // (TextHashSpec) — no token array, no interpreted filter lambda
+    graft.plans.TextHashCols.tokenCount(textCol)
 
   def avgWordLen(textCol: Column): Column =
     EngineNeutral.r2(length(regexp_replace(textCol, " ", "")).cast("double") / nWords(textCol))

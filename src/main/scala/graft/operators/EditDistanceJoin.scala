@@ -46,7 +46,7 @@ object EditDistanceJoin {
     * Built with higher-order functions so arbitrary runtime lengths
     * work without unrolling C(L,2) expressions at plan time.
     */
-  private def deletionVariants(s: Column): Column = {
+  private[graft] def deletionVariants(s: Column): Column = {
     val L = length(s)
     // greatest(·, 1) floors the sequence bounds: Spark's sequence(1, 0)
     // counts DOWN, which would fabricate an i=0 deletion position on
@@ -74,11 +74,16 @@ object EditDistanceJoin {
   private[graft] def deletionKeys(df: DataFrame, idCol: String,
                                   nameCol: String,
                                   blockCols: Seq[String]): DataFrame =
+    // round-18: the variant enumeration + hashing runs in the codegen
+    // kernel [[graft.plans.TextHash.deletionVariantHashes]] — the
+    // nested interpreted HOF (substr/concat per variant) was 26 CPU-s
+    // at sf0.1. xxhash64(blockCols..., v) ≡ hash(v, xxhash64(blockCols))
+    // by the hash chain rule; TextHashSpec pins key-set equality
+    // against the HOF form (kept below for the spec).
     graft.Tables.spread(df)
-      .select((col(idCol).as("id") +: blockCols.map(col)) :+
-        explode(deletionVariants(col(nameCol))).as("v"): _*)
-      .select(col("id"), lit(0).as("band"),
-        xxhash64(blockCols.map(col) :+ col("v"): _*).as("bkey"))
+      .select(col(idCol).as("id"), lit(0).as("band"),
+        explode(graft.plans.TextHashCols.deletionVariantHashes(
+          col(nameCol), xxhash64(blockCols.map(col): _*))).as("bkey"))
 
   /** The exact half: candidate (id_a, id_b) pairs re-join payloads by
     * id, then the blockCols equality AND the Levenshtein threshold run
@@ -104,7 +109,14 @@ object EditDistanceJoin {
     val b = docs.select(col(idCol).as("id_b") +: payload.map(c => col(c).as(s"_b_$c")): _*)
     val blockEq = blockCols.map(c => col(s"_a_$c") === col(s"_b_$c"))
       .foldLeft(lit(true))(_ && _)
-    pairs.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
+    // round-18: explicit repartition before the verify joins — the
+    // candidate rows are BYTES-small, so AQE coalesces the join stages
+    // to 1-2 tasks, but Levenshtein cost is per ROW, not per byte
+    // (StageProfile: 2×~570 ms two-task verify stages at sf0.1). A
+    // user-specified keyed repartition is exempt from AQE coalescing
+    // and scales with the cluster (defaultParallelism), not a constant.
+    pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism, col("id_a"))
+      .join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
       .filter(blockEq)
       .withColumn("dist", levenshtein(col(s"_a_$nameCol"), col(s"_b_$nameCol")))
       .filter(col("dist") <= maxDist)

@@ -52,7 +52,16 @@ object CacheHandles {
   /** Unpersist (non-blocking) every tracked frame whose label starts
     * with `labelPrefix`. Returns the number of frames unpersisted.
     */
-  def release(labelPrefix: String): Int = {
+  def release(labelPrefix: String): Int = release(labelPrefix, blocking = false)
+
+  /** As [[release]]; `blocking = true` waits for block removal —
+    * between-query drivers (Bench) use it so the previous query's
+    * cache-drop storm is charged to UNTIMED time instead of landing
+    * inside the next query's timed region (round-18: a 0.3 s query
+    * following a cache-heavy one measured 4× slower under the
+    * non-blocking drop).
+    */
+  def release(labelPrefix: String, blocking: Boolean): Int = {
     var n = 0
     val it = live.entrySet().iterator()
     while (it.hasNext) {
@@ -60,7 +69,7 @@ object CacheHandles {
       val (label, df) = e.getValue
       if (label.startsWith(labelPrefix)) {
         it.remove()
-        try { df.unpersist(false); n += 1 } catch { case _: Throwable => () }
+        try { df.unpersist(blocking); n += 1 } catch { case _: Throwable => () }
       }
     }
     n
@@ -68,6 +77,9 @@ object CacheHandles {
 
   /** Unpersist everything tracked. */
   def releaseAll(): Int = release("")
+
+  /** Blocking variant for between-query drivers. */
+  def releaseAllBlocking(): Int = release("", blocking = true)
 
   /** Labels currently registered — observability. */
   def liveLabels: Seq[String] = {

@@ -1,0 +1,555 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass, codegen-friendly text-hashing kernels (optimization
+  * round 18, guide §1.2 step 2 "per-task work" + §4 "prefer codegen").
+  *
+  * Every function here computes values BIT-IDENTICAL to a pre-existing
+  * Catalyst formulation (pinned by TextHashSpec against the original
+  * expression trees) — they change HOW the engine computes, never WHAT:
+  *
+  *  - [[TextHash.shingleXx64]] ≡ the posexplode + Window.lead +
+  *    `xxhash64(tok_i..tok_{i+k-1})` shape of Dedup.shingleHashes /
+  *    spanRows: one tokenize pass per document, no per-token rows, no
+  *    per-partition sort. The window shape spent ~21 CPU-seconds per
+  *    edge-family query at sf0.1 building 224k shingles (StageProfile).
+  *  - [[TextHash.shingleMd5]] ≡ `unhex(md5(concat_ws(" ", toks)))` per
+  *    window (Dedup.spanRowsMd5).
+  *  - [[TextHash.minhashSig]] ≡ Dedup.minhashSignatures' explode +
+  *    2×(md5→substr→conv→cast) + 64 min-aggregates: the whole signature
+  *    is computed per DOCUMENT row — the explode, the 64-column hash
+  *    aggregate and its shuffle disappear. md5 is called once per
+  *    DISTINCT shingle, exactly like the array_distinct it replaces.
+  *  - [[TextHash.simhashSig]] ≡ Dedup.simhashes' explode + md5-prefix +
+  *    60 conditional sums: per-doc loop, md5 once per DISTINCT token
+  *    with occurrence counts (the vote sums are linear, so
+  *    count×(±1) ≡ per-occurrence ±1 exactly, in integers).
+  *  - [[TextHash.md5Prefix]] ≡ `CAST(conv(substr(md5(x),1,n),16,10) AS
+  *    BIGINT)` (EngineNeutral.md5Long60 and friends) without the hex
+  *    string, substring copy, base-conversion string or string→long
+  *    parse: the value is read straight off the digest bytes.
+  *
+  * Tokenization is the byte-level twin of
+  * `filter(split(text, " "), t -> length(t) > 0)`: maximal runs of
+  * non-0x20 bytes (0x20 never occurs inside a UTF-8 multibyte
+  * sequence, so byte scanning is exact).
+  *
+  * All kernels are static methods on the object's mirror class, so the
+  * expressions' codegen is a single static call — whole-stage codegen
+  * spans stay intact.
+  */
+object TextHash {
+  private val Space: Byte = 0x20
+  private val MersennePrime61 = 2305843009213693951L // 2^61 - 1, matches Dedup
+
+  /** Per-thread scratch: token offsets, a join buffer, the MD5 instance
+    * (MessageDigest.getInstance per call is measurable at millions of
+    * calls), and a reusable window-dedup set.
+    */
+  private final class Scratch {
+    var starts = new Array[Int](256)
+    var lens = new Array[Int](256)
+    var buf = new Array[Byte](4096)
+    val md: MessageDigest = MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[UTF8String](1024)
+    def ensureTokens(n: Int): Unit = if (n > starts.length) {
+      starts = java.util.Arrays.copyOf(starts, n * 2)
+      lens = java.util.Arrays.copyOf(lens, n * 2)
+    }
+    def ensureBuf(n: Int): Unit =
+      if (n > buf.length) buf = new Array[Byte](Integer.highestOneBit(n) * 2)
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  /** Fill sc.starts/sc.lens with the byte ranges of the whitespace
+    * tokens of `s`; returns the token count.
+    */
+  private def tokenize(s: UTF8String, sc: Scratch): Int = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && Platform.getByte(base, off + i) == Space) i += 1
+      if (i < n) {
+        val st = i
+        while (i < n && Platform.getByte(base, off + i) != Space) i += 1
+        sc.ensureTokens(cnt + 1)
+        sc.starts(cnt) = st
+        sc.lens(cnt) = i - st
+        cnt += 1
+      }
+    }
+    cnt
+  }
+
+  /** Join tokens [from, from+count) into sc.buf separated by single
+    * spaces (≡ concat_ws(" ", ...)); returns the byte length.
+    */
+  private def joinTokens(s: UTF8String, sc: Scratch, from: Int, count: Int): Int = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var len = 0
+    var j = 0
+    while (j < count) { len += sc.lens(from + j); j += 1 }
+    if (count > 1) len += count - 1
+    sc.ensureBuf(len)
+    var pos = 0
+    j = 0
+    while (j < count) {
+      if (j > 0) { sc.buf(pos) = Space; pos += 1 }
+      Platform.copyMemory(base, off + sc.starts(from + j),
+        sc.buf, Platform.BYTE_ARRAY_OFFSET + pos, sc.lens(from + j).toLong)
+      pos += sc.lens(from + j)
+      j += 1
+    }
+    pos
+  }
+
+  /** First `nibbles` hex characters of an MD5 digest as a long —
+    * the value of CAST(conv(substr(md5hex, 1, nibbles), 16, 10) AS
+    * BIGINT) for nibbles ≤ 15 (always positive, < 2^60).
+    */
+  private def digestPrefix(dig: Array[Byte], nibbles: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = dig(i >> 1) & 0xff
+      val nib = if ((i & 1) == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  /** ≡ chained xxhash64 over k-token windows (seed 42, one
+    * hashUnsafeBytes fold per token — the builtin XxHash64's exact
+    * string chaining). `fallback=true` adds Dedup.shingleHashes' short-
+    * doc branch: documents with fewer than k tokens emit ONE hash of
+    * the space-joined tokens instead of nothing.
+    */
+  def shingleXx64(s: UTF8String, k: Int, fallback: Boolean): ArrayData = {
+    val sc = scratch.get()
+    val nt = tokenize(s, sc)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    if (nt >= k) {
+      val m = nt - k + 1
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h = 42L
+        var j = 0
+        while (j < k) {
+          h = XXH64.hashUnsafeBytes(base, off + sc.starts(i + j), sc.lens(i + j), h)
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else if (fallback) {
+      val len = joinTokens(s, sc, 0, nt)
+      val h = XXH64.hashUnsafeBytes(sc.buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      UnsafeArrayData.fromPrimitiveArray(Array(h))
+    } else {
+      UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    }
+  }
+
+  /** ≡ unhex(md5(concat_ws(" ", tok_i..tok_{i+k-1}))) per window: the
+    * raw 16-byte MD5 of each space-joined k-token span. No short-doc
+    * fallback (spanRowsMd5 has none) — fewer than k tokens → empty.
+    */
+  def shingleMd5(s: UTF8String, k: Int): ArrayData = {
+    val sc = scratch.get()
+    val nt = tokenize(s, sc)
+    if (nt < k) return new GenericArrayData(Array.empty[Any])
+    val m = nt - k + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val len = joinTokens(s, sc, i, k)
+      sc.md.update(sc.buf, 0, len)
+      out(i) = sc.md.digest()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ≡ Dedup.minhashSignatures for one document: over the DISTINCT
+    * k-token shingle strings (short docs fall back to the single
+    * space-joined whole text, exactly like Dedup.shingles), with
+    * h1 = md5 prefix 15 nibbles, h2 = md5(shingle ++ "#") prefix 14
+    * nibbles, signature component i = min over shingles of
+    * (h1 + i·h2) mod (2^61−1). All arithmetic identical to the
+    * aggregate form; md5 runs once per distinct shingle (the
+    * array_distinct of the original).
+    */
+  def minhashSig(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val sc = scratch.get()
+    val nt = tokenize(s, sc)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    sc.seen.clear()
+    val windows = if (nt >= k) nt - k + 1 else 1
+    val span = if (nt >= k) k else nt
+    var i = 0
+    while (i < windows) {
+      val len = joinTokens(s, sc, i, span)
+      val sh = UTF8String.fromBytes(java.util.Arrays.copyOf(sc.buf, len))
+      if (sc.seen.add(sh)) {
+        sc.md.update(sc.buf, 0, len)
+        val h1 = digestPrefix(sc.md.digest(), 15)
+        sc.md.update(sc.buf, 0, len)
+        sc.md.update('#'.toByte)
+        val h2 = digestPrefix(sc.md.digest(), 14)
+        var p = 0
+        var v = h1 // h1 + p*h2 accumulated additively (exact: < 2^63)
+        while (p < numHashes) {
+          val m = v % MersennePrime61
+          if (m < mins(p)) mins(p) = m
+          v += h2
+          p += 1
+        }
+      }
+      i += 1
+    }
+    sc.seen.clear()
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** ≡ Dedup.simhashes for one document: per token OCCURRENCE a ±1
+    * vote on each of the 60 bits of the token's md5-prefix hash, bit
+    * set iff the vote sum is positive. md5 runs once per DISTINCT
+    * token, votes weighted by the occurrence count (integer-exact).
+    * Documents with zero tokens return null — the explode+groupBy
+    * form emits no row for them.
+    */
+  def simhashSig(s: UTF8String): java.lang.Long = {
+    val sc = scratch.get()
+    val nt = tokenize(s, sc)
+    if (nt == 0) return null
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // distinct tokens with occurrence counts
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](64)
+    var i = 0
+    while (i < nt) {
+      val len = sc.lens(i)
+      sc.ensureBuf(len)
+      Platform.copyMemory(base, off + sc.starts(i),
+        sc.buf, Platform.BYTE_ARRAY_OFFSET, len.toLong)
+      val tok = UTF8String.fromBytes(java.util.Arrays.copyOf(sc.buf, len))
+      val c = counts.get(tok)
+      if (c == null) counts.put(tok, Array(1)) else c(0) += 1
+      i += 1
+    }
+    val votes = new Array[Long](60)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val tok = e.getKey
+      val c = e.getValue()(0)
+      sc.md.update(tok.getBytes)
+      val h = digestPrefix(sc.md.digest(), 15)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += c else votes(b) -= c
+        b += 1
+      }
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sh)
+  }
+
+  /** ≡ explode(array_distinct(concat(array(s), d1, d2))) hashed with
+    * `xxhash64(blockCols..., v)` — the FastSS deletion-neighborhood
+    * keys of EditDistanceJoin, with `pre` the xxhash64 fold of the
+    * block columns (xxhash64(b1, b2, v) ≡ hash(v, xxhash64(b1, b2)) by
+    * the chain rule). Variants are the string itself, every single-
+    * CHARACTER deletion and every two-character deletion (1-based
+    * substr clamping reproduced exactly: L=0 → {""}, L=1 → {s, ""}),
+    * deduped on string content like the array_distinct.
+    */
+  def deletionVariantHashes(s: UTF8String, pre: Long): ArrayData = {
+    val sc = scratch.get()
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // char start offsets (UTF-8): starts(0..L), starts(L) = n
+    sc.ensureTokens(1)
+    var L = 0
+    var i = 0
+    while (i < n) {
+      sc.ensureTokens(L + 2)
+      sc.starts(L) = i
+      i += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + i))
+      L += 1
+    }
+    sc.ensureTokens(L + 2)
+    sc.starts(L) = n
+    sc.seen.clear()
+    val out = new java.util.ArrayList[java.lang.Long](2 + L + L * L / 2)
+    def emit(segs: Array[(Int, Int)]): Unit = {
+      var len = 0
+      var k = 0
+      while (k < segs.length) { len += segs(k)._2 - segs(k)._1; k += 1 }
+      val arr = new Array[Byte](len)
+      var pos = 0
+      k = 0
+      while (k < segs.length) {
+        val (a, b) = segs(k)
+        Platform.copyMemory(base, off + a, arr, Platform.BYTE_ARRAY_OFFSET + pos, (b - a).toLong)
+        pos += b - a
+        k += 1
+      }
+      if (sc.seen.add(UTF8String.fromBytes(arr)))
+        out.add(java.lang.Long.valueOf(
+          XXH64.hashUnsafeBytes(arr, Platform.BYTE_ARRAY_OFFSET, len, pre)))
+    }
+    // the string itself
+    emit(Array((0, n)))
+    if (L == 0) {
+      // d1/d2 degenerate to "" via substr clamping
+      emit(Array((0, 0)))
+    } else {
+      // single deletions
+      var a = 0
+      while (a < L) {
+        emit(Array((0, sc.starts(a)), (sc.starts(a + 1), n)))
+        a += 1
+      }
+      if (L == 1) {
+        emit(Array((0, 0))) // the clamped (i=1, j=2) double deletion
+      } else {
+        var x = 0
+        while (x < L - 1) {
+          var y = x + 1
+          while (y < L) {
+            emit(Array((0, sc.starts(x)), (sc.starts(x + 1), sc.starts(y)),
+              (sc.starts(y + 1), n)))
+            y += 1
+          }
+          x += 1
+        }
+      }
+    }
+    sc.seen.clear()
+    val res = new Array[Long](out.size())
+    i = 0
+    while (i < res.length) { res(i) = out.get(i).longValue(); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(res)
+  }
+
+  /** ≡ size(filter(split(s, " "), t -> length(t) > 0)): the
+    * whitespace token count, without building the token array.
+    */
+  def tokenCount(s: UTF8String): Int = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && Platform.getByte(base, off + i) == Space) i += 1
+      if (i < n) {
+        cnt += 1
+        while (i < n && Platform.getByte(base, off + i) != Space) i += 1
+      }
+    }
+    cnt
+  }
+
+  /** ≡ CAST(conv(substr(md5(x), 1, nibbles), 16, 10) AS BIGINT) over
+    * the UTF-8 bytes of `s` (optionally followed by one suffix
+    * character — Dedup's `md5(concat(s, '#'))` without the concat).
+    */
+  def md5Prefix(s: UTF8String, nibbles: Int, suffix: Byte, useSuffix: Boolean): Long = {
+    val sc = scratch.get()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    base match {
+      case bytes: Array[Byte] =>
+        sc.md.update(bytes, (off - Platform.BYTE_ARRAY_OFFSET).toInt, n)
+      case _ =>
+        sc.ensureBuf(n)
+        Platform.copyMemory(base, off, sc.buf, Platform.BYTE_ARRAY_OFFSET, n.toLong)
+        sc.md.update(sc.buf, 0, n)
+    }
+    if (useSuffix) sc.md.update(suffix)
+    digestPrefix(sc.md.digest(), nibbles)
+  }
+}
+
+/** Base for the TextHash expression faces: unary over a string child,
+  * null-propagating, codegen = one static call (defineCodeGen).
+  */
+sealed abstract class TextHashExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got $other")
+  }
+}
+
+/** array<long> of chained-xxhash64 k-token window hashes — see
+  * [[TextHash.shingleXx64]].
+  */
+case class ShingleXx64(child: Expression, k: Int, fallback: Boolean)
+    extends TextHashExpression {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_xxhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleXx64(input.asInstanceOf[UTF8String], k, fallback)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.shingleXx64($c, $k, $fallback)")
+  override protected def withNewChildInternal(c: Expression): ShingleXx64 = copy(child = c)
+}
+
+/** array<binary> of 16-byte MD5 digests of space-joined k-token
+  * windows — see [[TextHash.shingleMd5]].
+  */
+case class ShingleMd5(child: Expression, k: Int) extends TextHashExpression {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "shingle_md5"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleMd5(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.shingleMd5($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleMd5 = copy(child = c)
+}
+
+/** array<long> MinHash signature of the whole document — see
+  * [[TextHash.minhashSig]].
+  */
+case class MinhashSig(child: Expression, k: Int, numHashes: Int)
+    extends TextHashExpression {
+  require(numHashes >= 1 && numHashes <= 64,
+    "numHashes must be in [1, 64] (h1 + i*h2 overflows past 64)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashSig(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.minhashSig($c, $k, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
+}
+
+/** 60-bit SimHash of the whole document (null when the document has no
+  * tokens) — see [[TextHash.simhashSig]].
+  */
+case class SimhashSig(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_sig"
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = TextHash.simhashSig(input.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.plans.TextHash.simhashSig($c);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): SimhashSig = copy(child = c)
+}
+
+/** array<long> of FastSS deletion-neighborhood bucket keys — see
+  * [[TextHash.deletionVariantHashes]]. `left` = the name string,
+  * `right` = the xxhash64 fold of the block columns.
+  */
+case class DeletionVariantHashes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"deletion_variant_hashes requires (string, long), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "deletion_variant_hashes"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.deletionVariantHashes(a.asInstanceOf[UTF8String], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.TextHash.deletionVariantHashes($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DeletionVariantHashes =
+    copy(left = l, right = r)
+}
+
+/** Whitespace token count — see [[TextHash.tokenCount]]. */
+case class TokenCount(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.tokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCount = copy(child = c)
+}
+
+/** Long value of the first `nibbles` hex chars of md5(child[, suffix])
+  * — see [[TextHash.md5Prefix]].
+  */
+case class Md5Prefix(child: Expression, nibbles: Int, suffix: Option[Byte] = None)
+    extends TextHashExpression {
+  require(nibbles >= 1 && nibbles <= 15, "nibbles must be in [1, 15] to fit a positive long")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix"
+  private val suffixByte: Byte = suffix.getOrElse(0.toByte)
+  private val useSuffix: Boolean = suffix.isDefined
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.md5Prefix(input.asInstanceOf[UTF8String], nibbles, suffixByte, useSuffix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextHash.md5Prefix($c, $nibbles, (byte) $suffixByte, $useSuffix)")
+  override protected def withNewChildInternal(c: Expression): Md5Prefix = copy(child = c)
+}
+
+/** Column faces. */
+object TextHashCols {
+  private def bridge(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  def shingleXx64(text: Column, k: Int, fallback: Boolean): Column =
+    bridge(ShingleXx64(expr(text), k, fallback))
+  def shingleMd5(text: Column, k: Int): Column =
+    bridge(ShingleMd5(expr(text), k))
+  def minhashSig(text: Column, k: Int, numHashes: Int): Column =
+    bridge(MinhashSig(expr(text), k, numHashes))
+  def simhashSig(text: Column): Column =
+    bridge(SimhashSig(expr(text)))
+  def tokenCount(text: Column): Column = bridge(TokenCount(expr(text)))
+  def deletionVariantHashes(name: Column, pre: Column): Column =
+    bridge(DeletionVariantHashes(expr(name), expr(pre)))
+  def md5Prefix(c: Column, nibbles: Int): Column =
+    bridge(Md5Prefix(expr(c), nibbles))
+  def md5PrefixTagged(c: Column, nibbles: Int, suffix: Char): Column =
+    bridge(Md5Prefix(expr(c), nibbles, Some(suffix.toByte)))
+}

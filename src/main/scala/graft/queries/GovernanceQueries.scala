@@ -181,7 +181,8 @@ object GovernanceQueries {
         col("n_chars").as("z1"),
         (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
           .cast("long").as("z2"),
-        size(Dedup.tokens(col("text"))).cast("long").as("y"))
+        // round-18: token-count kernel ≡ size(tokens) (TextHashSpec)
+        graft.plans.TextHashCols.tokenCount(col("text")).cast("long").as("y"))
       val g = gramAggregate(z)
       // ridge: λ=1 on the diagonal, exact integer adds
       val a00 = (col("g00") + lit(1L)).cast("double")

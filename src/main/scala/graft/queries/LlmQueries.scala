@@ -372,8 +372,8 @@ object LlmQueries {
     "q_sample_weighted" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
-            .cast("long") / lit(4294967296.0)).as("u"),
+          // round-18: codegen md5-prefix kernel, same value (TextHashSpec)
+          (graft.plans.TextHashCols.md5Prefix(col("text"), 8) / lit(4294967296.0)).as("u"),
           when(col("lang") === "en", 0.5)
             .when(col("lang") === "zh", 0.9)
             .otherwise(1.0).as("rate"))

@@ -121,6 +121,11 @@ object ProfilingQueries {
       val (scanned, _) = graft.operators.PrefixScan.runningPerKey(
         e, Seq(col("event_type")), Seq(col("ts"), col("event_id")),
         col("c"), "p", "k")
+      // NOT persisted (round-18 measurement): caching the ranked rows
+      // for the 4 lag-join references re-ran 2.5× SLOWER (bench iters
+      // [20.5, 7.8, 5.3] vs [6.9, 2.7, 2.0]) — PrefixScan's range
+      // exchange is already reused across the references, and the
+      // extra materialization pass only serializes the plan.
       val rows = scanned.select("event_type", "k", "c")
       val perLag = Seq(1, 2).map { lag =>
         val a = rows.select(col("event_type"), col("k"), col("c").as("ca"))

@@ -232,6 +232,7 @@ object SelectionQueries {
             "doc_id", "text", shingleK = 3, minShared = 5, minDf = 2, maxDf = 20)
           .select("id_a", "id_b")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+      edges.count() // eager: consumers are concurrent AQE stages (round 18)
       val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
         .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       val deg = sym.groupBy("u").agg(count(lit(1)).as("deg_u"))
@@ -245,6 +246,7 @@ object SelectionQueries {
         .select("u", "v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       graft.plans.CacheHandles.track("query.triangles.oriented", dir)
+      dir.count() // eager: wedges + closing semi-join fan out concurrently
       val wedges = dir.select(col("u"), col("v").as("v1"))
         .join(dir.select(col("u"), col("v").as("v2")), "u")
         .filter(col("v1") =!= col("v2"))
@@ -284,6 +286,7 @@ object SelectionQueries {
         Dedup.shingleHashes(docs, "doc_id", "text", shingleK = 3)
           .dropDuplicates("id", "h")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+      sh.count() // eager: stats/rows/sets consumers are concurrent AQE stages
       val withDf = Dedup.joinKeyStats(sh, "h", Seq(count(lit(1)).as("kdf")))
       val wRank = Window.partitionBy("id").orderBy(col("kdf"), col("h"))
       val ranked = withDf
@@ -294,6 +297,7 @@ object SelectionQueries {
         .select(col("h"), col("id"), col("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       graft.plans.CacheHandles.track("query.simjoin.prefix", prefix)
+      prefix.count() // eager: both self-join sides are concurrent AQE stages
       val cand = prefix.select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
         .hint("merge")
         .join(prefix.select(col("h"), col("id").as("id_b"), col("n").as("n_b")), "h")

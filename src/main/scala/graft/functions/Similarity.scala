@@ -280,9 +280,15 @@ object Similarity {
                             maxBucket: Int = 10000, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     val half = planes / 2
-    val vecs = normalized(spread(corpus), vecCol)
-      .filter(col(vecCol).isNotNull) // zero-norm vectors have no direction
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // persisted + eager (round 18): banding and BOTH pair-join sides
+    // reference this subtree — without materialization each reference
+    // replays the scan + normalize (the sharedShingleEdges convention)
+    val vecs = graft.plans.CacheHandles.track("similarity.axis.vecs",
+      normalized(spread(corpus), vecCol)
+        .filter(col(vecCol).isNotNull) // zero-norm vectors have no direction
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    vecs.count()
     def bandKey(from: Int, until: Int): Column =
       (from until until).map { i =>
         when(element_at(col("vec"), i + 1) >= 0.0, lit(1L << (i - from)))

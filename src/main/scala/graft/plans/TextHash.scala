@@ -60,7 +60,9 @@ object TextHash {
     var starts = new Array[Int](256)
     var lens = new Array[Int](256)
     var buf = new Array[Byte](4096)
+    val dig = new Array[Byte](16) // reused digest output (md5 is 16 B)
     val md: MessageDigest = MessageDigest.getInstance("MD5")
+    def digestInto(): Array[Byte] = { md.digest(dig, 0, 16); dig }
     val seen = new java.util.HashSet[UTF8String](1024)
     def ensureTokens(n: Int): Unit = if (n > starts.length) {
       starts = java.util.Arrays.copyOf(starts, n * 2)
@@ -211,10 +213,10 @@ object TextHash {
       val sh = UTF8String.fromBytes(java.util.Arrays.copyOf(sc.buf, len))
       if (sc.seen.add(sh)) {
         sc.md.update(sc.buf, 0, len)
-        val h1 = digestPrefix(sc.md.digest(), 15)
+        val h1 = digestPrefix(sc.digestInto(), 15)
         sc.md.update(sc.buf, 0, len)
         sc.md.update('#'.toByte)
-        val h2 = digestPrefix(sc.md.digest(), 14)
+        val h2 = digestPrefix(sc.digestInto(), 14)
         var p = 0
         var v = h1 // h1 + p*h2 accumulated additively (exact: < 2^63)
         while (p < numHashes) {
@@ -263,7 +265,7 @@ object TextHash {
       val tok = e.getKey
       val c = e.getValue()(0)
       sc.md.update(tok.getBytes)
-      val h = digestPrefix(sc.md.digest(), 15)
+      val h = digestPrefix(sc.digestInto(), 15)
       var b = 0
       while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += c else votes(b) -= c
@@ -395,7 +397,7 @@ object TextHash {
         sc.md.update(sc.buf, 0, n)
     }
     if (useSuffix) sc.md.update(suffix)
-    digestPrefix(sc.md.digest(), nibbles)
+    digestPrefix(sc.digestInto(), nibbles)
   }
 }
 

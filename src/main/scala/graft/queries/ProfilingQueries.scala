@@ -128,7 +128,14 @@ object ProfilingQueries {
       // extra materialization pass only serializes the plan.
       val rows = scanned.select("event_type", "k", "c")
       val perLag = Seq(1, 2).map { lag =>
+        // explicit keyed repartition (round 18): the lag self-joins'
+        // post-shuffle stages are bytes-small, so AQE coalesced each
+        // to ONE task (~4 serial 100k-row stages); a user-specified
+        // repartition is exempt from coalescing and keeps the
+        // defaultParallelism width at any scale
+        val par = s.sparkContext.defaultParallelism
         val a = rows.select(col("event_type"), col("k"), col("c").as("ca"))
+          .repartition(par, col("event_type"), col("k"))
         val b = rows.select(col("event_type"), (col("k") - lag).as("k"),
           col("c").as("cb"))
         a.hint("merge").join(b, Seq("event_type", "k"))

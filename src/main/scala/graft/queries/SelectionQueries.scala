@@ -357,9 +357,11 @@ object SelectionQueries {
     //      join the planner could nested-loop at corpus scale.
     //      r6 floor-rounding absorbs ln/sum drift.
     "q_drift" -> ((s, d) => {
+      // round-18: k=1 shingle kernel — token hashes without per-token
+      // string rows (TextHashSpec pins xxhash64 equality)
       val toks = Tables.spread(Tables.documents(s, d))
-        .select(col("source"), explode(Dedup.tokens(col("text"))).as("t"))
-        .select(col("source"), xxhash64(col("t")).as("h"))
+        .select(col("source"), explode(graft.plans.TextHashCols
+          .shingleXx64(col("text"), 1, fallback = false)).as("h"))
       val counts = toks.groupBy("source", "h").agg(count(lit(1)).as("c"))
       val totals = counts.groupBy("source").agg(sum("c").as("n"))
       val a = counts.select(col("source").as("src_a"), col("h"), col("c").as("ca"))

@@ -174,15 +174,16 @@ object TextHash {
     * raw 16-byte MD5 of each space-joined k-token span. No short-doc
     * fallback (spanRowsMd5 has none) — fewer than k tokens → empty.
     */
-  def shingleMd5(s: UTF8String, k: Int): ArrayData = {
+  def shingleMd5(s: UTF8String, k: Int, fallback: Boolean): ArrayData = {
     val sc = scratch.get()
     val nt = tokenize(s, sc)
-    if (nt < k) return new GenericArrayData(Array.empty[Any])
-    val m = nt - k + 1
+    if (nt < k && !fallback) return new GenericArrayData(Array.empty[Any])
+    val m = if (nt >= k) nt - k + 1 else 1
+    val span = if (nt >= k) k else nt
     val out = new Array[Any](m)
     var i = 0
     while (i < m) {
-      val len = joinTokens(s, sc, i, k)
+      val len = joinTokens(s, sc, i, span)
       sc.md.update(sc.buf, 0, len)
       out(i) = sc.md.digest()
       i += 1
@@ -430,14 +431,15 @@ case class ShingleXx64(child: Expression, k: Int, fallback: Boolean)
 /** array<binary> of 16-byte MD5 digests of space-joined k-token
   * windows — see [[TextHash.shingleMd5]].
   */
-case class ShingleMd5(child: Expression, k: Int) extends TextHashExpression {
+case class ShingleMd5(child: Expression, k: Int, fallback: Boolean = false)
+    extends TextHashExpression {
   require(k >= 1, "k must be >= 1")
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def prettyName: String = "shingle_md5"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.shingleMd5(input.asInstanceOf[UTF8String], k)
+    TextHash.shingleMd5(input.asInstanceOf[UTF8String], k, fallback)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.shingleMd5($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.shingleMd5($c, $k, $fallback)")
   override protected def withNewChildInternal(c: Expression): ShingleMd5 = copy(child = c)
 }
 
@@ -543,6 +545,12 @@ object TextHashCols {
     bridge(ShingleXx64(expr(text), k, fallback))
   def shingleMd5(text: Column, k: Int): Column =
     bridge(ShingleMd5(expr(text), k))
+  /** [[shingleMd5]] with the short-doc fallback: fewer than k tokens
+    * emit ONE digest of the whole space-joined text (q_winnowing's
+    * clamped-slice gram).
+    */
+  def shingleMd5Padded(text: Column, k: Int): Column =
+    bridge(ShingleMd5(expr(text), k, fallback = true))
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     bridge(MinhashSig(expr(text), k, numHashes))
   def simhashSig(text: Column): Column =

@@ -44,14 +44,24 @@ object CalibrationQueries {
     //      Shuffle is gram-linear; the window partitions by doc_id
     //      (bounded by document length).
     "q_winnowing" -> ((s, d) => {
+      // round-18: gram digests from the ShingleMd5 kernel (fallback
+      // variant: docs shorter than K emit ONE digest of the whole
+      // joined text, exactly the old sequence(0,0) + clamped-slice
+      // gram). The former interpreted per-gram string transform +
+      // md5-hex + lpad/concat string-key churn is gone. The selection
+      // key becomes struct(md5-binary, 999999999 − p): binary ordering
+      // is unsigned lexicographic ≡ the lowercase-hex string order on
+      // equal-length digests, and the int second field reproduces the
+      // zero-padded positional tie-break — the window minima select
+      // the SAME grams, and countDistinct is preserved (old key ↔ new
+      // key is a bijection).
       val ts = Dedup.tokens(col("text"))
       val grams = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           (greatest(size(ts) - K, lit(0)) + 1).as("m"),
-          posexplode(transform(sequence(lit(0), greatest(size(ts) - K, lit(0))),
-            i => concat_ws(" ", slice(ts, i + 1, lit(K))))).as(Seq("p", "g")))
-      val key = concat(md5(col("g")),
-        lpad((lit(999999999) - col("p")).cast("string"), 9, "0"))
+          posexplode(graft.plans.TextHashCols.shingleMd5Padded(col("text"), K))
+            .as(Seq("p", "hb")))
+      val key = struct(col("hb"), (lit(999999999) - col("p")).cast("int"))
       val win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W - 1)
       grams
         .withColumn("wmin", min(key).over(win))

@@ -215,23 +215,29 @@ object CorpusHealthQueries {
     //      combined aggregations; the c₁ join is bigram-type-scale
     //      (both sides pre-aggregated, one equi-key shuffle each).
     "q_cond_entropy" -> ((s, d) => {
-      val toks = Tables.spread(Tables.documents(s, d))
-        .select(col("source"), col("doc_id"),
-          posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val bg = toks
-        .select(col("source"), col("t").as("t1"),
-          lead(col("t"), 1).over(w).as("t2"))
-        .filter(col("t2").isNotNull)
-      val c12 = bg.groupBy("source", "t1", "t2").agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy("source", "t1").agg(sum("c12").as("c1"))
+      // round-18: bigram keys from the k=1/k=2 shingle kernels, zipped
+      // positionally (bh_i = xxhash64(t_i, t_{i+1}) = arr2[i], h1_i =
+      // arr1[i]) — the former posexplode + per-doc window.lead shuffled
+      // every token STRING through a doc_id exchange and sorted it,
+      // just to form adjacent pairs. Counts are hash-keyed now (same
+      // 2^-64 collision convention as the shingle family; the output
+      // exposes only counts/entropy, never the keys).
+      val arr1 = graft.plans.TextHashCols.shingleXx64(col("text"), 1, fallback = false)
+      val arr2 = graft.plans.TextHashCols.shingleXx64(col("text"), 2, fallback = false)
+      val bg = Tables.spread(Tables.documents(s, d))
+        .select(col("source"),
+          explode(arrays_zip(slice(arr1, lit(1), size(arr2)), arr2)).as("z"))
+        .select(col("source"), col("z").getField("0").as("h1"),
+          col("z").getField("1").as("h12"))
+      val c12 = bg.groupBy("source", "h1", "h12").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("source", "h1").agg(sum("c12").as("c1"))
       // merge hint (the q_bigram_lm discipline): c1 is
       // vocabulary×sources-scale — small on the synthetic corpus, so
       // the planner would auto-broadcast it, but on a natural 100 TB
       // vocabulary it is NOT a broadcastable side; both sides arrive
       // pre-aggregated on the join key, so the sort-merge join is the
       // shape that survives scale
-      c12.hint("merge").join(c1, Seq("source", "t1"))
+      c12.hint("merge").join(c1, Seq("source", "h1"))
         .groupBy("source")
         .agg(sum("c12").as("n_bigrams"),
           sum(col("c12").cast("double") *

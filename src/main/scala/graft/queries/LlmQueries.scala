@@ -318,22 +318,29 @@ object LlmQueries {
     //      bigrams come from a doc-partitioned window lead (bounded
     //      groups). r6 floor-rounding absorbs ln/sum last-bit drift.
     "q_bigram_lm" -> ((s, d) => {
-      val toks = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      // persisted: train and score both consume the window subtree,
-      // and uniC broadcasts twice (c1 and uc2 sides) — without the
-      // persists the per-doc sort+lead runs once per consumer and the
-      // vocabulary aggregate materializes two broadcast relations.
+      // round-18: the three aligned hashes come from the k=1/k=2
+      // shingle kernels zipped positionally (h1_i = arr1[i], h2_i =
+      // arr1[i+1], bh_i = xxhash64(t_i, t_{i+1}) = arr2[i] by the hash
+      // chain rule) — the former posexplode + per-doc window.lead
+      // shuffled every token string through a doc_id exchange and
+      // sorted it just to form adjacent pairs. TextHashSpec pins the
+      // kernel hash values; values here are bit-identical.
+      // persisted + eager: train and score both consume this subtree,
+      // and AQE runs those stages concurrently (see sharedShingleEdges).
       // Bench/Verify clear cached lineage between queries.
+      val arr1 = graft.plans.TextHashCols.shingleXx64(col("text"), 1, fallback = false)
+      val arr2 = graft.plans.TextHashCols.shingleXx64(col("text"), 2, fallback = false)
       val bigrams = graft.plans.CacheHandles.track("query.bigramlm.bigrams",
-        toks
-          .select(col("doc_id"), col("t").as("t1"), lead(col("t"), 1).over(w).as("t2"))
-          .filter(col("t2").isNotNull)
-          .select(col("doc_id"), xxhash64(col("t1")).as("h1"),
-            xxhash64(col("t2")).as("h2"), xxhash64(col("t1"), col("t2")).as("bh"))
+        Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"),
+            explode(arrays_zip(
+              slice(arr1, lit(1), size(arr2)),
+              slice(arr1, lit(2), size(arr2)),
+              arr2)).as("z"))
+          .select(col("doc_id"), col("z").getField("0").as("h1"),
+            col("z").getField("1").as("h2"), col("z").getField("2").as("bh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+      bigrams.count()
       val train = bigrams.filter(col("doc_id") % 2 === 0)
       val score = bigrams.filter(col("doc_id") % 2 === 1)
       val bigramC = train.groupBy("bh").agg(count(lit(1)).as("bc"))

@@ -48,7 +48,13 @@ object Dedup {
 
   /** Whitespace tokens with empties removed. */
   def tokens(textCol: Column): Column =
-    filter(split(textCol, " "), t => length(t) > 0)
+    // round-19: codegen kernel ≡ filter(split(textCol, " "),
+    // t -> length(t) > 0) — the HOF form ran the lambda interpreter
+    // per element at every remaining token-string site (gini / zipf /
+    // vocab-coverage / entropy / HLL / span explodes); byte-identical
+    // tokens by construction (0x20 never occurs inside a UTF-8
+    // multibyte sequence), pinned by TextHashSpec against the HOF tree
+    graft.plans.TextHashCols.tokens(textCol)
 
   /** Distinct k-word shingles; documents shorter than k words fall
     * back to a single whole-text shingle so they still participate.
@@ -457,6 +463,13 @@ object Dedup {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
     spread.select(col(idCol).as("id"),
       graft.plans.TextHashCols.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
+      // NULL text has no shingle set and therefore no signature — drop
+      // it explicitly (the simhashes convention) rather than letting a
+      // null sig band into a shared null-slice bucket whose pairs all
+      // carry null est_jaccard (ADVICE r18: the pre-kernel form
+      // coerced null token arrays to the "" shingle instead; neither
+      // behavior was pinned, this one is the documented intent)
+      .filter(col("sig").isNotNull)
   }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
@@ -670,7 +683,8 @@ object Dedup {
     * exact. One shuffle on the 64-bit shingle hash; the df band is a
     * map-side-combinable groupBy + merge semi-join ([[joinKeyStats]] —
     * NOT a window: a boilerplate shingle's window group would buffer
-    * in one task), and the pair self-join reuses the h partitioning.
+    * in one task), and pair generation reuses the h partitioning
+    * (bounded per-shingle groups + the LongPairs kernel — round 19).
     * Feed the result (with [[graft.operators.ConnectedComponents]])
     * to turn near-dup pairs into canonical clusters; at extreme scale
     * swap in [[minhashCandidates]] edges — same downstream shape.
@@ -686,8 +700,9 @@ object Dedup {
     val sh = graft.plans.CacheHandles.track("dedup.edges.shingles",
       shingleHashes(df, idCol, textCol, shingleK).dropDuplicates("id", "h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
-    // materialize BEFORE the consumers: joinKeyStats + the self-join
-    // reference this subtree four times, and AQE submits those query
+    // materialize BEFORE the consumers: joinKeyStats references this
+    // subtree twice (rows + stats side; the round-19 pair rewrite
+    // removed the self-join's other two), and AQE submits those query
     // stages CONCURRENTLY — a lazily-persisted table is then computed
     // once per in-flight stage (none sees the others' blocks) instead
     // of once (StageProfile: four ~6-9 s-CPU twin stages at sf0.1,
@@ -696,17 +711,40 @@ object Dedup {
     sh.count()
     val kept = joinKeyStats(sh, "h", Seq(count(lit(1)).as("_df")),
       col("_df").between(minDf, maxDf), "left_semi")
-    // merge-hinted: both sides are explode-derived and size-only stats
-    // don't model the explode multiplier, so an unhinted plan lets the
-    // planner broadcast one side at small estimates — a build that can
-    // be arbitrarily larger than estimated (ScaleGuard's
-    // auditBroadcastGenerate). The self-join shuffles by h either way
-    // at corpus scale; pinning sort-merge just makes the small-SF plan
-    // the same safe shape.
-    kept.select(col("h"), col("id").as("id_a"))
-      .hint("merge")
-      .join(kept.select(col("h"), col("id").as("id_b")), "h")
-      .filter(col("id_a") < col("id_b"))
+    // Round 19: pairs per shingle via bounded collect_list + the
+    // LongPairs kernel instead of the former kept⋈kept self-join. The
+    // self-join's two sides were each a full instance of the `kept`
+    // semi-join subtree, and AQE's exchange reuse did not fire across
+    // them (VERDICT r18 #5: the runtime plan carried TWIN h-exchanges
+    // — Exchange(26)/(34) and Exchange(47)/(55) over identical cached
+    // scans), so the rows+stats shuffles and the semi-join ran twice,
+    // plus two sort legs for the merge join. Here `kept` is consumed
+    // ONCE: it arrives hash(h)-distributed from the semi-join, the
+    // per-h group is bounded by construction (the _df ≤ maxDf filter
+    // caps every surviving shingle at maxDf holders — this is NOT the
+    // unbounded-window shape joinKeyStats exists to avoid), and the
+    // quadratic pair explode runs in the codegen kernel
+    // ([[graft.plans.ArrayPairs.longPairs]]; HOF form for non-long
+    // ids, the pairsFromBucketsIds convention). Pair sets are
+    // identical: ids are distinct within an h group (sh is
+    // (id, h)-deduped), so all (a, b) with b > a ≡ the self-join's
+    // id_a < id_b rows, and the (id_a, id_b) count of shared shingles
+    // is unchanged — exact integers, same oracle.
+    val pairCol =
+      if (sh.schema("id").dataType == org.apache.spark.sql.types.LongType)
+        graft.plans.ArrayPairsCols.longPairs(col("ms"))
+      else
+        flatten(transform(col("ms"), a =>
+          transform(filter(col("ms"), b => b > a),
+            b => struct(a.as("id_a"), b.as("id_b")))))
+    kept.groupBy("h").agg(collect_list(col("id")).as("ms"))
+      // round-robin spread before the quadratic explode (the
+      // pairsFromBucketsIds rationale: bucket rows are bytes-small, so
+      // AQE would coalesce the tiny aggregate output onto few tasks
+      // and the explode amplifies inside them)
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(pairCol).as("pair"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

@@ -78,28 +78,86 @@ object Retrieval {
     * vocabulary-sized df table streams through a broadcast probe of
     * the (bounded) query-term set, so only query-relevant terms
     * survive into the broadcast scoring join.
+    *
+    * Round 19 (doc-at-a-time scoring): the former shape joined every
+    * tf row against the broadcast (query_id, th, idf) table — one
+    * OUTPUT ROW PER (query, doc-term) pair — and hash-aggregated that
+    * fan-out down to (query_id, id) scores through a corpus×queries-
+    * sized exchange (~25 M joined rows / 1.19 M-group aggregate at
+    * sf0.1, the inventory's largest remaining scoring stage). The
+    * per-(id, th) contribution does not depend on query_id at all
+    * (idf is per TERM), so the fan-out was pure machinery: now tf
+    * joins the broadcast TERM table once (no row multiplication),
+    * collects each doc's (term-index, contribution) pairs on the
+    * tf table's existing by-id distribution (no exchange), and the
+    * codegen [[graft.plans.Bm25Scores]] kernel scores the document
+    * against the compiled query set in one pass — per-query sums
+    * accumulate in ascending term order (deterministic, unlike the
+    * replaced hash-aggregate order; the r4 rounding + the DuckDB gate
+    * at every SF cover the association change, exactly the convention
+    * the engine-vs-oracle comparison already rests on). The bounded
+    * query-term set was already driver-resident by construction (it
+    * is broadcast today; the indexed face collect()s it for bucket
+    * pruning). Non-long id types keep the join+aggregate form.
     */
   private def scoreBm25(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
                         queries: DataFrame, idCol: String, textCol: String,
                         topK: Int, k1: Double, b: Double,
                         qTermsPre: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val qTerms = qTermsPre.getOrElse(queries
       .select(col(idCol).as("query_id"), explode(Dedup.tokens(col(textCol))).as("tok"))
       .select(col("query_id"), xxhash64(col("tok")).as("th"))
       .distinct())
-    val qIdf = dfreq.join(broadcast(qTerms), Seq("th"))
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("th"),
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          .as("idf"), col("avgdl"))
     val contrib: Column =
       col("idf") * (col("tf") * (k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
-    val scored = tf.join(broadcast(qIdf), Seq("th"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(sum(contrib).as("s"))
-      .select(col("query_id"), col("id").as("doc_id"),
-        EngineNeutral.r4(col("s")).as("score"))
+    // kernel path needs long ids on both sides and non-null query
+    // terms (a null query_id/th row keeps the legacy join semantics)
+    lazy val qTermRows = qTerms.collect() // bounded by the retrieval contract
+    val kernelPath = tf.schema("id").dataType == LongType &&
+      qTerms.schema("query_id").dataType == LongType &&
+      !qTermRows.exists(r => r.isNullAt(0) || r.isNullAt(1))
+    val scored = if (kernelPath) {
+      val spark = tf.sparkSession
+      val rows = qTermRows
+      val qi = qTerms.schema.fieldIndex("query_id")
+      val ti = qTerms.schema.fieldIndex("th")
+      val terms: Array[Long] = rows.map(_.getLong(ti)).distinct.sorted
+      val thToIdx = terms.zipWithIndex.toMap
+      val qids: Array[Long] = rows.map(_.getLong(qi)).distinct.sorted
+      val qOrd = qids.zipWithIndex.toMap
+      val t2q = Array.fill(terms.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      rows.foreach(r => t2q(thToIdx(r.getLong(ti))) += qOrd(r.getLong(qi)))
+      val qs = new graft.plans.ScoreKernels.Bm25QuerySet(
+        qids, t2q.map(_.sorted.toArray))
+      import spark.implicits._
+      val termLit = terms.toSeq.zipWithIndex.toDF("th", "idx")
+      val termIdf = dfreq.join(broadcast(termLit), Seq("th"))
+        .crossJoin(broadcast(stats))
+        .select(col("th"), col("idx"),
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            .as("idf"), col("avgdl"))
+      val perDoc = tf.join(broadcast(termIdf), Seq("th"))
+        .select(col("id"), struct(col("idx"), contrib.as("c")).as("e"))
+        .groupBy("id").agg(collect_list(col("e")).as("tc"))
+      perDoc
+        .select(col("id"),
+          explode(graft.plans.ScoreKernelCols.bm25Scores(col("tc"), qs)).as("qsc"))
+        .select(col("qsc.query_id").as("query_id"), col("id").as("doc_id"),
+          col("qsc.score").as("score"))
+    } else {
+      val qIdf = dfreq.join(broadcast(qTerms), Seq("th"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("th"),
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            .as("idf"), col("avgdl"))
+      tf.join(broadcast(qIdf), Seq("th"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(sum(contrib).as("s"))
+        .select(col("query_id"), col("id").as("doc_id"),
+          EngineNeutral.r4(col("s")).as("score"))
+    }
     val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
       Seq("score" -> true, "doc_id" -> false), k = topK)
     // rank within the surviving ≤ topK rows per query — a bounded

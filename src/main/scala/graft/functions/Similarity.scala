@@ -56,14 +56,48 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(normalized(queries, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val scored = normalized(spread(corpus), vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .join(q, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.EngineNeutral.r4(dot(col("qvec"), col("cvec"))).as("sim"))
-    topKPerKey(scored, "query_id", k)
+    import org.apache.spark.sql.types.LongType
+    // Round 19 (broadcast-top-k-cosine kernel): the former shape was a
+    // BroadcastNestedLoopJoin on query_id ≠ neighbor_id — per PAIR it
+    // paid the join-row machinery (JoinedRow allocation, per-pair
+    // array re-extraction) before the one 64-dim dot product that
+    // actually matters (~21 CPU-s for 437 k pairs at sf0.1, the dense
+    // legs' whole budget). The bounded, already-broadcast query set is
+    // instead compiled into the codegen [[graft.plans.CosineSims]]
+    // kernel, which scores one corpus vector against every query in a
+    // tight loop (same left-to-right ArrayDot fold, same r4, same
+    // null-sim semantics for zero-norm vectors) — the BNLJ disappears
+    // from the plan and only the generated (query_id, sim) structs
+    // flow into the bounded TopKPerKey heaps. Non-long ids keep the
+    // join form.
+    if (corpus.schema(idCol).dataType == LongType &&
+        queries.schema(idCol).dataType == LongType) {
+      val rows = normalized(queries, vecCol)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .collect() // bounded query set — the join form collects it for broadcast anyway
+        .filterNot(_.isNullAt(0)) // a null query id joins no pairs (null ≠ x is null)
+        .sortBy(_.getLong(0))
+      val qs = new graft.plans.ScoreKernels.CosineQuerySet(
+        rows.map(_.getLong(0)),
+        rows.map(r => if (r.isNullAt(1)) null
+          else r.getSeq[Double](1).toArray))
+      val scored = normalized(spread(corpus), vecCol)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+        .select(col("neighbor_id"), explode(graft.plans.ScoreKernelCols
+          .cosineSims(struct(col("neighbor_id"), col("cvec")), qs)).as("qsc"))
+        .select(col("qsc.query_id").as("query_id"), col("neighbor_id"),
+          col("qsc.sim").as("sim"))
+      topKPerKey(scored, "query_id", k)
+    } else {
+      val q = broadcast(normalized(queries, vecCol)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+      val scored = normalized(spread(corpus), vecCol)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+        .join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.EngineNeutral.r4(dot(col("qvec"), col("cvec"))).as("sim"))
+      topKPerKey(scored, "query_id", k)
+    }
   }
 
   /** Two-phase distributed top-k by (sim DESC, neighbor_id ASC),

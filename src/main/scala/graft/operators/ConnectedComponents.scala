@@ -93,10 +93,16 @@ object ConnectedComponents {
     var converged = false
     while (!converged && iter < maxIter) {
       // self-loops put the vertex's own label in its neighbor group,
-      // so this min IS the HashMin update — labels referenced once
-      val next = sym
+      // so this min IS the HashMin update — labels referenced once.
+      // truncateLineage (round 19): each generation re-roots on its
+      // own execution RDD so the logical plan stays one iteration deep
+      // (matching the physical cache depth) instead of nesting every
+      // previous generation's text — the q_pagerank plan-blowup fix,
+      // applied to the CC loop that q_dedup_clusters' 8.7 k-line dump
+      // traced to. persist/unpersist discipline unchanged.
+      val next = org.apache.spark.sql.graftbridge.Bridge.truncateLineage(sym
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min("comp").as("comp"))
+        .groupBy(col("src").as("id")).agg(min("comp").as("comp")))
         .persist(StorageLevel.MEMORY_ONLY)
       val s = labelSum(next) // materializes `next`; parent safe to drop
       labels.unpersist()

@@ -83,7 +83,14 @@ object EditDistanceJoin {
     graft.Tables.spread(df)
       .select(col(idCol).as("id"), lit(0).as("band"),
         explode(graft.plans.TextHashCols.deletionVariantHashes(
-          col(nameCol), xxhash64(blockCols.map(col): _*))).as("bkey"))
+          col(nameCol),
+          // empty blockCols would make xxhash64() a zero-arg call
+          // (analysis error); seed 42 is xxhash64's implicit seed, so
+          // chaining from it reproduces the unblocked xxhash64(v)
+          // exactly (ADVICE r18 — latent, no current caller passes
+          // empty blocks)
+          if (blockCols.isEmpty) lit(42L)
+          else xxhash64(blockCols.map(col): _*))).as("bkey"))
 
   /** The exact half: candidate (id_a, id_b) pairs re-join payloads by
     * id, then the blockCols equality AND the Levenshtein threshold run

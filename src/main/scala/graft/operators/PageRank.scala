@@ -103,16 +103,20 @@ object PageRank {
         .select(col("id"),
           (lit(base + redistribute) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
-      // each generation's plan nests the previous one; a fixed 5-10
-      // iterations is fine, but a tol-run can go 50+ deep and the
-      // cumulative Catalyst plan (and AQE's explain strings) grow
-      // quadratically — cut lineage to a LogicalRDD every 10
-      // generations so plan depth stays bounded at any iteration count
-      val next =
-        (if (it % 10 == 9)
-           vertices.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
-         else stepped)
-          .persist(StorageLevel.MEMORY_ONLY)
+      // each generation's plan nests the previous one — the cumulative
+      // Catalyst plan (and AQE's explain strings) grow quadratically
+      // with iterations (round 18's q_pagerank dump was 95 k lines at
+      // 5 iterations: every generation re-prints the cached edge
+      // pipeline's subtree). Round 19: EVERY generation re-roots on
+      // its own execution RDD (Bridge.truncateLineage — the
+      // localCheckpoint plan surgery without its GC-managed blocks;
+      // the former every-10th createDataFrame(stepped.rdd, ...) round-
+      // tripped through external Rows, this stays on InternalRow), so
+      // plan depth is constant at any iteration count. persist/
+      // unpersist discipline unchanged.
+      val next = org.apache.spark.sql.graftbridge.Bridge
+        .truncateLineage(stepped)
+        .persist(StorageLevel.MEMORY_ONLY)
       if (tol > 0.0) {
         delta = next.join(ranks.withColumnRenamed("r", "r0"), "id")
           .agg(sum(abs(col("r") - col("r0")))).head().getDouble(0)

@@ -3,6 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
@@ -380,6 +381,63 @@ object TextHash {
     cnt
   }
 
+  /** ≡ filter(split(s, " "), t -> length(t) > 0): the whitespace token
+    * array itself, as UTF8String slices of the input (one pass, no
+    * regex, no interpreted HOF lambda per element). Kept for the
+    * pipelines whose token STRINGS are output- or key-bearing (gini /
+    * zipf / vocab-coverage / entropy / HLL token counting), where the
+    * hash-only shingle kernels cannot apply.
+    */
+  def tokens(s: UTF8String): ArrayData = {
+    val sc = scratch.get()
+    val nt = tokenize(s, sc)
+    if (nt == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nt)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // token bytes are copied out — the result must not alias a scan
+    // buffer the reader will overwrite
+    var i = 0
+    while (i < nt) {
+      val arr = new Array[Byte](sc.lens(i))
+      Platform.copyMemory(base, off + sc.starts(i), arr,
+        Platform.BYTE_ARRAY_OFFSET, sc.lens(i).toLong)
+      out(i) = UTF8String.fromBytes(arr)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ≡ the posexplode + window.lead(1) adjacent-token STRING pairs of
+    * the bigram pipelines whose tokens are output columns (kneser-ney:
+    * p_kn's t1/t2 are result fields, so the hash-keyed bigram kernels
+    * cannot apply): one struct(t1, t2) per consecutive token pair, in
+    * document order.
+    */
+  def tokenBigrams(s: UTF8String): ArrayData = {
+    val sc = scratch.get()
+    val nt = tokenize(s, sc)
+    if (nt < 2) return new GenericArrayData(Array.empty[Any])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    def tok(i: Int): UTF8String = {
+      val arr = new Array[Byte](sc.lens(i))
+      Platform.copyMemory(base, off + sc.starts(i), arr,
+        Platform.BYTE_ARRAY_OFFSET, sc.lens(i).toLong)
+      UTF8String.fromBytes(arr)
+    }
+    val out = new Array[Any](nt - 1)
+    var prev = tok(0)
+    var i = 1
+    while (i < nt) {
+      val cur = tok(i)
+      out(i - 1) = InternalRow(prev, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ≡ CAST(conv(substr(md5(x), 1, nibbles), 16, 10) AS BIGINT) over
     * the UTF-8 bytes of `s` (optionally followed by one suffix
     * character — Dedup's `md5(concat(s, '#'))` without the concat).
@@ -505,6 +563,30 @@ case class DeletionVariantHashes(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Whitespace token array — see [[TextHash.tokens]]. */
+case class Tokens(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.tokens($c)")
+  override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
+}
+
+/** Adjacent-token string pairs — see [[TextHash.tokenBigrams]]. */
+case class TokenBigrams(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t1", StringType, nullable = false),
+    StructField("t2", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_bigrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenBigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.tokenBigrams($c)")
+  override protected def withNewChildInternal(c: Expression): TokenBigrams = copy(child = c)
+}
+
 /** Whitespace token count — see [[TextHash.tokenCount]]. */
 case class TokenCount(child: Expression) extends TextHashExpression {
   override def dataType: DataType = IntegerType
@@ -556,6 +638,8 @@ object TextHashCols {
   def simhashSig(text: Column): Column =
     bridge(SimhashSig(expr(text)))
   def tokenCount(text: Column): Column = bridge(TokenCount(expr(text)))
+  def tokens(text: Column): Column = bridge(Tokens(expr(text)))
+  def tokenBigrams(text: Column): Column = bridge(TokenBigrams(expr(text)))
   def deletionVariantHashes(name: Column, pre: Column): Column =
     bridge(DeletionVariantHashes(expr(name), expr(pre)))
   def md5Prefix(c: Column, nibbles: Int): Column =

@@ -87,13 +87,18 @@ object CalibrationQueries {
     //      global sort exchange); the vocabulary-scale count tables
     //      join to the 100 survivors via broadcast of the SMALL side.
     "q_kneser_ney" -> ((s, d) => {
-      val toks = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // round-19: adjacent-pair STRINGS from the TokenBigrams kernel —
+      // t1/t2 are OUTPUT columns here, so the hash-keyed bigram
+      // kernels (q_bigram_lm/q_cond_entropy) cannot apply, but the
+      // posexplode + per-doc window.lead (which shuffled and sorted
+      // every token string just to pair neighbors) can still go: the
+      // kernel emits the same (t_i, t_{i+1}) multiset per doc by
+      // construction (TextHashSpec pin)
       val c12 = graft.plans.CacheHandles.track("query.kn.bigrams",
-        toks
-          .select(col("t").as("t1"), lead(col("t"), 1).over(w).as("t2"))
-          .filter(col("t2").isNotNull)
+        Tables.spread(Tables.documents(s, d))
+          .select(explode(graft.plans.TextHashCols
+            .tokenBigrams(col("text"))).as("bg"))
+          .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
           .groupBy("t1", "t2").agg(count(lit(1)).as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val c1 = c12.groupBy("t1")

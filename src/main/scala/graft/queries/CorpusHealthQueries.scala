@@ -214,6 +214,13 @@ object CorpusHealthQueries {
     //      and left-context counts are exact integers from map-side-
     //      combined aggregations; the c₁ join is bigram-type-scale
     //      (both sides pre-aggregated, one equi-key shuffle each).
+    //      CONVENTION (ADVICE r18): bigram cells are keyed by 64-bit
+    //      xxhash64, not exact token strings — a hash collision would
+    //      silently merge two (t₁,t₂) cells and shift the entropy.
+    //      Accepted under the shingle family's documented 2⁻⁶⁴
+    //      collision convention (the output exposes only counts and
+    //      entropy, never keys); this query stays in every full
+    //      oracle gate as the standing check.
     "q_cond_entropy" -> ((s, d) => {
       // round-18: bigram keys from the k=1/k=2 shingle kernels, zipped
       // positionally (bh_i = xxhash64(t_i, t_{i+1}) = arr2[i], h1_i =

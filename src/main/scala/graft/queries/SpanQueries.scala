@@ -57,13 +57,18 @@ object SpanQueries {
   private def spanOccurrences(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = docs.repartition(par, col("doc_id"))
-    val toks = Dedup.tokens(col("text"))
-    val tok = spread.select(col("doc_id").as("id"), posexplode(toks))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val parts = col("col") +: (1 until SpanK).map(j => lead(col("col"), j).over(w))
-    tok.select(col("id"), col("pos"), xxhash64(parts: _*).as("h"),
-        parts.last.isNotNull.as("full"))
-      .filter(col("full")).drop("full")
+    // round-19: per-doc codegen span kernel + posexplode — pos is the
+    // 0-based span-start token index, exactly the surviving `pos` of
+    // the former posexplode + window.lead shape, and the chained
+    // xxhash64 ≡ xxhash64(t_i..t_{i+k-1}) by the hash chain rule
+    // (TextHashSpec pin). The per-token string rows, the doc_id window
+    // exchange and its sort disappear — the same rewrite
+    // Dedup.maximalSpanBlocks got in round 18.
+    spread
+      .select(col("doc_id").as("id"),
+        posexplode(graft.plans.TextHashCols
+          .shingleXx64(col("text"), SpanK, fallback = false)))
+      .select(col("id"), col("pos"), col("col").as("h"))
   }
 
   /** (id, pos) positions covered by some cross-doc duplicated span:

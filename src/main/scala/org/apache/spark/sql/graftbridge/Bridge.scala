@@ -49,4 +49,26 @@ object Bridge {
     */
   def autoBroadcastThreshold(spark: SparkSession): Long =
     spark.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
+
+  /** The DataFrame re-rooted on its own executed RDD[InternalRow] —
+    * LOGICAL-lineage truncation for iterative operators whose
+    * generation-N plan otherwise nests every previous generation's
+    * text (q_pagerank's explain dump reached 95 k lines at 5
+    * iterations; plan stringification and per-iteration analysis are
+    * driver-side cost at any scale). This is `localCheckpoint`'s plan
+    * surgery WITHOUT its GC-managed block lifetime: no data is
+    * materialized or retained here — the wrapped frame executes the
+    * original physical plan through the returned RDD, so the caller's
+    * own persist()/unpersist() discipline (and CacheHandles release)
+    * keeps working unchanged, and fault recovery still recomputes
+    * through the retained RDD lineage exactly as it did through the
+    * unpersisted parent cache before.
+    */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, ds,
+        isStreaming = false))
+  }
 }

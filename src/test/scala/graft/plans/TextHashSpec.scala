@@ -41,7 +41,11 @@ class TextHashSpec extends AnyFunSpec {
       .map { case (t, i) => (s"adv$i", t) }.toDF("id", "text"))
   }
 
-  private def tokens = graft.functions.Dedup.tokens(col("text"))
+  // the ORIGINAL interpreted-HOF tokenization (pre-round-19
+  // Dedup.tokens), kept inline as the reference tree — Dedup.tokens
+  // itself is the kernel now, so referencing it here would compare
+  // the kernel against itself
+  private def tokens = filter(split(col("text"), " "), t => length(t) > 0)
 
   describe("ShingleXx64") {
     it("matches posexplode + window.lead + xxhash64 (k=3, with fallback)") {
@@ -217,6 +221,50 @@ class TextHashSpec extends AnyFunSpec {
       val got = df.select(col("id"),
         TextHashCols.md5PrefixTagged(col("text"), 14, '#').as("v"))
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  describe("Tokens (round 19)") {
+    it("matches filter(split(text, ' '), t -> length(t) > 0) element-for-element") {
+      val df = corpus
+      val want = df.select(col("id"), tokens.as("ts"))
+      val got = df.select(col("id"), TextHashCols.tokens(col("text")).as("ts"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      // null text → null array, exactly like the HOF form
+      val nulls = Seq(("n1", null: String)).toDF("id", "text")
+      assert(nulls.select(TextHashCols.tokens(col("text"))).head.isNullAt(0))
+      assert(nulls.select(tokens).head.isNullAt(0))
+    }
+  }
+
+  describe("TokenBigrams (round 19)") {
+    it("matches posexplode + window.lead(1) adjacent string pairs") {
+      val df = corpus
+      val tok = df.select(col("id"), posexplode(tokens).as(Seq("pos", "t")))
+      val w = Window.partitionBy("id").orderBy("pos")
+      val want = tok
+        .select(col("id"), col("t").as("t1"), lead(col("t"), 1).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .groupBy("id", "t1", "t2").agg(count(lit(1)).as("c"))
+      val got = df
+        .select(col("id"), explode(TextHashCols.tokenBigrams(col("text"))).as("bg"))
+        .select(col("id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+        .groupBy("id", "t1", "t2").agg(count(lit(1)).as("c"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  describe("MinhashSig null-text semantics (ADVICE r18)") {
+    it("null text signatures to null and minhashSignatures drops the row") {
+      val df = Seq(("1", "a b c"), ("2", null: String)).toDF("id", "text")
+      val sigs = df.select(col("id"),
+        TextHashCols.minhashSig(col("text"), 3, 64).as("sig"))
+      assert(sigs.filter(col("sig").isNull).select("id").head.getString(0) === "2")
+      // the operator face filters the null sig (documented intent:
+      // null text has no shingle set, so it joins NO near-dup pairs —
+      // not a shared null-slice band bucket)
+      val rows = graft.functions.Dedup.minhashSignatures(df, "id", "text")
+      assert(rows.count() === 1L && rows.head.getString(0) === "1")
     }
   }
 }

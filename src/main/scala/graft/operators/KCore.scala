@@ -98,13 +98,32 @@ object KCore {
     // shared-shingle blocking here); the symmetric view drives every
     // round and the degree init
     val e0 = materialize(edges.select("id_a", "id_b"))
+    // round-19: the symmetric edge table is hash-partitioned AND
+    // sorted by the per-round join key v BEFORE its one-time
+    // materialization (the ConnectedComponents/PageRank pre-partition
+    // discipline, which this loop had skipped): localCheckpoint
+    // records the partitioning/ordering on the LogicalRDD, so every
+    // round's merge join now exchanges and sorts only the
+    // VERTEX-sized estimate side — the EDGE-sized sym shuffle+sort
+    // that each round previously paid is gone from the loop.
     val sym = materialize(
       e0.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionAll(e0.select(col("id_b").as("u"), col("id_a").as("v"))))
+        .unionAll(e0.select(col("id_b").as("u"), col("id_a").as("v")))
+        .repartition(col("v")).sortWithinPartitions("v"))
     var est = materialize(sym.groupBy("u").agg(count(lit(1)).as("c")))
-    var changed = 1L
+    // round-19 convergence check without the per-round est⋈next merge
+    // join: estimates only ever DECREASE (next c = least(c, h) ≤ c),
+    // so the generation changed iff the exact estimate sum changed —
+    // the ConnectedComponents labelSum trick. decimal(38,0): exact at
+    // any degree × vertex count; a changed vertex strictly lowers the
+    // sum, an unchanged sum therefore means a fixpoint.
+    def estSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("c").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = estSum(est)
+    var converged = est.isEmpty
     var rounds = 0
-    while (changed > 0L) {
+    while (!converged) {
       val nbr = sym
         .join(est.select(col("u").as("v"), col("c").as("cv")).hint("merge"),
           Seq("v"))
@@ -117,9 +136,9 @@ object KCore {
       val next = materialize(
         est.join(h.hint("merge"), Seq("u"))
           .select(col("u"), least(col("c"), col("h")).as("c")))
-      changed = next
-        .join(est.select(col("u"), col("c").as("c0")).hint("merge"), Seq("u"))
-        .filter(col("c") =!= col("c0")).count()
+      val s = estSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       est = next
       rounds += 1
     }

@@ -328,8 +328,17 @@ object ProfilingQueries {
     "q_hll_union" -> ((s, d) => {
       val toks = Tables.spread(Tables.documents(s, d))
         .select(col("source"), explode(Dedup.tokens(col("text"))).as("t"))
-      val per = graft.functions.PortableHll.registers(
-        toks, Seq(col("source")), col("t"))
+      // round-19: the register table is consumed TWICE (the ALL-row
+      // union and the estimate's unionByName) and each reference was
+      // replaying the full tokenize+md5 corpus scan, while the table
+      // itself is ≤ sources×1024 rows — the favorable persist case
+      // (tiny cache, corpus-heavy subtree), unlike the row-heavy r18
+      // persists item 4 warned about. Eager per the AQE fan-out rule.
+      val per = graft.plans.CacheHandles.track("query.hll_union.regs",
+        graft.functions.PortableHll.registers(
+          toks, Seq(col("source")), col("t"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+      per.count()
       val union = per.groupBy("bucket")
         .agg(max("mr").as("mr"), sum("cnt").as("cnt"))
         .withColumn("source", lit("ALL"))

@@ -292,6 +292,12 @@ object SelectionQueries {
       val ranked = withDf
         .withColumn("p", row_number().over(wRank))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      // round-19 (VERDICT #4): REMOVING this 2-consumer persist was
+      // tried and measured 2.5× WORSE (paired QTime 6 iters: min_warm
+      // 2.25 s with persist vs 5.52 s without, every iter worse) — the
+      // window-chain replay on both self-join sides costs far more
+      // than the materialization exchange, so the persist stays
+      // despite the ≥3-consumer gating hypothesis.
       val prefix = ranked
         .filter(col("p") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
         .select(col("h"), col("id"), col("n"))
@@ -362,7 +368,15 @@ object SelectionQueries {
       val toks = Tables.spread(Tables.documents(s, d))
         .select(col("source"), explode(graft.plans.TextHashCols
           .shingleXx64(col("text"), 1, fallback = false)).as("h"))
-      val counts = toks.groupBy("source", "h").agg(count(lit(1)).as("c"))
+      // round-19: counts is consumed THREE times (totals + both join
+      // legs) and each reference replayed the tokenize+hash corpus
+      // scan, while the table is vocabulary×sources-sized — tiny
+      // cache, heavy subtree (the q_hll_union rationale). Eager per
+      // the AQE fan-out rule.
+      val counts = graft.plans.CacheHandles.track("query.drift.counts",
+        toks.groupBy("source", "h").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+      counts.count()
       val totals = counts.groupBy("source").agg(sum("c").as("n"))
       val a = counts.select(col("source").as("src_a"), col("h"), col("c").as("ca"))
         .join(broadcast(totals.select(col("source").as("src_a"), col("n").as("na"))), "src_a")

@@ -564,25 +564,87 @@ object Dedup {
     require(bandConfigs.nonEmpty && bandConfigs.forall(b =>
       b > 0 && numHashes % b == 0),
       s"each band count must divide numHashes=$numHashes")
+    val spark = df.sparkSession
     val sigs = graft.plans.CacheHandles.track("dedup.lshSweep.sigs",
       minhashSignatures(df, idCol, textCol, shingleK, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
-    // eager: every banding config fans out concurrently (see
+    // eager: the banding fan-out consumes the cache concurrently (see
     // sharedShingleEdges)
     sigs.count()
-    bandConfigs.map { bands =>
+    // Round-19 wave 3: ONE banding → bucket → pair → est chain for ALL
+    // configs, keyed by a `cfg` column, instead of one full chain per
+    // config union'd at the end — the per-config form serialized ~7
+    // small stages × |configs| (profiled ~20 sequential stages at
+    // sf0.1, most under 0.5 s: pure scheduling floor). Per config the
+    // bucket contents, the capped-drop rule, the distinct pair set and
+    // every est_jaccard are IDENTICAL: (cfg, band, bkey) grouping with
+    // cfg constant within a config degenerates to the old (band, bkey)
+    // grouping, dropDuplicates carries cfg, and the band hash still
+    // seeds from the within-config band index. Each config therefore
+    // still evaluates the exact [[minhashCandidates]] bucket/pair/est
+    // semantics — shared machinery, shared scheduling.
+    val entries = bandConfigs.flatMap { bands =>
       val rowsPerBand = numHashes / bands
-      estPairsForBanding(sigs, bands, rowsPerBand, numHashes, maxBucket,
-        s"lsh_sweep_drops_$bands")
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(when(col("est_jaccard") >= 0.3, 1L).otherwise(0L)),
-            lit(0L)).as("n_ge_03"),
-          coalesce(sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)),
-            lit(0L)).as("n_ge_05"))
-        .select(lit(bands).as("n_bands"),
-          lit(rowsPerBand).as("rows_per_band"),
-          col("n_candidates"), col("n_ge_03"), col("n_ge_05"))
-    }.reduce(_.unionByName(_))
+      (0 until bands).map { b =>
+        struct(lit(bands).as("cfg"), lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            lit(b)).as("bkey"))
+      }
+    }
+    val banded = sigs.select(col("id"), explode(array(entries: _*)).as("e"))
+      .select(col("id"), col("e.cfg").as("cfg"), col("e.band").as("band"),
+        col("e.bkey").as("bkey"))
+    // the pairsFromBucketsIds shape with cfg carried through the
+    // grouping, the cap observation, and the pair dedup (per-config
+    // observes were never asserted; the combined metric keeps the
+    // mis-sized-banding signal)
+    val buckets = banded
+      .groupBy("cfg", "band", "bkey")
+      .agg(collect_list(col("id")).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .observe("lsh_sweep_drops",
+        sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(size(col("ms")) > maxBucket, size(col("ms")).cast("long"))
+          .otherwise(0L)).as("dropped_ids"),
+        count(lit(1)).as("candidate_buckets"))
+      .filter(size(col("ms")) <= maxBucket)
+    val pairCol =
+      if (banded.schema("id").dataType == org.apache.spark.sql.types.LongType)
+        graft.plans.ArrayPairsCols.longPairs(col("ms"))
+      else
+        flatten(transform(col("ms"), a =>
+          transform(filter(col("ms"), b => b > a),
+            b => struct(a.as("id_a"), b.as("id_b")))))
+    val pairs = buckets
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("cfg"), explode(pairCol).as("pair"))
+      .select(col("cfg"), col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"))
+      .dropDuplicates("cfg", "id_a", "id_b")
+    val est = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("merge"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("merge"), "id_b")
+      .select(col("cfg"),
+        (graft.plans.ArrayPairsCols.arrayEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
+    val counts = est.groupBy("cfg")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("est_jaccard") >= 0.3, 1L).otherwise(0L)).as("n_ge_03"),
+        sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_ge_05"))
+    // a config whose banding yields ZERO candidates must still emit its
+    // zero row — the old per-config global agg always returned one row;
+    // a groupBy would silently drop it. The config table is literal-
+    // sized, the join broadcasts.
+    import spark.implicits._
+    val cfgs = bandConfigs.map(b => (b, numHashes / b))
+      .toDF("n_bands", "rows_per_band")
+    cfgs.join(broadcast(counts.withColumnRenamed("cfg", "n_bands")),
+        Seq("n_bands"), "left")
+      .select(col("n_bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_ge_03"), lit(0L)).as("n_ge_03"),
+        coalesce(col("n_ge_05"), lit(0L)).as("n_ge_05"))
   }
 
   /** Bucket pair generation: group (band,bkey) rows into buckets,

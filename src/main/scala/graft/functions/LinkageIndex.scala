@@ -186,7 +186,11 @@ object LinkageIndex {
             .dropDuplicates("id_a", "id_b")
           val allDocs = component(spark, vdir, "docs").unionByName(freshBack)
           graft.operators.EditDistanceJoin
-            .verifyCandidates(candFresh, allDocs, "id", "name", bn, meta.maxDist)
+            // wideSecondJoin = false: batch-sized candidate set — the
+            // forced wide exchange only adds scheduling here (see the
+            // verifyCandidates note)
+            .verifyCandidates(candFresh, allDocs, "id", "name", bn,
+              meta.maxDist, wideSecondJoin = false)
             .write.parquet(s"$d/pairs")
           // lets a streaming caller re-locate ITS batch's delta after
           // a crash between this commit and the sink write

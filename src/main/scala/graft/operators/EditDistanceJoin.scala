@@ -110,7 +110,8 @@ object EditDistanceJoin {
   private[graft] def verifyCandidates(pairs: DataFrame, docs: DataFrame,
                                       idCol: String, nameCol: String,
                                       blockCols: Seq[String],
-                                      maxDist: Int): DataFrame = {
+                                      maxDist: Int,
+                                      wideSecondJoin: Boolean = true): DataFrame = {
     val payload = Seq(nameCol) ++ blockCols
     val a = docs.select(col(idCol).as("id_a") +: payload.map(c => col(c).as(s"_a_$c")): _*)
     val b = docs.select(col(idCol).as("id_b") +: payload.map(c => col(c).as(s"_b_$c")): _*)
@@ -122,8 +123,21 @@ object EditDistanceJoin {
     // (StageProfile: 2×~570 ms two-task verify stages at sf0.1). A
     // user-specified keyed repartition is exempt from AQE coalescing
     // and scales with the cluster (defaultParallelism), not a constant.
-    pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism, col("id_a"))
-      .join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    val afterA = pairs.repartition(par, col("id_a"))
+      .join(a.hint("merge"), "id_a")
+    // round-19 wave 3: the SECOND verify join re-exchanges on id_b, and
+    // that exchange is bytes-small too — AQE coalesced it to 3 tasks
+    // (StageProfile: two ~350 ms three-task stages carrying the
+    // Levenshtein filter; q_linkage 2.44 → 1.86 s with the pin). Same
+    // per-ROW-cost rationale as the id_a pin above — but caller-gated:
+    // the incremental index probe verifies a BATCH-sized candidate set
+    // where a forced 32-way stage only adds scheduling (the q_gini
+    // lesson), so it keeps the AQE-sized exchange.
+    val beforeB = if (wideSecondJoin) afterA.repartition(par, col("id_b"))
+      else afterA
+    beforeB
+      .join(b.hint("merge"), "id_b")
       .filter(blockEq)
       .withColumn("dist", levenshtein(col(s"_a_$nameCol"), col(s"_b_$nameCol")))
       .filter(col("dist") <= maxDist)

@@ -244,8 +244,20 @@ object CalibrationQueries {
     //       only — never all pairs).
     "q_minhash_calibration" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
-        .filter(col("est_jaccard") >= 0.25)
+      // round-19 wave 3: persist the candidate pairs — they feed BOTH
+      // the exact-jaccard verify input AND the calibration join below,
+      // and without the persist the entire banding + in-bucket pairing
+      // + est-join chain ran TWICE (StageProfile: every pair stage
+      // appeared duplicated, ~1.2 s of repeated wall). The table is
+      // tiny (pairs above est 0.25 — 6.4 k rows at sf0.1), the
+      // favorable-persist profile of VERDICT r18 #4. Eager count per
+      // the sharedShingleEdges concurrent-consumer rationale;
+      // Bench/Verify release via CacheHandles.
+      val cands = graft.plans.CacheHandles.track("query.minhashcal.cands",
+        Dedup.minhashCandidates(docs, "doc_id", "text")
+          .filter(col("est_jaccard") >= 0.25)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+      cands.count()
       val exact = Dedup.ngramJaccard(docs,
         cands.select("id_a", "id_b"), "doc_id", "text")
       cands.join(exact, Seq("id_a", "id_b"))

@@ -107,9 +107,23 @@ object CurationQueries {
         graft.functions.TextAnalysis.nWords(col("text")).as("n_words"),
         graft.functions.TextAnalysis.langIdScored(col("text")).as("lang_guess"))
         .observe("curate_scored", count(lit(1)).as("rows"))
+      // NOT persisted (round-19 wave 3 measurement): caching this
+      // text-heavy funnel head for its two references (keep aggregate +
+      // kept join side) measured 2.48 → 3.15 s min-warm — the row
+      // materialization breaks the scan→filter→join whole-stage fusion
+      // and costs more than the saved langIdScored replay; an eager
+      // count() barrier variant measured +0.35 s. Both rejected.
       val filtered = scored
         .filter(col("n_words") >= 10 && col("lang_guess") =!= "unk")
         .observe("curate_filtered", count(lit(1)).as("rows"))
+      // keep-first dedup stays the groupBy(md5).agg(min) + semi-join
+      // form: a row_number window over the content hash would collapse
+      // the funnel to one pass, but a hash-derived window key is the
+      // exact skew hazard ScaleGuard lints against (one
+      // boilerplate/empty text duplicated at corpus scale = one giant
+      // single-task window group, and AQE cannot skew-split windows) —
+      // tested round 19 and reverted on the lint; locally the two
+      // shapes measure identical (2.48 s).
       val keep = filtered
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min("doc_id").as("doc_id"))
@@ -133,10 +147,20 @@ object CurationQueries {
       // replays the whole scan→filter→dedup funnel (the q_simjoin
       // shingle-persist rationale); Bench/Verify release between
       // queries via CacheHandles
+      // round-19 wave 3: keyed defaultParallelism repartition INTO the
+      // cache — the semi-join output upstream is bytes-small, so AQE
+      // coalesced the exchange and the span window ran on 2-3 tasks
+      // (~1.9 s serial at sf0.1, StageProfile stages 60/62). Keying by
+      // doc_id both spreads the token rows across every core AND lets
+      // the span window (partitionBy doc_id) and the per-doc NLL
+      // groupBy reuse the cached hash(doc_id) layout without their own
+      // exchanges; eager count per the concurrent-consumer rationale
+      // (three consumers fan out of this cache).
       val tokRows = graft.plans.CacheHandles.track("query.curate.tokrows",
         kept
           .select(col("doc_id"), col("lang_guess"), col("n_words"),
             posexplode(toks))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val parts = col("col") +: (1 until spanK).map(j => lead(col("col"), j).over(w))

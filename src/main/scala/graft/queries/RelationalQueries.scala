@@ -38,9 +38,24 @@ object RelationalQueries {
         .limit(20)),
 
     // 21. TPC-H Q1: the classic pricing summary.
+    //     Round-19 wave 3: prune-then-spread — the single-row-group
+    //     lineitem scan fused the whole decimal-heavy aggregate into
+    //     ONE task (StageProfile: 1.1 s wall ≈ 1.1 CPU-s, serial); the
+    //     early select keeps the round-robin shuffle at the 7 needed
+    //     columns and the partial aggregate then runs 32-way. The
+    //     three averages move to exact decimal sums over count
+    //     (identical machinery to the exactSum columns beside them):
+    //     a double avg's partial-sum merge order would become
+    //     partition-dependent under the spread, while the decimal sums
+    //     are exact in ANY order — the result is bit-stable across
+    //     partitionings and the r2/r4 outputs match the oracle's
+    //     (order-independent to well below the rounding step; gate
+    //     re-verified at sf0.001/0.01/0.1).
     "q_tpch_q1" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-09-02 00:00:00'"))
+      Tables.spread(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-09-02 00:00:00'"))
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
@@ -53,9 +68,15 @@ object RelationalQueries {
             col("l_extendedprice") * (lit(1.0) - col("l_discount"))
               * (lit(1.0) + col("l_tax")), 6, 2)
             .as("sum_charge"),
-          graft.functions.EngineNeutral.r2(avg("l_quantity")).as("avg_qty"),
-          graft.functions.EngineNeutral.r2(avg("l_extendedprice")).as("avg_price"),
-          graft.functions.EngineNeutral.r4(avg("l_discount")).as("avg_disc"),
+          graft.functions.EngineNeutral.r2(
+            graft.functions.EngineNeutral.exactSum(col("l_quantity"), 2) /
+              count(lit(1))).as("avg_qty"),
+          graft.functions.EngineNeutral.r2(
+            graft.functions.EngineNeutral.exactSum(col("l_extendedprice"), 2) /
+              count(lit(1))).as("avg_price"),
+          graft.functions.EngineNeutral.r4(
+            graft.functions.EngineNeutral.exactSum(col("l_discount"), 2) /
+              count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 

@@ -50,9 +50,11 @@ object RelationalQueries {
     //     are exact in ANY order — the result is bit-stable across
     //     partitionings and the r2/r4 outputs match the oracle's
     //     (order-independent to well below the rounding step; gate
-    //     re-verified at sf0.001/0.01/0.1).
+    //     re-verified at sf0.001/0.01/0.1). spreadIfSerial, not spread:
+    //     a multi-file table already scans in parallel and the exchange
+    //     is pure overhead there (sf1: 0.75 s unspread vs 1.45 spread).
     "q_tpch_q1" -> ((s, d) =>
-      Tables.spread(Tables.lineitem(s, d)
+      Tables.spreadIfSerial(Tables.lineitem(s, d)
           .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-09-02 00:00:00'"))
           .select("l_returnflag", "l_linestatus", "l_quantity",
             "l_extendedprice", "l_discount", "l_tax"))
@@ -68,16 +70,28 @@ object RelationalQueries {
             col("l_extendedprice") * (lit(1.0) - col("l_discount"))
               * (lit(1.0) + col("l_tax")), 6, 2)
             .as("sum_charge"),
-          graft.functions.EngineNeutral.r2(
-            graft.functions.EngineNeutral.exactSum(col("l_quantity"), 2) /
-              count(lit(1))).as("avg_qty"),
-          graft.functions.EngineNeutral.r2(
-            graft.functions.EngineNeutral.exactSum(col("l_extendedprice"), 2) /
-              count(lit(1))).as("avg_price"),
-          graft.functions.EngineNeutral.r4(
-            graft.functions.EngineNeutral.exactSum(col("l_discount"), 2) /
-              count(lit(1))).as("avg_disc"),
+          // qty is integer-valued: its double sum is exact (< 2^53) in
+          // any order, so plain avg stays deterministic under the spread
+          graft.functions.EngineNeutral.r2(avg("l_quantity")).as("avg_qty"),
+          // discount is 2-dp: sum exact integer CENTS (one long buffer —
+          // cheaper than a decimal sum, same exact total; the q_cusum
+          // quantization convention)
+          sum(floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
+            .as("_disc_cents"),
           count(lit(1)).as("count_order"))
+        // avg_price derives from the EXACT sum already computed one
+        // column up — no second aggregate buffer; avg_disc from the
+        // exact cents total. Both order-free, both bit-equal to a
+        // decimal-sum/count mean (an exact rational rounds to the same
+        // nearest double either way).
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          col("avg_qty"),
+          graft.functions.EngineNeutral.r2(
+            col("sum_base_price") / col("count_order")).as("avg_price"),
+          graft.functions.EngineNeutral.r4(
+            col("_disc_cents") / lit(100.0) / col("count_order")).as("avg_disc"),
+          col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
     // 22. 5-way join (TPC-H Q5 shape): all dims broadcast, one fact

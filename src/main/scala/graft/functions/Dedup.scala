@@ -826,21 +826,29 @@ object Dedup {
     // MEMORY_ONLY for the same reason as minhashCandidates' sigs (lazy
     // return → can't unpersist here; LRU-evictable beats disk-demoted);
     // CacheHandles-tracked for deterministic release
+    // sort_array into the cache (round 19): the per-pair verify is the
+    // zero-allocation SortedInterCount merge kernel instead of
+    // array_intersect + array_union, each of which builds a hash set
+    // and MATERIALIZES its result array per candidate pair only for
+    // size() to count it. |A∪B| = |A| + |B| − |A∩B| exactly (distinct
+    // sets), so the two set ops collapse to one merge pass; identical
+    // integers divide, so the jaccard doubles are bit-identical.
     val sh = graft.plans.CacheHandles.track("dedup.ngramJaccard.shingleSets",
       shingleHashes(df, idCol, textCol, shingleK)
-        .groupBy("id").agg(collect_set(col("h")).as("sh"))
+        .groupBy("id").agg(sort_array(collect_set(col("h"))).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     sh.count() // eager: both join sides are concurrent AQE stages
     // merge-hinted: the sh side carries collect_set arrays built from
     // an explode — letting the planner broadcast it on size-only
     // stats risks an arbitrarily-underestimated build (see
     // sharedShingleEdges); both joins key-shuffle by id instead
+    val inter = graft.plans.ArrayPairsCols.sortedInterCount(col("sh_a"), col("sh_b"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge"), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
   }
 
   /** Asymmetric n-gram containment on candidate pairs:
@@ -854,13 +862,17 @@ object Dedup {
     */
   def ngramContainment(df: DataFrame, candidates: DataFrame, idCol: String,
                        textCol: String, shingleK: Int = 3): DataFrame = {
-    // persisted for the same both-join-sides reason as [[ngramJaccard]]
+    // persisted for the same both-join-sides reason as [[ngramJaccard]];
+    // sorted into the cache for the SortedInterCount merge kernel
+    // (same bit-identity argument as ngramJaccard — inter is the same
+    // integer, the divisors are plain size())
     val sh = graft.plans.CacheHandles.track("dedup.ngramContainment.shingleSets",
       shingleHashes(df, idCol, textCol, shingleK)
-        .groupBy("id").agg(collect_set(col("h")).as("sh"))
+        .groupBy("id").agg(sort_array(collect_set(col("h"))).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     sh.count() // eager: both join sides are concurrent AQE stages
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val inter = graft.plans.ArrayPairsCols
+      .sortedInterCount(col("sh_a"), col("sh_b")).cast("double")
     // merge-hinted for the same reason as ngramJaccard: never let the
     // planner broadcast a collect_set-of-explode build side
     candidates

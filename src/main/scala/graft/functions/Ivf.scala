@@ -121,19 +121,36 @@ object Ivf {
   private def probeCells(cells: DataFrame, queries: DataFrame, k: Int,
                          centroids: Array[Array[Double]], nprobe: Int,
                          idCol: String, vecCol: String): DataFrame = {
-    // per query: rank cells by centroid dot, explode the top nprobe
-    val probes = broadcast(Similarity.normalized(queries, vecCol)
+    // per query: rank cells by centroid dot, explode the top nprobe.
+    // Round 19: the probes broadcast is GROUPED per cell (≤ #centroids
+    // rows of array<struct<query_id, qvec>>), the cells join becomes
+    // 1:1 on ivf_cell (DPP partition pruning unchanged — same equi-
+    // join key from the same broadcast subtree), and the per-pair
+    // scoring runs inside the DotAgainstSet kernel: one tight loop per
+    // corpus vector instead of a row-multiplying join whose per-pair
+    // machinery measured ~150 µs/pair (37.7 CPU-s on the
+    // q_rrf_fusion_ann dense leg at sf0.1). Same scored multiset: sims
+    // are ArrayDot's exact fold (kernel-pinned), r4 applied to the
+    // exploded column as before, the self-pair filter moves after the
+    // explode (same surviving rows), and topKPerKey's (sim desc, id)
+    // tie-break never depended on input order.
+    val probeSets = broadcast(Similarity.normalized(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         centroidDots(col(vecCol), centroids).as("cd"))
       .select(col("query_id"), col("qvec"),
         explode(slice(reverse(array_sort(zip_with(
           col("cd"), sequence(lit(0), lit(centroids.length - 1)),
           (d, i) => struct(d.as("d"), i.as("cell"))))), 1, nprobe)).as("probe"))
-      .select(col("query_id"), col("qvec"), col("probe.cell").as("ivf_cell")))
-    val scored = cells.join(probes, "ivf_cell")
+      .select(col("probe.cell").as("ivf_cell"), col("query_id"), col("qvec"))
+      .groupBy("ivf_cell")
+      .agg(collect_list(struct(col("query_id"), col("qvec"))).as("qs")))
+    val scored = cells.join(probeSets, "ivf_cell")
+      .select(col("neighbor_id"),
+        explode(graft.plans.ArrayPairsCols.dotAgainstSet(
+          col("cvec"), col("qs"))).as("p"))
+      .select(col("p.query_id").as("query_id"), col("neighbor_id"),
+        EngineNeutral.r4(col("p.sim")).as("sim"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        EngineNeutral.r4(array_dot(col("qvec"), col("cvec"))).as("sim"))
     Similarity.topKPerKey(scored, "query_id", k)
   }
 

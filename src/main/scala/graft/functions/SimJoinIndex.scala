@@ -109,13 +109,19 @@ object SimJoinIndex {
     * never-broadcast-a-collect_set-of-explode reason (q_simjoin).
     */
   private def verify(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
-    val sets = sh.groupBy("id").agg(collect_set(col("h")).as("s"))
+    // sorted sets + SortedInterCount merge kernel (round 19, the
+    // q_simjoin verify change): one zero-allocation pass instead of
+    // array_intersect + array_union materialization; identical
+    // integers (|A∪B| = |A|+|B|−|A∩B| on distinct sets) so the
+    // jaccard doubles are bit-identical.
+    val sets = sh.groupBy("id").agg(sort_array(collect_set(col("h"))).as("s"))
+    val inter = graft.plans.ArrayPairsCols.sortedInterCount(col("s_a"), col("s_b"))
     cand
       .join(sets.select(col("id").as("id_a"), col("s").as("s_a")).hint("merge"), "id_a")
       .join(sets.select(col("id").as("id_b"), col("s").as("s_b")).hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_union(col("s_a"), col("s_b")))).as("jaccard"))
+        (inter.cast("double") /
+          (size(col("s_a")) + size(col("s_b")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= t)
   }
 

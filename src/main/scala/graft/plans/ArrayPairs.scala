@@ -64,6 +64,75 @@ object ArrayPairs {
     c
   }
 
+  /** ≡ size(array_intersect(a, b)) for two ascending-SORTED arrays of
+    * distinct non-null longs (the sort_array(collect_set(h)) shape) —
+    * a zero-allocation linear merge. array_intersect builds a per-row
+    * hash set AND materializes the intersection array only for size()
+    * to count it (and the jaccard shape repeated that for array_union);
+    * on the q_simjoin verify that interpretation+allocation was 68.5
+    * CPU-s for 310 k candidate pairs at sf0.1 (StageProfile stage 159,
+    * round 19). |A∪B| is derived as |A| + |B| − |A∩B| (exact for
+    * distinct sets), so ONE merge pass replaces both set ops.
+    */
+  def sortedInterCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** One corpus vector scored against a runtime query SET (round 19,
+    * the IVF probe hot path): per (query_id, qvec) struct the sim is
+    * EXACTLY ArrayDot's left-to-right fold with its null semantics
+    * (null/length-mismatch/null-element → null sim; a null corpus
+    * vector nulls every sim, matching the join form's per-pair null
+    * row). Replaces the cells⋈probes row-multiplying join whose
+    * per-pair machinery (join-row materialization + UnsafeProjection
+    * of two 64-double arrays) measured ~150 µs per scored pair —
+    * 37.7 CPU-s on q_rrf_fusion_ann's dense leg at sf0.1 — for a
+    * ~0.1 µs dot. The query set arrives as broadcast DATA grouped per
+    * cell (16 rows), NOT a plan-time collected constant: the variant
+    * that compiled probes into the kernel at plan time serialized a
+    * driver job per run and was measured worse (r19 wave 3, rejected).
+    */
+  def dotSet(cvec: ArrayData, qset: ArrayData): ArrayData = {
+    val n = qset.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = qset.getStruct(i, 2)
+      val r = new GenericInternalRow(2)
+      r.setLong(0, s.getLong(0))
+      var isNull = cvec == null || s.isNullAt(1)
+      var acc = 0.0
+      if (!isNull) {
+        val q = s.getArray(1)
+        val m = q.numElements()
+        if (cvec.numElements() != m) isNull = true
+        else {
+          var j = 0
+          while (j < m && !isNull) {
+            if (cvec.isNullAt(j) || q.isNullAt(j)) isNull = true
+            else { acc += cvec.getDouble(j) * q.getDouble(j); j += 1 }
+          }
+        }
+      }
+      if (isNull) r.setNullAt(1) else r.setDouble(1, acc)
+      out(i) = r
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ≡ the simhashPairs in-bucket explode:
     * flatten(transform(ms, a -> transform(
     *   filter(ms, b -> b.id > a.id && bit_count(a.sh ^ b.sh) <= maxH),
@@ -141,6 +210,83 @@ case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** Intersection size of two ascending-sorted distinct array<long>
+  * columns (≡ size(array_intersect) on that input class — callers
+  * guarantee sortedness via sort_array over collect_set).
+  */
+case class SortedInterCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_inter_count requires two array<long> arguments, got $l, $r")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_inter_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayPairs.sortedInterCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ArrayPairs.sortedInterCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCount =
+    copy(left = l, right = r)
+}
+
+/** array<struct<query_id, sim>> of one corpus vector scored against a
+  * query set array<struct<query_id: long, qvec: array<double>>> — sims
+  * carry ArrayDot's exact fold and null semantics. Null-handling is
+  * asymmetric BY DESIGN: a null query SET nulls the output (and the
+  * downstream explode emits nothing, like the join it replaces
+  * matching no probe rows), but a null corpus VECTOR must still emit
+  * one (query_id, null) entry per query — the join form produced a
+  * null-sim ROW per pair there, so the default both-null-safe codegen
+  * would silently drop rows.
+  */
+case class DotAgainstSet(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(StructType(Array(q, v)), _))
+          if q.dataType == LongType &&
+            (v.dataType == ArrayType(DoubleType, true) ||
+             v.dataType == ArrayType(DoubleType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_against_set requires array<double>, array<struct<long, array<double>>>, got $l, $r")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("query_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = right.nullable
+  override def prettyName: String = "dot_against_set"
+  override def eval(input: InternalRow): Any = {
+    val qs = right.eval(input)
+    if (qs == null) null
+    else ArrayPairs.dotSet(left.eval(input).asInstanceOf[ArrayData],
+      qs.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val leftVal =
+      if (left.nullable) s"(${leftGen.isNull} ? null : ${leftGen.value})"
+      else leftGen.value
+    ev.copy(code =
+      code"""
+        ${rightGen.code}
+        boolean ${ev.isNull} = ${rightGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${leftGen.code}
+          ${ev.value} = graft.plans.ArrayPairs.dotSet($leftVal, ${rightGen.value});
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotAgainstSet =
+    copy(left = l, right = r)
+}
+
 /** array<struct<id_a, id_b, hamming>> of in-bucket simhash pairs at
   * hamming ≤ maxHamming; input array<struct<id: long, sh: long>>.
   */
@@ -176,6 +322,10 @@ object ArrayPairsCols {
   def longPairs(ms: Column): Column = bridge(LongPairs(expr(ms)))
   def arrayEqCount(a: Column, b: Column): Column =
     bridge(ArrayEqCount(expr(a), expr(b)))
+  def sortedInterCount(a: Column, b: Column): Column =
+    bridge(SortedInterCount(expr(a), expr(b)))
+  def dotAgainstSet(cvec: Column, qset: Column): Column =
+    bridge(DotAgainstSet(expr(cvec), expr(qset)))
   def simhashBucketPairs(ms: Column, maxHamming: Int): Column =
     bridge(SimhashBucketPairs(expr(ms), maxHamming))
 }

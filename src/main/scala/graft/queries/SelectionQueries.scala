@@ -315,13 +315,20 @@ object SelectionQueries {
       // Dedup.ngramJaccard, which would re-tokenize the corpus): same
       // hashed-set mechanics, merge-hinted for the same
       // never-broadcast-a-collect_set-of-explode reason
-      val sets = sh.groupBy("id").agg(collect_set(col("h")).as("s"))
+      // round 19: sorted sets + the SortedInterCount merge kernel —
+      // array_intersect/array_union each built a per-pair hash set and
+      // materialized a result array just for size() (68.5 CPU-s over
+      // 310 k pairs at sf0.1, StageProfile stage 159); one
+      // zero-allocation merge replaces both (|A∪B| = |A|+|B|−|A∩B| for
+      // distinct sets — identical integers, bit-identical doubles)
+      val sets = sh.groupBy("id").agg(sort_array(collect_set(col("h"))).as("s"))
+      val inter = graft.plans.ArrayPairsCols.sortedInterCount(col("s_a"), col("s_b"))
       cand
         .join(sets.select(col("id").as("id_a"), col("s").as("s_a")).hint("merge"), "id_a")
         .join(sets.select(col("id").as("id_b"), col("s").as("s_b")).hint("merge"), "id_b")
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-            size(array_union(col("s_a"), col("s_b")))).as("jaccard"))
+          (inter.cast("double") /
+            (size(col("s_a")) + size(col("s_b")) - inter)).as("jaccard"))
         .filter(col("jaccard") >= t)
         .orderBy("id_a", "id_b")
     }),

@@ -46,6 +46,59 @@ class ArrayPairsSpec extends AnyFunSpec {
     }
   }
 
+  describe("SortedInterCount") {
+    it("matches size(array_intersect) on sorted distinct arrays, and the " +
+       "derived jaccard matches the array_intersect/array_union form") {
+      val df = Seq(
+        (Seq(1L, 2L, 3L, 9L), Seq(2L, 3L, 4L)),
+        (Seq(1L, 2L), Seq(3L, 4L)),            // disjoint
+        (Seq.empty[Long], Seq(1L)),            // empty side
+        (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L)),  // identical (negatives sort first)
+        (Seq(Long.MinValue, -1L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+      ).toDF("ra", "rb")
+        .select(sort_array(array_distinct(col("ra"))).as("a"),
+          sort_array(array_distinct(col("rb"))).as("b"))
+      val want = df.select(
+        size(array_intersect(col("a"), col("b"))).as("c"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("j"))
+      val inter = ArrayPairsCols.sortedInterCount(col("a"), col("b"))
+      val got = df.select(inter.as("c"),
+        (inter.cast("double") / (size(col("a")) + size(col("b")) - inter)).as("j"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  describe("DotAgainstSet") {
+    it("matches per-pair array_dot with its null semantics") {
+      val qset = Seq(
+        (1L, Some(Seq(1.0, 2.0, 3.0))),
+        (2L, Some(Seq(0.5, -1.0, 2.0))),
+        (3L, None),                       // null qvec → null sim
+        (4L, Some(Seq(1.0, 2.0)))         // length mismatch → null sim
+      )
+      val corpus = Seq(
+        (10L, Some(Seq(2.0, 0.0, 1.0))),
+        (11L, Some(Seq(-1.0, 1.0, 0.5))),
+        (12L, None)                       // null cvec → null sim per query
+      ).toDF("neighbor_id", "cvec")
+        .select(col("neighbor_id"), col("cvec").cast("array<double>"))
+      val qdf = qset.toDF("query_id", "qvec")
+        .select(col("query_id"), col("qvec").cast("array<double>"))
+      val want = corpus.crossJoin(qdf)
+        .select(col("query_id"), col("neighbor_id"),
+          graft.plans.ArrayDot.array_dot(col("qvec"), col("cvec")).as("sim"))
+      val qs = qdf.agg(collect_list(struct(col("query_id"), col("qvec"))).as("qs"))
+      val got = corpus.crossJoin(qs)
+        .select(col("neighbor_id"),
+          explode(ArrayPairsCols.dotAgainstSet(col("cvec"), col("qs"))).as("p"))
+        .select(col("p.query_id").as("query_id"), col("neighbor_id"),
+          col("p.sim").as("sim"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      assert(got.count() === want.count())
+    }
+  }
+
   describe("SimhashBucketPairs") {
     it("matches the nested transform/filter hamming explode") {
       val ms = Seq(

@@ -314,33 +314,55 @@ object Similarity {
                             maxBucket: Int = 10000, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     val half = planes / 2
-    // persisted + eager (round 18): banding and BOTH pair-join sides
-    // reference this subtree — without materialization each reference
-    // replays the scan + normalize (the sharedShingleEdges convention)
-    val vecs = graft.plans.CacheHandles.track("similarity.axis.vecs",
-      normalized(spread(corpus), vecCol)
-        .filter(col(vecCol).isNotNull) // zero-norm vectors have no direction
-        .select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
-    vecs.count()
+    // round 19: the r18 persist existed for THREE consumers (banding +
+    // both pair-attach join sides); with sims computed in-bucket the
+    // normalize→select subtree has exactly ONE consumer and the
+    // materialization pass was pure overhead — inline it so the scan,
+    // normalize and banding fuse into one codegen stage.
+    val vecs = normalized(spread(corpus), vecCol)
+      .filter(col(vecCol).isNotNull) // zero-norm vectors have no direction
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
     def bandKey(from: Int, until: Int): Column =
       (from until until).map { i =>
         when(element_at(col("vec"), i + 1) >= 0.0, lit(1L << (i - from)))
           .otherwise(lit(0L))
       }.reduce(_ + _)
     val banded = vecs
-      .select(col("id"), posexplode(array(bandKey(0, half), bandKey(half, planes))))
+      .select(col("id"), col("vec"),
+        posexplode(array(bandKey(0, half), bandKey(half, planes))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    // payload joins merge-hinted (the ngramJaccard precedent): both
-    // sides are corpus-derived explode descendants, and a tiny-SF
-    // size estimate must not broadcast either build
-    Dedup.pairsFromBucketsIds(banded, maxBucket, "lsh_drops_embedding_axis")
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))
-        .hint("merge"), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))
-        .hint("merge"), "id_b")
+    // round 19: sims computed IN the buckets by the VecPairSims kernel
+    // (the SimhashBucketPairs precedent) instead of id-only pairs +
+    // two merge joins re-attaching the 520 B vectors per candidate
+    // pair (31.4 MB pair-attach shuffle, AQE-coalesced 2-task join
+    // stages at sf0.1). The bucket pipeline mirrors
+    // Dedup.pairsFromBucketsIds step for step — same observe metrics
+    // from the same bucket sizes, same maxBucket cap, same round-robin
+    // spread before the quadratic explode (bucket rows now carry the
+    // vectors, ~targetBucket×528 B each — still KBs), and the kernel
+    // emits pairs in the same id_b > id_a value order with
+    // sim = ArrayDot(vec_a, vec_b)'s exact fold. A pair found by both
+    // bands carries the identical sim, so the cross-band
+    // dropDuplicates keeps the same one row the id-pair dedup kept,
+    // and filter-after-dedup ≡ dedup-after-filter on equal sims.
+    val buckets = banded
+      .groupBy("band", "bkey")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .observe("lsh_drops_embedding_axis",
+        sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(size(col("ms")) > maxBucket, size(col("ms")).cast("long"))
+          .otherwise(0L)).as("dropped_ids"),
+        count(lit(1)).as("candidate_buckets"))
+      .filter(size(col("ms")) <= maxBucket)
+    buckets
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(graft.plans.ArrayPairsCols.vecPairSims(col("ms"))).as("pair"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
+        col("pair.sim").as("rawsim"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        graft.functions.EngineNeutral.r4(dot(col("vec_a"), col("vec_b"))).as("sim"))
+        graft.functions.EngineNeutral.r4(col("rawsim")).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

@@ -133,6 +133,61 @@ object ArrayPairs {
     new GenericArrayData(out)
   }
 
+  /** In-bucket embedding pair sims (round 19, q_dedup_embedding): for
+    * ms: array<struct<id: long, vec: array<double>>>, every ordered
+    * pair by id VALUE (id_b > id_a, the LongPairs order) with
+    * sim = ArrayDot(vec_a, vec_b) — exact fold, exact null semantics
+    * (null vec / length mismatch / null element → null sim). Replaces
+    * id-only pairs + two merge joins that re-attached the 520 B
+    * vectors per pair (31.4 MB pair-attach shuffle + AQE-coalesced
+    * 2-task stages at sf0.1) with dots computed where the vectors
+    * already sit.
+    */
+  def vecPairSims(ms: ArrayData): ArrayData = {
+    val n = ms.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val row = ms.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      vecs(i) = if (row.isNullAt(1)) null else row.getArray(1)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](n)
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (ids(j) > ids(i)) {
+          val r = new GenericInternalRow(3)
+          r.setLong(0, ids(i))
+          r.setLong(1, ids(j))
+          val a = vecs(i)
+          val b = vecs(j)
+          var isNull = a == null || b == null
+          var acc = 0.0
+          if (!isNull) {
+            val m = a.numElements()
+            if (b.numElements() != m) isNull = true
+            else {
+              var e = 0
+              while (e < m && !isNull) {
+                if (a.isNullAt(e) || b.isNullAt(e)) isNull = true
+                else { acc += a.getDouble(e) * b.getDouble(e); e += 1 }
+              }
+            }
+          }
+          if (isNull) r.setNullAt(2) else r.setDouble(2, acc)
+          out.add(r)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** ≡ the simhashPairs in-bucket explode:
     * flatten(transform(ms, a -> transform(
     *   filter(ms, b -> b.id > a.id && bit_count(a.sh ^ b.sh) <= maxH),
@@ -208,6 +263,33 @@ case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpre
     defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ArrayPairs.eqCount($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayEqCount =
     copy(left = l, right = r)
+}
+
+/** array<struct<id_a, id_b, sim>> of in-bucket embedding pairs by id
+  * order with ArrayDot sims; input array<struct<id: long,
+  * vec: array<double>>>.
+  */
+case class VecPairSims(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(idF, vecF)), _)
+        if idF.dataType == LongType &&
+          (vecF.dataType == ArrayType(DoubleType, true) ||
+           vecF.dataType == ArrayType(DoubleType, false)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_pair_sims requires array<struct<long, array<double>>>, got $other")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = true))), containsNull = false)
+  override def prettyName: String = "vec_pair_sims"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayPairs.vecPairSims(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ArrayPairs.vecPairSims($c)")
+  override protected def withNewChildInternal(c: Expression): VecPairSims =
+    copy(child = c)
 }
 
 /** Intersection size of two ascending-sorted distinct array<long>
@@ -326,6 +408,7 @@ object ArrayPairsCols {
     bridge(SortedInterCount(expr(a), expr(b)))
   def dotAgainstSet(cvec: Column, qset: Column): Column =
     bridge(DotAgainstSet(expr(cvec), expr(qset)))
+  def vecPairSims(ms: Column): Column = bridge(VecPairSims(expr(ms)))
   def simhashBucketPairs(ms: Column, maxHamming: Int): Column =
     bridge(SimhashBucketPairs(expr(ms), maxHamming))
 }

@@ -127,23 +127,50 @@ object ProfilingQueries {
       // exchange is already reused across the references, and the
       // extra materialization pass only serializes the plan.
       val rows = scanned.select("event_type", "k", "c")
-      val perLag = Seq(1, 2).map { lag =>
-        // explicit keyed repartition (round 18): the lag self-joins'
-        // post-shuffle stages are bytes-small, so AQE coalesced each
-        // to ONE task (~4 serial 100k-row stages); a user-specified
-        // repartition is exempt from coalescing and keeps the
-        // defaultParallelism width at any scale
-        val par = s.sparkContext.defaultParallelism
-        val a = rows.select(col("event_type"), col("k"), col("c").as("ca"))
-          .repartition(par, col("event_type"), col("k"))
-        val b = rows.select(col("event_type"), (col("k") - lag).as("k"),
-          col("c").as("cb"))
-        a.hint("merge").join(b, Seq("event_type", "k"))
-          .groupBy("event_type")
-          .agg(sum(col("ca") * col("cb")).as("sab"), sum("ca").as("sa"),
-            sum("cb").as("sb"), count(lit(1)).as("m"))
-          .withColumn("lag", lit(lag))
-      }.reduce(_ unionByName _)
+      // round 19: ONE pass instead of per-lag merge self-joins. The
+      // old shape evaluated the ranked subtree FOUR times (a/b sides ×
+      // 2 lags — StageProfile: four concurrent scan+rank stages plus
+      // four single-task range stages) and paid two keyed join
+      // exchanges. Each row now contributes to the three group cells
+      // (k, k−1, k−2) it participates in, one groupBy reunites
+      // (c_k, c_{k+1}, c_{k+2}) per cell — k is the per-type
+      // PrefixScan rank, unique by construction, so max(when) IS the
+      // single value — and the per-lag sums are the join's sums
+      // verbatim: b0·sL is null (sum-skipped) exactly when the inner
+      // join had no (k, k+L) pair, the guarded sa/sb/m count the same
+      // surviving rows, and m>0 filters the (event_type, lag) groups
+      // the join form never emitted. Bounded group size (≤3) — never a
+      // per-type window. The keyed repartition keeps the r18 width pin
+      // (AQE would coalesce the bytes-small cell exchange to 1 task).
+      val par = s.sparkContext.defaultParallelism
+      val cells = rows.select(col("event_type"), col("c"), explode(array(
+          struct(col("k").as("kk"), lit(0).as("tag")),
+          struct((col("k") - 1).as("kk"), lit(1).as("tag")),
+          struct((col("k") - 2).as("kk"), lit(2).as("tag")))).as("e"))
+        .select(col("event_type"), col("e.kk").as("kk"), col("e.tag").as("tag"),
+          col("c"))
+        .repartition(par, col("event_type"), col("kk"))
+        .groupBy("event_type", "kk")
+        .agg(max(when(col("tag") === 0, col("c"))).as("b0"),
+          max(when(col("tag") === 1, col("c"))).as("s1"),
+          max(when(col("tag") === 2, col("c"))).as("s2"))
+      val agg8 = cells.groupBy("event_type").agg(
+        sum(col("b0") * col("s1")).as("sab1"),
+        sum(when(col("s1").isNotNull, col("b0"))).as("sa1"),
+        sum(when(col("b0").isNotNull, col("s1"))).as("sb1"),
+        count(when(col("b0").isNotNull && col("s1").isNotNull, lit(1))).as("m1"),
+        sum(col("b0") * col("s2")).as("sab2"),
+        sum(when(col("s2").isNotNull, col("b0"))).as("sa2"),
+        sum(when(col("b0").isNotNull, col("s2"))).as("sb2"),
+        count(when(col("b0").isNotNull && col("s2").isNotNull, lit(1))).as("m2"))
+      val perLag = agg8.select(col("event_type"), explode(array(
+          struct(lit(1).as("lag"), col("sab1").as("sab"), col("sa1").as("sa"),
+            col("sb1").as("sb"), col("m1").as("m")),
+          struct(lit(2).as("lag"), col("sab2").as("sab"), col("sa2").as("sa"),
+            col("sb2").as("sb"), col("m2").as("m")))).as("e"))
+        .select(col("event_type"), col("e.lag").as("lag"), col("e.sab").as("sab"),
+          col("e.sa").as("sa"), col("e.sb").as("sb"), col("e.m").as("m"))
+        .filter(col("m") > 0)
       val mu = col("sx").cast("double") / col("n")
       perLag.join(broadcast(stats), "event_type")
         .select(col("event_type"), col("lag"),

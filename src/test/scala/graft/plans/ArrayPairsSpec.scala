@@ -99,6 +99,37 @@ class ArrayPairsSpec extends AnyFunSpec {
     }
   }
 
+  describe("VecPairSims") {
+    it("matches LongPairs pair order with per-pair ArrayDot sims and null semantics") {
+      val ms = Seq(
+        Seq((3L, Some(Seq(1.0, 0.0))), (1L, Some(Seq(0.5, 0.5))),
+          (2L, Some(Seq(0.0, 1.0))), (4L, None),          // null vec
+          (5L, Some(Seq(1.0, 2.0, 3.0)))),                 // length mismatch
+        Seq((7L, Some(Seq(1.0)))),
+        Seq.empty[(Long, Option[Seq[Double]])]
+      ).toDF("raw")
+        .select(transform(col("raw"), r =>
+          struct(r("_1").as("id"), r("_2").cast("array<double>").as("vec"))).as("ms"))
+      // reference: explode the struct list, LongPairs on ids, attach
+      // vectors back by id, ArrayDot per pair
+      val rows = ms.select(monotonically_increasing_id().as("g"), col("ms"))
+      val flat = rows.select(col("g"), explode(col("ms")).as("e"))
+        .select(col("g"), col("e.id").as("id"), col("e.vec").as("vec"))
+      val want = rows
+        .select(col("g"), explode(ArrayPairsCols.longPairs(
+          transform(col("ms"), e => e("id")))).as("p"))
+        .select(col("g"), col("p.id_a"), col("p.id_b"))
+        .join(flat.select(col("g"), col("id").as("id_a"), col("vec").as("va")), Seq("g", "id_a"))
+        .join(flat.select(col("g"), col("id").as("id_b"), col("vec").as("vb")), Seq("g", "id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.plans.ArrayDot.array_dot(col("va"), col("vb")).as("sim"))
+      val got = ms.select(explode(ArrayPairsCols.vecPairSims(col("ms"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.sim").as("sim"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      assert(got.count() === want.count())
+    }
+  }
+
   describe("SimhashBucketPairs") {
     it("matches the nested transform/filter hamming explode") {
       val ms = Seq(

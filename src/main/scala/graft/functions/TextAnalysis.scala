@@ -42,10 +42,23 @@ object TextAnalysis {
 
   /** Scored language ID: count distinct-token hits against each
     * language's stopword set, pick the max (ties break in declared
-    * language order; zero hits → "unk"). Fully columnar — one
-    * array_intersect per language over the distinct token set.
+    * language order; zero hits → "unk").
+    *
+    * Round 19: one codegen pass over the text bytes
+    * ([[graft.plans.TextHash.langIdScore]]) — the expression tree form
+    * ([[langIdScoredExpr]], value-pinned equal by TextHashSpec) built a
+    * token array, distinct-hashed it and ran one
+    * size(array_intersect) per language PER ROW; only membership in
+    * the 24 fixed stopwords ever mattered.
     */
-  def langIdScored(textCol: Column): Column = {
+  def langIdScored(textCol: Column): Column =
+    graft.plans.TextHashCols.langIdScored(textCol, stopwords)
+
+  /** The pre-kernel expression tree, kept for the TextHashSpec
+    * equivalence pin (the TextHashSpec convention: the spec rebuilds
+    * the replaced plan and asserts value equality).
+    */
+  def langIdScoredExpr(textCol: Column): Column = {
     val toks = array_distinct(filter(split(textCol, " "), t => length(t) > 0))
     val scores = stopwords.map { case (lang, ws) =>
       lang -> size(array_intersect(toks, typedLit(ws)))

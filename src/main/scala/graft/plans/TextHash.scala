@@ -362,6 +362,73 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(res)
   }
 
+  /** Compiled per-language stopword table for [[langIdScore]]: the
+    * flattened word byte arrays with their language index, built once
+    * per expression instance from the declared (lang, words) list.
+    */
+  final class CompiledStopwords(stopwords: Seq[(String, Seq[String])])
+      extends Serializable {
+    val langs: Array[UTF8String] =
+      stopwords.map(x => UTF8String.fromString(x._1)).toArray
+    val unk: UTF8String = UTF8String.fromString("unk")
+    val words: Array[Array[Byte]] =
+      stopwords.flatMap(_._2).map(_.getBytes("UTF-8")).toArray
+    val langOf: Array[Int] = stopwords.zipWithIndex
+      .flatMap { case ((_, ws), li) => ws.map(_ => li) }.toArray
+  }
+
+  /** ≡ TextAnalysis.langIdScored's expression tree (split → length
+    * filter → array_distinct → one size(array_intersect(·, words)) per
+    * language → greatest → first-declared-language tie-break → "unk"
+    * on zero hits), in ONE pass over the text bytes: distinct-token
+    * semantics reduce to a per-stopword seen flag (only membership in
+    * the fixed word list matters), scores are per-language seen
+    * counts, and `>` keeps the FIRST declared language at a tie
+    * exactly like the reversed when-fold it replaces. No token array,
+    * no per-language hash set, no intersection arrays.
+    */
+  def langIdScore(s: UTF8String, cw: CompiledStopwords): UTF8String = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nw = cw.words.length
+    val seen = new Array[Boolean](nw)
+    var i = 0
+    while (i < n) {
+      while (i < n && Platform.getByte(base, off + i) == Space) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && Platform.getByte(base, off + i) != Space) i += 1
+        val len = i - start
+        var w = 0
+        while (w < nw) {
+          if (!seen(w)) {
+            val wb = cw.words(w)
+            if (wb.length == len) {
+              var k = 0
+              var eq = true
+              while (eq && k < len) {
+                if (wb(k) != Platform.getByte(base, off + start + k)) eq = false
+                else k += 1
+              }
+              if (eq) seen(w) = true
+            }
+          }
+          w += 1
+        }
+      }
+    }
+    val nl = cw.langs.length
+    val scores = new Array[Int](nl)
+    var w = 0
+    while (w < nw) { if (seen(w)) scores(cw.langOf(w)) += 1; w += 1 }
+    var best = 0
+    var bi = -1
+    var li = 0
+    while (li < nl) { if (scores(li) > best) { best = scores(li); bi = li }; li += 1 }
+    if (best == 0) cw.unk else cw.langs(bi)
+  }
+
   /** ≡ size(filter(split(s, " "), t -> length(t) > 0)): the
     * whitespace token count, without building the token array.
     */
@@ -587,6 +654,24 @@ case class TokenBigrams(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): TokenBigrams = copy(child = c)
 }
 
+/** Scored stopword language ID — see [[TextHash.langIdScore]]. */
+case class LangIdScored(child: Expression,
+                        stopwords: Seq[(String, Seq[String])])
+    extends TextHashExpression {
+  @transient private lazy val compiled = new TextHash.CompiledStopwords(stopwords)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id_scored"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.langIdScore(input.asInstanceOf[UTF8String], compiled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", compiled,
+      classOf[TextHash.CompiledStopwords].getName)
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.langIdScore($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdScored =
+    copy(child = c)
+}
+
 /** Whitespace token count — see [[TextHash.tokenCount]]. */
 case class TokenCount(child: Expression) extends TextHashExpression {
   override def dataType: DataType = IntegerType
@@ -639,6 +724,8 @@ object TextHashCols {
     bridge(SimhashSig(expr(text)))
   def tokenCount(text: Column): Column = bridge(TokenCount(expr(text)))
   def tokens(text: Column): Column = bridge(Tokens(expr(text)))
+  def langIdScored(text: Column, stopwords: Seq[(String, Seq[String])]): Column =
+    bridge(LangIdScored(expr(text), stopwords))
   def tokenBigrams(text: Column): Column = bridge(TokenBigrams(expr(text)))
   def deletionVariantHashes(name: Column, pre: Column): Column =
     bridge(DeletionVariantHashes(expr(name), expr(pre)))

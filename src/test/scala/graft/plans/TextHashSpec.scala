@@ -47,6 +47,26 @@ class TextHashSpec extends AnyFunSpec {
   // the kernel against itself
   private def tokens = filter(split(col("text"), " "), t => length(t) > 0)
 
+  describe("LangIdScored") {
+    it("matches the split+distinct+array_intersect+greatest tree, ties included") {
+      val rows = corpus.unionAll(Seq(
+        "the le der el",            // 4-way tie at 1 → first declared (en)
+        "le la the and",            // en/fr tie at 2 → en
+        "der und le la les",        // fr 3 beats de 2
+        "el los las y es una",      // es sweep; 'es' also a stopword of es
+        "the the the the",          // distinct: score 1, not 4
+        "les und is est une ist"    // fr 3 vs de 2 vs en 1
+      ).zipWithIndex.map { case (t, i) => (s"lang$i", t) }.toDF("id", "text"))
+      val want = rows.select(col("id"),
+        graft.functions.TextAnalysis.langIdScoredExpr(col("text")).as("lang"))
+      val got = rows.select(col("id"),
+        TextHashCols.langIdScored(col("text"),
+          graft.functions.TextAnalysis.stopwords).as("lang"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      assert(got.count() === want.count())
+    }
+  }
+
   describe("ShingleXx64") {
     it("matches posexplode + window.lead + xxhash64 (k=3, with fallback)") {
       val k = 3

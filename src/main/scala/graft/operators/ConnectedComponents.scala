@@ -100,9 +100,21 @@ object ConnectedComponents {
       // previous generation's text — the q_pagerank plan-blowup fix,
       // applied to the CC loop that q_dedup_clusters' 8.7 k-line dump
       // traced to. persist/unpersist discipline unchanged.
-      val next = org.apache.spark.sql.graftbridge.Bridge.truncateLineage(sym
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min("comp").as("comp")))
+      // Round 19 wave 5: TWO HashMin hops per generation — the loop's
+      // per-generation cost at any reasonable scale is dominated by
+      // the FIXED action overhead (plan/AQE/persist/convergence-sum
+      // ~3-4 stages), not the edge-sized data stages, so chaining a
+      // second join+min inside the same plan halves the generation
+      // count for the same diameter (dedup blobs: 4-5 sums → 3). The
+      // fixpoint is identical (HashMin is monotone and idempotent —
+      // if labels converge after an odd hop, the extra hop is a
+      // no-op), and the sum convergence check is unchanged: unchanged
+      // sum ⟺ both hops changed nothing ⟺ fixpoint.
+      def hop(l: DataFrame): DataFrame = sym
+        .join(l.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("comp").as("comp"))
+      val next = org.apache.spark.sql.graftbridge.Bridge
+        .truncateLineage(hop(hop(labels)))
         .persist(StorageLevel.MEMORY_ONLY)
       val s = labelSum(next) // materializes `next`; parent safe to drop
       labels.unpersist()

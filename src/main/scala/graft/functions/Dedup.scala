@@ -754,44 +754,42 @@ object Dedup {
   def sharedShingleEdges(df: DataFrame, idCol: String, textCol: String,
                          shingleK: Int = 3, minShared: Int = 5,
                          minDf: Int = 2, maxDf: Int = 20): DataFrame = {
-    // round-18: persist the deduped shingle table — joinKeyStats
-    // references it twice (rows + stats side), and without the persist
-    // each side replays the full tokenize→hash→explode→dedup chain
-    // (StageProfile: two ~9.5 s-CPU twin stages at sf0.1). 16 B/row,
-    // MEMORY_ONLY + CacheHandles like the simjoin/ngramJaccard sites.
-    val sh = graft.plans.CacheHandles.track("dedup.edges.shingles",
-      shingleHashes(df, idCol, textCol, shingleK).dropDuplicates("id", "h")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
-    // materialize BEFORE the consumers: joinKeyStats references this
-    // subtree twice (rows + stats side; the round-19 pair rewrite
-    // removed the self-join's other two), and AQE submits those query
-    // stages CONCURRENTLY — a lazily-persisted table is then computed
-    // once per in-flight stage (none sees the others' blocks) instead
-    // of once (StageProfile: four ~6-9 s-CPU twin stages at sf0.1,
-    // plus the "already cached" warnings). One cheap count turns the
-    // fan-out into cache reads.
-    sh.count()
-    val kept = joinKeyStats(sh, "h", Seq(count(lit(1)).as("_df")),
-      col("_df").between(minDf, maxDf), "left_semi")
-    // Round 19: pairs per shingle via bounded collect_list + the
-    // LongPairs kernel instead of the former kept⋈kept self-join. The
-    // self-join's two sides were each a full instance of the `kept`
-    // semi-join subtree, and AQE's exchange reuse did not fire across
-    // them (VERDICT r18 #5: the runtime plan carried TWIN h-exchanges
-    // — Exchange(26)/(34) and Exchange(47)/(55) over identical cached
-    // scans), so the rows+stats shuffles and the semi-join ran twice,
-    // plus two sort legs for the merge join. Here `kept` is consumed
-    // ONCE: it arrives hash(h)-distributed from the semi-join, the
-    // per-h group is bounded by construction (the _df ≤ maxDf filter
-    // caps every surviving shingle at maxDf holders — this is NOT the
-    // unbounded-window shape joinKeyStats exists to avoid), and the
-    // quadratic pair explode runs in the codegen kernel
-    // ([[graft.plans.ArrayPairs.longPairs]]; HOF form for non-long
-    // ids, the pairsFromBucketsIds convention). Pair sets are
-    // identical: ids are distinct within an h group (sh is
-    // (id, h)-deduped), so all (a, b) with b > a ≡ the self-join's
-    // id_a < id_b rows, and the (id_a, id_b) count of shared shingles
-    // is unchanged — exact integers, same oracle.
+    val sh = shingleHashes(df, idCol, textCol, shingleK).dropDuplicates("id", "h")
+    // Round 19 wave 5: the df band and the per-h holder lists come
+    // from ONE groupBy(h) over ONE evaluation of the shingle table —
+    // exact count(1) + [[graft.plans.BoundedCollectLong]] capped at
+    // maxDf + 1, then the df filter. The former shape computed df via
+    // joinKeyStats (a stats aggregate + a merge SEMI-JOIN with its two
+    // sort legs, over a persisted+eagerly-counted sh cache because the
+    // two references ran as concurrent AQE stages) and only then
+    // collected the surviving holders in a SECOND groupBy. The bounded
+    // collect removes the scale hazard that forced the two-pass shape:
+    // a boilerplate shingle held by the whole corpus buffers at most
+    // maxDf + 1 longs per aggregation buffer (never a corpus-sized
+    // array), while every group that passes _df ≤ maxDf is strictly
+    // under the cap and therefore collected COMPLETELY — the (h → id
+    // multiset) map is identical to the semi-join + collect_list form,
+    // and the single consumer means the persist + count materialization
+    // pass disappears too. Pair semantics unchanged from the wave-1
+    // rewrite: ids distinct per h, all (a, b) with b > a ≡ the old
+    // self-join's id_a < id_b rows, exact integer shared counts, same
+    // oracle. Non-long ids keep the legacy two-pass + HOF-pairs form
+    // (the pairsFromBucketsIds convention).
+    val par = sh.sparkSession.sparkContext.defaultParallelism
+    val buckets =
+      if (sh.schema("id").dataType == org.apache.spark.sql.types.LongType)
+        sh.groupBy("h").agg(count(lit(1)).as("_df"),
+            graft.plans.BoundedCollect.boundedCollectLong(col("id"), maxDf + 1).as("ms"))
+          .filter(col("_df").between(minDf, maxDf))
+          .select(col("h"), col("ms"))
+      else {
+        val shP = graft.plans.CacheHandles.track("dedup.edges.shingles",
+          sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+        shP.count() // eager: rows + stats sides are concurrent AQE stages
+        joinKeyStats(shP, "h", Seq(count(lit(1)).as("_df")),
+            col("_df").between(minDf, maxDf), "left_semi")
+          .groupBy("h").agg(collect_list(col("id")).as("ms"))
+      }
     val pairCol =
       if (sh.schema("id").dataType == org.apache.spark.sql.types.LongType)
         graft.plans.ArrayPairsCols.longPairs(col("ms"))
@@ -799,12 +797,12 @@ object Dedup {
         flatten(transform(col("ms"), a =>
           transform(filter(col("ms"), b => b > a),
             b => struct(a.as("id_a"), b.as("id_b")))))
-    kept.groupBy("h").agg(collect_list(col("id")).as("ms"))
+    buckets
       // round-robin spread before the quadratic explode (the
       // pairsFromBucketsIds rationale: bucket rows are bytes-small, so
       // AQE would coalesce the tiny aggregate output onto few tasks
       // and the explode amplifies inside them)
-      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+      .repartition(par)
       .select(explode(pairCol).as("pair"))
       .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))

@@ -138,14 +138,18 @@ object Retrieval {
         .select(col("th"), col("idx"),
           log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
             .as("idf"), col("avgdl"))
-      val perDoc = tf.join(broadcast(termIdf), Seq("th"))
-        .select(col("id"), struct(col("idx"), contrib.as("c")).as("e"))
-        .groupBy("id").agg(collect_list(col("e")).as("tc"))
-      perDoc
-        .select(col("id"),
-          explode(graft.plans.ScoreKernelCols.bm25Scores(col("tc"), qs)).as("qsc"))
-        .select(col("qsc.query_id").as("query_id"), col("id").as("doc_id"),
-          col("qsc.score").as("score"))
+      // round-19 (second session): the collect_list ObjectHashAggregate
+      // + Bm25Scores kernel + corpus×queries Generate explode + TopK
+      // partial probes collapse into the single-pass Bm25TopK operator
+      // — it consumes the (id, idx, c) rows on tf's existing by-id
+      // distribution (plus a spillable local radix sort for doc
+      // contiguity), scores each doc in the same ascending-term-index
+      // r4 accumulation, and emits at most queries×topK rows per
+      // partition straight from primitive per-query top-k arrays. The
+      // TopKPerKey merge below consumes them unchanged.
+      val entries = tf.join(broadcast(termIdf), Seq("th"))
+        .select(col("id"), col("idx"), contrib.as("c"))
+      graft.plans.Bm25TopK.scoreTopK(entries, qs, topK)
     } else {
       val qIdf = dfreq.join(broadcast(qTerms), Seq("th"))
         .crossJoin(broadcast(stats))

@@ -136,11 +136,22 @@ object EditDistanceJoin {
     // lesson), so it keeps the AQE-sized exchange.
     val beforeB = if (wideSecondJoin) afterA.repartition(par, col("id_b"))
       else afterA
+    // round-19 (second session): the bounded 3-arg levenshtein —
+    // banded DP that abandons a pair the moment its distance provably
+    // exceeds maxDist, O((2·maxDist+1)·min(|a|,|b|)) instead of
+    // O(|a|·|b|) per pair. Result-identical: within the threshold it
+    // returns the exact distance (same value the unbounded form
+    // produced for every surviving row); above it it returns -1, and
+    // -1 is the ONLY possible value outside [0, maxDist], so the
+    // single `dist >= 0` conjunct is the exact old `dist <= maxDist`
+    // filter (a bare <= maxDist would KEEP the -1 sentinel; `between`
+    // would push TWO levenshtein calls into the join condition).
     beforeB
       .join(b.hint("merge"), "id_b")
       .filter(blockEq)
-      .withColumn("dist", levenshtein(col(s"_a_$nameCol"), col(s"_b_$nameCol")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col(s"_a_$nameCol"), col(s"_b_$nameCol"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

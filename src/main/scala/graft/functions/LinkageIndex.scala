@@ -89,8 +89,12 @@ object LinkageIndex {
         .deletionKeys(docsBack, "id", "name", bNames(blockCols.size))
         .write.parquet(s"$dir/keys")
       val keysBack = spark.read.parquet(s"$dir/keys")
-      val cand = Dedup.pairsFromBucketsIds(keysBack, maxBucket,
-        "linkage_index_drops")
+      // the streaming run-pairs operator (see EditDistanceJoin.
+      // candidatePairs) — the index build walks the same corpus-scale
+      // singleton-heavy key table as the per-run self-join; the
+      // batch-sized append probe below keeps the aggregate form
+      val cand = graft.operators.EditDistanceJoin.candidatePairs(
+        keysBack, maxBucket)
       graft.operators.EditDistanceJoin
         .verifyCandidates(cand, docsBack, "id", "name",
           bNames(blockCols.size), maxDist)

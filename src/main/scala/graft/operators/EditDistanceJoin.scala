@@ -167,8 +167,45 @@ object EditDistanceJoin {
                maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2, "deletion neighborhood enumerates tau <= 2")
     val keyed = deletionKeys(df, idCol, nameCol, blockCols)
-    val pairs = graft.functions.Dedup.pairsFromBucketsIds(
-      keyed, maxBucket, "edit_join_drops")
-    verifyCandidates(pairs, df, idCol, nameCol, blockCols, maxDist)
+    verifyCandidates(candidatePairs(keyed, maxBucket), df, idCol, nameCol,
+      blockCols, maxDist)
   }
+
+  /** Candidate pairs from a deletion-neighborhood key table. On long
+    * ids this is the [[graft.plans.SortedRunPairs]] streaming operator:
+    * variant keys are ~97 % singletons (25.8 M keys / 150 k names at
+    * sf1), so pairsFromBucketsIds' collect_list paid a partial AND a
+    * final ObjectHashAggregate map over every row before producing a
+    * pair — measured +3.7 s at sf1/32 cpus vs 0.6 s for the keys
+    * themselves (EditJoinProbe); the operator replaces both maps, the
+    * bucket spread and the pair explode with one spillable sort and a
+    * run walk (pair SET identical — SortedRunPairsSpec). The explicit
+    * keyed repartition pins the stage wide (user repartitions are
+    * exempt from AQE coalescing — the pairsFromBucketsIds rationale)
+    * and already satisfies the operator's required distribution. The
+    * observe() drop counters become the operator's SQL metrics.
+    * Non-long id types keep the legacy aggregate form.
+    */
+  private[graft] def candidatePairs(keyed: DataFrame, maxBucket: Int): DataFrame =
+    if (keyed.schema("id").dataType == org.apache.spark.sql.types.LongType) {
+      val par = keyed.sparkSession.sparkContext.defaultParallelism
+      // band is CONSTANT on every deletion-neighborhood key table
+      // (deletionKeys emits lit(0); the persisted keys/ parquet is
+      // written by deletionKeys) — so (band, bkey) grouping degenerates
+      // to bkey grouping and the exchange need not carry the column at
+      // all: shuffle (id, bkey) only and re-attach a literal band above
+      // (HashPartitioning(bkey) satisfies the operator's
+      // ClusteredDistribution(band, bkey); the leading constant sort
+      // key is free). Pair sets are band-value-independent for any
+      // constant, so lit(0) is exact.
+      graft.plans.SortedRunPairs.pairs(
+          keyed.select(col("id"), col("bkey"))
+            .repartition(par, col("bkey"))
+            .select(col("id"), lit(0).as("band"), col("bkey")),
+          maxBucket)
+        .dropDuplicates("id_a", "id_b")
+    } else {
+      graft.functions.Dedup.pairsFromBucketsIds(keyed, maxBucket,
+        "edit_join_drops")
+    }
 }

@@ -65,12 +65,15 @@ object TextHash {
     val md: MessageDigest = MessageDigest.getInstance("MD5")
     def digestInto(): Array[Byte] = { md.digest(dig, 0, 16); dig }
     val seen = new java.util.HashSet[UTF8String](1024)
+    var hashes = new Array[Long](1024)
     def ensureTokens(n: Int): Unit = if (n > starts.length) {
       starts = java.util.Arrays.copyOf(starts, n * 2)
       lens = java.util.Arrays.copyOf(lens, n * 2)
     }
     def ensureBuf(n: Int): Unit =
       if (n > buf.length) buf = new Array[Byte](Integer.highestOneBit(n) * 2)
+    def ensureHashes(n: Int): Unit =
+      if (n > hashes.length) hashes = new Array[Long](Integer.highestOneBit(n) * 2)
   }
   private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
 
@@ -283,14 +286,49 @@ object TextHash {
     java.lang.Long.valueOf(sh)
   }
 
+  /** Splice up to three byte ranges of (base, off) into `buf` and
+    * xxhash64 the result with seed `pre` — the per-variant inner step
+    * of [[deletionVariantHashes]]. Unused segments pass (0, 0).
+    */
+  private def spliceHash(base: AnyRef, off: Long, buf: Array[Byte],
+                         a1: Int, b1: Int, a2: Int, b2: Int,
+                         a3: Int, b3: Int, pre: Long): Long = {
+    var pos = 0
+    if (b1 > a1) {
+      Platform.copyMemory(base, off + a1, buf, Platform.BYTE_ARRAY_OFFSET + pos, (b1 - a1).toLong)
+      pos += b1 - a1
+    }
+    if (b2 > a2) {
+      Platform.copyMemory(base, off + a2, buf, Platform.BYTE_ARRAY_OFFSET + pos, (b2 - a2).toLong)
+      pos += b2 - a2
+    }
+    if (b3 > a3) {
+      Platform.copyMemory(base, off + a3, buf, Platform.BYTE_ARRAY_OFFSET + pos, (b3 - a3).toLong)
+      pos += b3 - a3
+    }
+    XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, pre)
+  }
+
   /** ≡ explode(array_distinct(concat(array(s), d1, d2))) hashed with
     * `xxhash64(blockCols..., v)` — the FastSS deletion-neighborhood
     * keys of EditDistanceJoin, with `pre` the xxhash64 fold of the
     * block columns (xxhash64(b1, b2, v) ≡ hash(v, xxhash64(b1, b2)) by
     * the chain rule). Variants are the string itself, every single-
     * CHARACTER deletion and every two-character deletion (1-based
-    * substr clamping reproduced exactly: L=0 → {""}, L=1 → {s, ""}),
-    * deduped on string content like the array_distinct.
+    * substr clamping reproduced exactly: L=0 → {""}, L=1 → {s, ""}).
+    *
+    * round-19: deduped on the 64-bit HASH (sort + unique over a
+    * reused scratch array) instead of materializing every variant as
+    * a UTF8String into a HashSet — the old form paid four allocations
+    * per variant (segment-tuple array, byte array, UTF8String, boxed
+    * Long; 172 variants per 18-char name, 64.9 CPU-s at sf1 in the
+    * q_linkage key stage). Distinct variant strings have distinct
+    * hashes modulo the family's documented 2⁻⁶⁴ collision convention,
+    * and downstream only consumes the hash SET (bucket grouping;
+    * TextHashSpec pins sorted-set equality against the HOF form), so
+    * hash-dedup ≡ string-dedup there. Output order is ascending hash
+    * (was first-seen) — order-insensitive consumers only (explode →
+    * groupBy / collect_set).
     */
   def deletionVariantHashes(s: UTF8String, pre: Long): ArrayData = {
     val sc = scratch.get()
@@ -309,56 +347,52 @@ object TextHash {
     }
     sc.ensureTokens(L + 2)
     sc.starts(L) = n
-    sc.seen.clear()
-    val out = new java.util.ArrayList[java.lang.Long](2 + L + L * L / 2)
-    def emit(segs: Array[(Int, Int)]): Unit = {
-      var len = 0
-      var k = 0
-      while (k < segs.length) { len += segs(k)._2 - segs(k)._1; k += 1 }
-      val arr = new Array[Byte](len)
-      var pos = 0
-      k = 0
-      while (k < segs.length) {
-        val (a, b) = segs(k)
-        Platform.copyMemory(base, off + a, arr, Platform.BYTE_ARRAY_OFFSET + pos, (b - a).toLong)
-        pos += b - a
-        k += 1
-      }
-      if (sc.seen.add(UTF8String.fromBytes(arr)))
-        out.add(java.lang.Long.valueOf(
-          XXH64.hashUnsafeBytes(arr, Platform.BYTE_ARRAY_OFFSET, len, pre)))
-    }
-    // the string itself
-    emit(Array((0, n)))
+    sc.ensureBuf(n)
+    sc.ensureHashes(2 + L + L * (L - 1) / 2)
+    val buf = sc.buf
+    val hs = sc.hashes
+    val st = sc.starts
+    var m = 0
+    // the string itself — contiguous, no splice needed
+    hs(m) = XXH64.hashUnsafeBytes(base, off, n, pre); m += 1
     if (L == 0) {
       // d1/d2 degenerate to "" via substr clamping
-      emit(Array((0, 0)))
+      hs(m) = spliceHash(base, off, buf, 0, 0, 0, 0, 0, 0, pre); m += 1
     } else {
       // single deletions
       var a = 0
       while (a < L) {
-        emit(Array((0, sc.starts(a)), (sc.starts(a + 1), n)))
+        hs(m) = spliceHash(base, off, buf, 0, st(a), st(a + 1), n, 0, 0, pre)
+        m += 1
         a += 1
       }
       if (L == 1) {
-        emit(Array((0, 0))) // the clamped (i=1, j=2) double deletion
+        // the clamped (i=1, j=2) double deletion
+        hs(m) = spliceHash(base, off, buf, 0, 0, 0, 0, 0, 0, pre); m += 1
       } else {
         var x = 0
         while (x < L - 1) {
+          val px = st(x)
+          val sx = st(x + 1)
           var y = x + 1
           while (y < L) {
-            emit(Array((0, sc.starts(x)), (sc.starts(x + 1), sc.starts(y)),
-              (sc.starts(y + 1), n)))
+            hs(m) = spliceHash(base, off, buf, 0, px, sx, st(y), st(y + 1), n, pre)
+            m += 1
             y += 1
           }
           x += 1
         }
       }
     }
-    sc.seen.clear()
-    val res = new Array[Long](out.size())
-    i = 0
-    while (i < res.length) { res(i) = out.get(i).longValue(); i += 1 }
+    java.util.Arrays.sort(hs, 0, m)
+    var u = 0
+    var k = 0
+    while (k < m) {
+      if (u == 0 || hs(k) != hs(u - 1)) { hs(u) = hs(k); u += 1 }
+      k += 1
+    }
+    val res = new Array[Long](u)
+    System.arraycopy(hs, 0, res, 0, u)
     UnsafeArrayData.fromPrimitiveArray(res)
   }
 
